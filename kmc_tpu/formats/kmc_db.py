@@ -1,0 +1,390 @@
+"""KMC database (.kmc_pre / .kmc_suf) writer and reader.
+
+Byte-compatible with the reference formats:
+  * KMC2 (version 0x200) layout: kb_completer.cpp:117-326 (writer),
+    kmc_api/kmc_file.cpp:184-260 (reader).
+  * KMC1 (version 0x0) layout: kb_completer.h:199-305 (small-k completer),
+    kmc_tools/kmc1_db_writer.h.
+
+In-memory convention used throughout kmc_tpu: a batch of k-mers is a
+(N, KB) uint8 array, KB = ceil(k/4), holding the 2-bit packed k-mer as a
+big-endian, right-aligned integer (first base in the highest used bits).
+Because the suffix length is always a multiple of 4 symbols, the on-disk
+suffix is exactly the trailing `suffix_bytes` columns and the prefix integer
+is the big-endian value of the leading columns.
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+PRE_MARKER = b"KMCP"
+SUF_MARKER = b"KMCS"
+KMC2_VER = 0x200
+KMC1_VER = 0x0
+
+
+@dataclass
+class DbInfo:
+    """Database parameters (mirrors CKMCFile::Info, kmc_api/kmc_file.h:198)."""
+
+    kmer_len: int
+    mode: int = 0
+    counter_size: int = 1
+    lut_prefix_len: int = 0
+    signature_len: int = 0  # 0 for KMC1 databases
+    cutoff_min: int = 2
+    cutoff_max: int = 1_000_000_000
+    n_unique_stored: int = 0  # k-mers within [cutoff_min, cutoff_max]
+    both_strands: bool = True
+    version: int = KMC2_VER
+    n_bins: int = 0
+    # full stats (not all stored in the file header)
+    n_unique: int = 0
+    n_below_min: int = 0
+    n_above_max: int = 0
+    n_total: int = 0
+
+    @property
+    def suffix_bytes(self) -> int:
+        return (self.kmer_len - self.lut_prefix_len) // 4
+
+    @property
+    def record_bytes(self) -> int:
+        return self.suffix_bytes + self.counter_size
+
+    @property
+    def kmer_bytes(self) -> int:
+        return (self.kmer_len + 3) // 4
+
+
+def kmer_bytes_to_prefix_ids(kmers: np.ndarray, k: int, lut_prefix_len: int) -> np.ndarray:
+    """Big-endian integer value of the prefix columns of (N, KB) kmer bytes."""
+    suffix_bytes = (k - lut_prefix_len) // 4
+    kb = kmers.shape[1]
+    pre = kmers[:, : kb - suffix_bytes].astype(np.uint64)
+    out = np.zeros(len(kmers), dtype=np.uint64)
+    for j in range(pre.shape[1]):
+        out = (out << np.uint64(8)) | pre[:, j]
+    return out
+
+
+def pick_lut_prefix_len(k: int, n_bins: int, n_est_unique: int, kmc1: bool = False) -> int:
+    """Pick the LUT prefix length minimizing LUT+suffix bytes.
+
+    KMC2: kmc.h:1450-1467 (lut_prefix_len in [2,15], suffix%4==0, n_bins LUTs).
+    KMC1 small-k: kmc.h:905-939 (lut_prefix_len in [1,15], one LUT, suffix may
+    be 0, suffix record includes counter bytes in the estimate).
+    """
+    best_len = 0
+    best_mem = 1 << 62
+    start = 1 if kmc1 else 2
+    for lpl in range(start, 16):
+        if kmc1:
+            suffix_len = 0 if lpl > k else k - lpl
+        else:
+            if lpl > k:
+                continue
+            suffix_len = k - lpl
+        if suffix_len % 4:
+            continue
+        if kmc1:
+            est_suf_mem = n_est_unique * (suffix_len // 4)
+            lut_mem = (1 << (2 * lpl)) * 8
+        else:
+            est_suf_mem = n_est_unique * suffix_len // 4
+            lut_mem = n_bins * (1 << (2 * lpl)) * 8
+        if est_suf_mem + lut_mem < best_mem:
+            best_len = lpl
+            best_mem = est_suf_mem + lut_mem
+    return best_len
+
+
+class Kmc2DbWriter:
+    """Streaming writer for a KMC2 database.
+
+    Bins must be put in increasing bin-id order (the completer pops bins in
+    bin order, kb_completer.cpp:130-222).  Each bin provides already sorted,
+    cutoff-filtered, clamped records.
+    """
+
+    def __init__(self, path_prefix: str, info: DbInfo, sig_map_bins: np.ndarray):
+        """sig_map_bins: int32 array (4^sig_len + 1) mapping signature ->
+        bin id (-1 for unused signatures)."""
+        self.info = info
+        self.path_prefix = str(path_prefix)
+        self._pre = open(self.path_prefix + ".kmc_pre", "wb")
+        self._suf = open(self.path_prefix + ".kmc_suf", "wb")
+        self._pre.write(PRE_MARKER)
+        self._suf.write(SUF_MARKER)
+        self._sig_map_bins = np.asarray(sig_map_bins)
+        self._sig_map_out = np.zeros(len(sig_map_bins), dtype=np.uint32)
+        self._n_recs = 0  # running record count (cumulative LUT base)
+        self._lut_pos = 0
+        self._next_bin = 0
+        self._lut_size = 1 << (2 * info.lut_prefix_len)
+        self.n_unique = 0
+        self.n_below_min = 0
+        self.n_above_max = 0
+        self.n_total = 0
+
+    def put_bin(self, bin_id: int, kmers: np.ndarray, counts: np.ndarray, stats=None):
+        """kmers: (N, KB) uint8 sorted ascending; counts: (N,) clamped to
+        counter_max; both already cutoff-filtered.  Empty bins in [next,
+        bin_id) are emitted automatically."""
+        while self._next_bin < bin_id:
+            self._put_one(self._next_bin, None, None)
+        self._put_one(bin_id, kmers, counts)
+        if stats is not None:
+            self.n_unique += stats["n_unique"]
+            self.n_below_min += stats["n_below_min"]
+            self.n_above_max += stats["n_above_max"]
+            self.n_total += stats["n_total"]
+
+    def _put_one(self, bin_id, kmers, counts):
+        info = self.info
+        if kmers is None or len(kmers) == 0:
+            lut = np.zeros(self._lut_size, dtype=np.uint64)
+        else:
+            prefix_ids = kmer_bytes_to_prefix_ids(kmers, info.kmer_len, info.lut_prefix_len)
+            lut = np.bincount(prefix_ids.astype(np.int64), minlength=self._lut_size).astype(np.uint64)
+            # suffix + counter record bytes
+            rec = np.empty((len(kmers), info.record_bytes), dtype=np.uint8)
+            rec[:, : info.suffix_bytes] = kmers[:, kmers.shape[1] - info.suffix_bytes :]
+            c = np.asarray(counts, dtype=np.uint64)
+            for j in range(info.counter_size):  # little-endian counter
+                rec[:, info.suffix_bytes + j] = ((c >> np.uint64(8 * j)) & np.uint64(0xFF)).astype(np.uint8)
+            rec.tofile(self._suf)
+        # convert per-prefix counts to running cumulative offsets
+        cum = np.empty_like(lut)
+        np.cumsum(lut, out=cum)
+        shifted = np.empty_like(lut)
+        shifted[0] = 0
+        shifted[1:] = cum[:-1]
+        shifted += np.uint64(self._n_recs)
+        self._n_recs += int(cum[-1]) if len(cum) else 0
+        shifted.astype("<u8").tofile(self._pre)
+        self._sig_map_out[self._sig_map_bins == bin_id] = self._lut_pos
+        self._lut_pos += 1
+        self._next_bin = bin_id + 1
+
+    def close(self):
+        info = self.info
+        while self._next_bin < info.n_bins:
+            self._put_one(self._next_bin, None, None)
+        self._suf.write(SUF_MARKER)
+        self._suf.close()
+        pre = self._pre
+        pre.write(struct.pack("<Q", self._n_recs))
+        self._sig_map_out.astype("<u4").tofile(pre)
+        n_unique_stored = self.n_unique - self.n_below_min - self.n_above_max
+        header = struct.pack(
+            "<IIIIIIIQB",
+            info.kmer_len,
+            info.mode,
+            info.counter_size,
+            info.lut_prefix_len,
+            info.signature_len,
+            info.cutoff_min,
+            info.cutoff_max & 0xFFFFFFFF,
+            n_unique_stored,
+            0 if info.both_strands else 1,
+        )
+        header += b"\x00" * 27
+        header += struct.pack("<I", KMC2_VER)
+        pre.write(header)
+        pre.write(struct.pack("<I", len(header)))  # header_offset = 68
+        pre.write(PRE_MARKER)
+        pre.close()
+
+
+def write_kmc1_db(path_prefix: str, info: DbInfo, kmers: np.ndarray, counts: np.ndarray):
+    """Write a KMC1 (version 0) database from globally sorted records.
+
+    Layout per CSmallKCompleter::CompleteKMCFormat (kb_completer.h:199-305)
+    and kmc_tools' CKMC1DbWriter.
+    """
+    lut_size = 1 << (2 * info.lut_prefix_len)
+    with open(path_prefix + ".kmc_suf", "wb") as suf:
+        suf.write(SUF_MARKER)
+        if len(kmers):
+            suffix_bytes = (info.kmer_len - info.lut_prefix_len) // 4
+            rec = np.empty((len(kmers), suffix_bytes + info.counter_size), dtype=np.uint8)
+            rec[:, :suffix_bytes] = kmers[:, kmers.shape[1] - suffix_bytes :] if suffix_bytes else 0
+            c = np.asarray(counts, dtype=np.uint64)
+            for j in range(info.counter_size):
+                rec[:, suffix_bytes + j] = ((c >> np.uint64(8 * j)) & np.uint64(0xFF)).astype(np.uint8)
+            rec.tofile(suf)
+        suf.write(SUF_MARKER)
+    with open(path_prefix + ".kmc_pre", "wb") as pre:
+        pre.write(PRE_MARKER)
+        if len(kmers):
+            prefix_ids = kmer_bytes_to_prefix_ids(kmers, info.kmer_len, info.lut_prefix_len)
+            hist = np.bincount(prefix_ids.astype(np.int64), minlength=lut_size).astype(np.uint64)
+        else:
+            hist = np.zeros(lut_size, dtype=np.uint64)
+        lut = np.zeros(lut_size, dtype=np.uint64)
+        np.cumsum(hist[:-1], out=lut[1:])
+        lut.astype("<u8").tofile(pre)
+        header = struct.pack(
+            "<IIIIIIQB",
+            info.kmer_len,
+            info.mode,
+            info.counter_size,
+            info.lut_prefix_len,
+            info.cutoff_min,
+            info.cutoff_max & 0xFFFFFFFF,
+            len(kmers),
+            0 if info.both_strands else 1,
+        )
+        header += b"\x00" * 3
+        header += struct.pack("<I", (info.cutoff_max >> 32) & 0xFFFFFFFF)
+        header += b"\x00" * 20
+        header += struct.pack("<I", KMC1_VER)
+        pre.write(header)
+        pre.write(struct.pack("<I", len(header)))  # 64
+        pre.write(PRE_MARKER)
+
+
+@dataclass
+class KmcDb:
+    """A fully materialized KMC database (both versions) for tools/API use."""
+
+    info: DbInfo
+    luts: np.ndarray  # uint64, (n_luts * 4^lpl + 1,) cumulative, sentinel at end
+    sig_map: np.ndarray | None  # uint32 (4^sig_len+1,) -> lut index, KMC2 only
+    records: np.ndarray  # (n_recs, record_bytes) uint8 raw suffix+counter
+
+    @property
+    def n_records(self) -> int:
+        return len(self.records)
+
+    def counters(self) -> np.ndarray:
+        """Decode per-record counters (little-endian; 1 when counter_size==0)."""
+        cs = self.info.counter_size
+        if cs == 0:
+            return np.ones(self.n_records, dtype=np.uint32)
+        c = np.zeros(self.n_records, dtype=np.uint64)
+        sb = self.info.suffix_bytes
+        for j in range(cs - 1, -1, -1):
+            c = (c << np.uint64(8)) | self.records[:, sb + j].astype(np.uint64)
+        return c.astype(np.uint32)
+
+    def kmers_bytes(self) -> np.ndarray:
+        """Reconstruct (n_recs, KB) uint8 right-aligned big-endian k-mers."""
+        info = self.info
+        n = self.n_records
+        kb = info.kmer_bytes
+        sb = info.suffix_bytes
+        out = np.zeros((n, kb), dtype=np.uint8)
+        if sb:
+            out[:, kb - sb :] = self.records[:, :sb]
+        # prefix per record: invert the cumulative LUT
+        lut_idx = (np.searchsorted(self.luts, np.arange(n, dtype=np.uint64), side="right") - 1).astype(np.uint64)
+        prefix = lut_idx & np.uint64((1 << (2 * info.lut_prefix_len)) - 1)
+        for j in range(kb - sb - 1, -1, -1):
+            out[:, j] = (prefix & np.uint64(0xFF)).astype(np.uint8)
+            prefix = prefix >> np.uint64(8)
+        return out
+
+    def bin_ids(self) -> np.ndarray:
+        """Per-record lut (bin) index."""
+        lut_idx = (np.searchsorted(self.luts, np.arange(self.n_records, dtype=np.uint64), side="right") - 1).astype(np.uint64)
+        return (lut_idx >> np.uint64(2 * self.info.lut_prefix_len)).astype(np.int64)
+
+
+def read_db(path_prefix: str) -> KmcDb:
+    """Read an entire KMC1/KMC2 database into memory."""
+    pre_raw = Path(path_prefix + ".kmc_pre").read_bytes()
+    suf_raw = Path(path_prefix + ".kmc_suf").read_bytes()
+    if pre_raw[:4] != PRE_MARKER or pre_raw[-4:] != PRE_MARKER:
+        raise ValueError("bad .kmc_pre markers")
+    if suf_raw[:4] != SUF_MARKER or suf_raw[-4:] != SUF_MARKER:
+        raise ValueError("bad .kmc_suf markers")
+    version = struct.unpack_from("<I", pre_raw, len(pre_raw) - 12)[0]
+    header_offset = struct.unpack_from("<I", pre_raw, len(pre_raw) - 8)[0]
+    hstart = len(pre_raw) - 8 - header_offset
+    if version == KMC2_VER:
+        (kmer_len, mode, counter_size, lut_prefix_len, signature_len,
+         cutoff_min, cutoff_max, n_unique_stored) = struct.unpack_from("<IIIIIIIQ", pre_raw, hstart)
+        both_flag = pre_raw[hstart + 36]
+        sig_map_size = (1 << (2 * signature_len)) + 1
+        sig_map_start = hstart - sig_map_size * 4
+        sig_map = np.frombuffer(pre_raw, dtype="<u4", count=sig_map_size, offset=sig_map_start).copy()
+        lut_area_end = sig_map_start  # includes trailing n_recs uint64
+        luts = np.frombuffer(pre_raw, dtype="<u8", count=(lut_area_end - 4) // 8, offset=4).copy()
+        n_luts = (len(luts) - 1) >> (2 * lut_prefix_len)
+    elif version == KMC1_VER:
+        (kmer_len, mode, counter_size, lut_prefix_len,
+         cutoff_min, cutoff_max_lo, n_unique_stored) = struct.unpack_from("<IIIIIIQ", pre_raw, hstart)
+        both_flag = pre_raw[hstart + 32]
+        cutoff_max_hi = struct.unpack_from("<I", pre_raw, hstart + 36)[0]
+        cutoff_max = cutoff_max_lo | (cutoff_max_hi << 32)
+        signature_len = 0
+        sig_map = None
+        lut_size = 1 << (2 * lut_prefix_len)
+        luts = np.empty(lut_size + 1, dtype=np.uint64)
+        luts[:lut_size] = np.frombuffer(pre_raw, dtype="<u8", count=lut_size, offset=4)
+        luts[lut_size] = n_unique_stored
+        n_luts = 1
+    else:
+        raise ValueError(f"unsupported KMC database version 0x{version:x}")
+
+    info = DbInfo(
+        kmer_len=kmer_len,
+        mode=mode,
+        counter_size=counter_size,
+        lut_prefix_len=lut_prefix_len,
+        signature_len=signature_len,
+        cutoff_min=cutoff_min,
+        cutoff_max=cutoff_max,
+        n_unique_stored=n_unique_stored,
+        both_strands=(both_flag == 0),
+        version=version,
+        n_bins=n_luts,
+    )
+    rec_size = info.record_bytes
+    body = suf_raw[4:-4]
+    if rec_size == 0:
+        records = np.zeros((n_unique_stored, 0), dtype=np.uint8)
+    else:
+        n_recs = len(body) // rec_size
+        records = np.frombuffer(body, dtype=np.uint8, count=n_recs * rec_size).reshape(n_recs, rec_size).copy()
+    return KmcDb(info=info, luts=luts, sig_map=sig_map, records=records)
+
+
+def sorted_records(db: KmcDb):
+    """Return (kmers_bytes, counts) in global ascending k-mer order.
+
+    KMC2 stores bins independently sorted; a global order needs a merge
+    (CKMC2DbReader, kmc_tools/kmc2_db_reader.h:400-560).  We reconstruct all
+    k-mers and lexsort — fine for in-memory tools.
+    """
+    kmers = db.kmers_bytes()
+    counts = db.counters()
+    if db.info.version == KMC2_VER and db.info.n_bins > 1:
+        order = np.lexsort(tuple(kmers[:, j] for j in range(kmers.shape[1] - 1, -1, -1)))
+        kmers = kmers[order]
+        counts = counts[order]
+    return kmers, counts
+
+
+def kmers_bytes_to_strings(kmers: np.ndarray, k: int) -> list[str]:
+    """Decode (N, KB) right-aligned big-endian k-mer bytes to ACGT strings."""
+    if len(kmers) == 0:
+        return []
+    kb = kmers.shape[1]
+    # per-byte 4-symbol decode, then cut the left padding
+    lut = np.empty((256, 4), dtype=np.uint8)
+    b = np.arange(256, dtype=np.uint16)
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for j in range(4):
+        lut[:, j] = acgt[(b >> (2 * (3 - j))) & 3]
+    chars = lut[kmers].reshape(len(kmers), kb * 4)
+    pad = kb * 4 - k
+    chars = np.ascontiguousarray(chars[:, pad:])
+    flat = chars.tobytes().decode("ascii")
+    return [flat[i * k : (i + 1) * k] for i in range(len(kmers))]

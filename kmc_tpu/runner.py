@@ -1,0 +1,410 @@
+"""Orchestrator: the two-stage counting pipeline and its public API.
+
+API mirrors the reference's KMC::Runner / Stage1Params / Stage2Params fluent
+interface (/root/reference/kmc_core/kmc_runner.h:100-255, kmc_runner.cpp:
+179-403 for validation ranges), re-architected for TPU:
+
+  stage 0  sampled signature histogram (device) -> greedy bin map (host)
+  stage 1  code-stream batches -> device extract/canonicalize/sort/RLE ->
+           host buckets per signature bin (HBM->host staging replaces the
+           reference's temp-file spill)
+  stage 2  per-bin device merge-sort + segment-reduce + cutoffs -> KMC2 DB
+  small-k  k<=13: dense 4^k device histogram -> KMC1 DB
+           (reference kmc.h:677-970)
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Optional
+
+import numpy as np
+
+from . import defs
+from .defs import calc_counter_size
+from .formats.kmc_db import DbInfo, Kmc2DbWriter, pick_lut_prefix_len, write_kmc1_db
+from .io.readers import BatchStream, ParseState, file_code_stream, homopolymer_compress_codes
+from .signatures import build_signature_map, map_size, special_signature
+from .ops.extract import INVALID_SIG, stage0_stats_batch, stage1_batch
+from .ops.sortcount import merge_count_bin
+from .ops.smallk import smallk_batch, smallk_histogram_shape
+
+
+class InputFileType(Enum):
+    FASTQ = "fastq"
+    FASTA = "fasta"
+    MULTILINE_FASTA = "multifasta"
+    BAM = "bam"
+    KMC = "kmc"
+
+
+class OutputFileType(Enum):
+    KMC = "kmc"
+    KFF = "kff"
+
+
+class EstimateHistogramCfg(Enum):
+    DONT_ESTIMATE = 0
+    ESTIMATE_AND_COUNT_KMERS = 1
+    ONLY_ESTIMATE = 2
+
+
+def _fluent(cls):
+    """Add reference-style SetX fluent setters for every dataclass field."""
+    for name in cls.__dataclass_fields__:
+        setter_name = "Set" + "".join(w.capitalize() for w in name.split("_"))
+
+        def make(n):
+            def setter(self, value):
+                setattr(self, n, value)
+                return self
+
+            return setter
+
+        setattr(cls, setter_name, make(name))
+    return cls
+
+
+@_fluent
+@dataclass
+class Stage1Params:
+    input_files: list = field(default_factory=list)
+    tmp_path: str = "."
+    kmer_len: int = defs.DEFAULT_K
+    n_threads: int = 0
+    max_ram_gb: int = 12
+    signature_len: int = defs.DEFAULT_SIGNATURE_LEN
+    homopolymer_compressed: bool = False
+    input_file_type: InputFileType = InputFileType.FASTQ
+    canonical_kmers: bool = True
+    ram_only_mode: bool = False
+    n_bins: int = defs.DEFAULT_N_BINS
+    estimate_histogram_cfg: EstimateHistogramCfg = EstimateHistogramCfg.DONT_ESTIMATE
+    verbose: bool = False
+    # TPU-specific: candidate k-mer positions per device batch
+    batch_positions: int = 1 << 22
+
+    def validate(self):
+        if not (defs.MIN_K <= self.kmer_len <= defs.MAX_K):
+            raise ValueError(f"k must be in [{defs.MIN_K},{defs.MAX_K}]")
+        if not (defs.MIN_SL <= self.signature_len <= defs.MAX_SL):
+            raise ValueError(f"signature length must be in [{defs.MIN_SL},{defs.MAX_SL}]")
+        if not (defs.MIN_N_BINS <= self.n_bins <= defs.MAX_N_BINS):
+            raise ValueError(f"n_bins must be in [{defs.MIN_N_BINS},{defs.MAX_N_BINS}]")
+        if not self.input_files:
+            raise ValueError("no input files")
+
+
+@_fluent
+@dataclass
+class Stage2Params:
+    max_ram_gb: int = 12
+    n_threads: int = 0
+    strict_memory_mode: bool = False
+    cutoff_min: int = defs.DEFAULT_CUTOFF_MIN
+    counter_max: int = defs.DEFAULT_COUNTER_MAX
+    cutoff_max: int = defs.DEFAULT_CUTOFF_MAX
+    output_file_name: str = ""
+    output_file_type: OutputFileType = OutputFileType.KMC
+    without_output: bool = False
+
+    def validate(self):
+        if self.cutoff_min < 1:
+            raise ValueError("cutoff_min must be >= 1")
+        if self.counter_max < 1:
+            raise ValueError("counter_max must be >= 1")
+
+
+@dataclass
+class Stage1Results:
+    time: float = 0.0
+    n_sequences: int = 0
+    was_small_k_opt_used: bool = False
+    n_total_super_kmers: int = 0
+    tmp_size: int = 0
+    estimated_histogram: list = field(default_factory=list)
+
+
+@dataclass
+class Stage2Results:
+    time: float = 0.0
+    time_strict_mem: float = 0.0
+    tmp_size_strict_memory: int = 0
+    max_disk_usage: int = 0
+    n_below_cutoff_min: int = 0
+    n_above_cutoff_max: int = 0
+    n_total_kmers: int = 0
+    n_unique_kmers: int = 0
+
+
+class Runner:
+    """Two-stage k-mer counter (reference kmc_runner.h:246-255)."""
+
+    def __init__(self):
+        self._s1: Optional[Stage1Params] = None
+        self._buckets = None  # bin -> list[(words uint32 (n,W), counts uint32)]
+        self._bucket_rows = None
+        self._bucket_occurrences = None
+        self._sig_map = None
+        self._n_used_bins = 0
+        self._n_reads = 0
+        self._smallk_hist = None
+        self._small_k = False
+
+    # ---------------- stage 1 ----------------
+    def run_stage1(self, params: Stage1Params) -> Stage1Results:
+        params.validate()
+        self._s1 = params
+        t0 = time.perf_counter()
+        results = Stage1Results()
+
+        k = params.kmer_len
+        self._small_k = k <= 13
+        if self._small_k:
+            self._run_stage1_small_k(params, results)
+        else:
+            self._run_stage0(params)
+            self._run_stage1_bins(params, results)
+
+        results.n_sequences = self._n_reads
+        results.was_small_k_opt_used = self._small_k
+        results.time = time.perf_counter() - t0
+        return results
+
+    def _chunks(self, params: Stage1Params, max_bytes=None):
+        state = ParseState()
+        fmt = params.input_file_type.value
+        if fmt == "bam":
+            raise NotImplementedError("BAM input lands in a later milestone")
+        if fmt == "kmc":
+            raise NotImplementedError("KMC-database input lands in a later milestone")
+        prev_last = -1
+        for chunk in file_code_stream(params.input_files, fmt, state, max_bytes=max_bytes):
+            if params.homopolymer_compressed:
+                chunk = homopolymer_compress_codes(chunk)
+                # a run spanning the chunk boundary collapses to one code at
+                # the head of this chunk; drop it if it continues prev run
+                if len(chunk) and chunk[0] == prev_last:
+                    chunk = chunk[1:]
+                if len(chunk):
+                    prev_last = int(chunk[-1])
+            yield chunk, state
+        self._n_reads = state.n_reads
+
+    def _run_stage0(self, params: Stage1Params):
+        """Sampled signature histogram -> greedy signature->bin map."""
+        k, m = params.kmer_len, params.signature_len
+        s = params.batch_positions
+        bs = BatchStream(s, k)
+        msize = map_size(m)
+        hist = np.zeros(msize, dtype=np.uint64)
+        gen = (c for c, _ in self._chunks(params, max_bytes=defs.STATS_SAMPLE_BYTES))
+        for batch in bs.batches(gen):
+            h = stage0_stats_batch(batch, s=s, k=k, sig_len=m, map_len=msize)
+            hist += np.asarray(h, dtype=np.uint64)
+        self._sig_map = build_signature_map(hist, m, params.n_bins)
+        self._n_used_bins = int(self._sig_map.max()) + 1
+
+    def _run_stage1_bins(self, params: Stage1Params, results: Stage1Results):
+        k, m = params.kmer_len, params.signature_len
+        s = params.batch_positions
+        bs = BatchStream(s, k)
+        n_bins = self._n_used_bins
+        buckets = [[] for _ in range(n_bins)]
+        bucket_rows = np.zeros(n_bins, dtype=np.int64)
+        bucket_occ = np.zeros(n_bins, dtype=np.int64)
+        sig_to_bin = self._sig_map.astype(np.int64)
+
+        gen = (c for c, _ in self._chunks(params))
+        for batch in bs.batches(gen):
+            u_sig, u_words, counts, n_groups = stage1_batch(
+                batch, s=s, k=k, sig_len=m, both_strands=params.canonical_kmers
+            )
+            n = int(n_groups)
+            sig = np.asarray(u_sig[:n])
+            words = np.asarray(u_words[:n])
+            cnts = np.asarray(counts[:n])
+            keep = sig != INVALID_SIG
+            if not keep.all():
+                sig, words, cnts = sig[keep], words[keep], cnts[keep]
+            bins = sig_to_bin[sig]
+            order = np.argsort(bins, kind="stable")
+            bins_sorted = bins[order]
+            bounds = np.searchsorted(bins_sorted, np.arange(n_bins + 1))
+            words = words[order]
+            cnts = cnts[order]
+            for b in range(n_bins):
+                lo, hi = bounds[b], bounds[b + 1]
+                if lo < hi:
+                    buckets[b].append((words[lo:hi], cnts[lo:hi]))
+                    bucket_rows[b] += hi - lo
+                    bucket_occ[b] += int(cnts[lo:hi].sum(dtype=np.int64))
+        self._buckets = buckets
+        self._bucket_rows = bucket_rows
+        self._bucket_occurrences = bucket_occ
+
+    def _run_stage1_small_k(self, params: Stage1Params, results: Stage1Results):
+        import jax.numpy as jnp
+
+        k = params.kmer_len
+        s = params.batch_positions
+        bs = BatchStream(s, k)
+        hist = jnp.zeros(smallk_histogram_shape(k), jnp.uint32)
+        gen = (c for c, _ in self._chunks(params))
+        for batch in bs.batches(gen):
+            hist = smallk_batch(batch, hist, s=s, k=k, both_strands=params.canonical_kmers)
+        self._smallk_hist = np.asarray(hist)[:-1].astype(np.uint64)  # drop invalid slot
+
+    # ---------------- stage 2 ----------------
+    def run_stage2(self, params: Stage2Params) -> Stage2Results:
+        params.validate()
+        if self._s1 is None:
+            raise RuntimeError("run_stage1 first")
+        t0 = time.perf_counter()
+        if params.output_file_type != OutputFileType.KMC:
+            raise NotImplementedError("KFF output lands in a later milestone")
+        results = Stage2Results()
+        if self._small_k:
+            self._run_stage2_small_k(params, results)
+        else:
+            self._run_stage2_bins(params, results)
+        results.time = time.perf_counter() - t0
+        return results
+
+    def _run_stage2_bins(self, params: Stage2Params, results: Stage2Results):
+        s1 = self._s1
+        k = s1.kmer_len
+        W = (k + 15) // 16
+        kb = (k + 3) // 4
+
+        n_est_unique = 4 * self._n_reads  # reference heuristic kmc.h:1436
+        lut_prefix_len = pick_lut_prefix_len(k, self._n_used_bins, n_est_unique)
+        counter_size = calc_counter_size(params.cutoff_max, params.counter_max)
+
+        info = DbInfo(
+            kmer_len=k,
+            counter_size=counter_size,
+            lut_prefix_len=lut_prefix_len,
+            signature_len=s1.signature_len,
+            cutoff_min=params.cutoff_min,
+            cutoff_max=params.cutoff_max,
+            both_strands=s1.canonical_kmers,
+            n_bins=self._n_used_bins,
+        )
+        writer = None
+        if not params.without_output:
+            writer = Kmc2DbWriter(params.output_file_name, info, self._sig_map)
+
+        for b in range(self._n_used_bins):
+            parts = self._buckets[b]
+            total = int(self._bucket_rows[b])
+            if total == 0:
+                continue
+            P = max(1024, 1 << (total - 1).bit_length())
+            words = np.full((P, W), 0xFFFFFFFF, dtype=np.uint32)
+            counts = np.zeros(P, dtype=np.uint32)
+            pos = 0
+            for w, c in parts:
+                words[pos : pos + len(w)] = w
+                counts[pos : pos + len(c)] = c
+                pos += len(w)
+            kept_words, kept_counts, n_kept, stats = merge_count_bin(
+                words,
+                counts,
+                cutoff_min=params.cutoff_min,
+                cutoff_max=params.cutoff_max,
+                counter_max=params.counter_max,
+            )
+            n = int(n_kept)
+            kw = np.asarray(kept_words[:n])
+            kc = np.asarray(kept_counts[:n])
+            n_unique, n_below, n_above = (int(x) for x in stats)
+            results.n_unique_kmers += n_unique
+            results.n_below_cutoff_min += n_below
+            results.n_above_cutoff_max += n_above
+            results.n_total_kmers += int(self._bucket_occurrences[b])
+            if writer is not None:
+                kmer_bytes = words_to_kmer_bytes(kw, k)
+                writer.put_bin(
+                    b,
+                    kmer_bytes,
+                    kc,
+                    stats={
+                        "n_unique": n_unique,
+                        "n_below_min": n_below,
+                        "n_above_max": n_above,
+                        "n_total": int(self._bucket_occurrences[b]),
+                    },
+                )
+            self._buckets[b] = None  # free as we go
+        if writer is not None:
+            writer.close()
+
+    def _run_stage2_small_k(self, params: Stage2Params, results: Stage2Results):
+        s1 = self._s1
+        k = s1.kmer_len
+        hist = self._smallk_hist
+        nonzero = np.flatnonzero(hist)
+        cnts = hist[nonzero]
+        results.n_unique_kmers = len(nonzero)
+        results.n_total_kmers = int(cnts.sum())
+        below = cnts < params.cutoff_min
+        above = cnts > params.cutoff_max
+        results.n_below_cutoff_min = int(below.sum())
+        results.n_above_cutoff_max = int(above.sum())
+        keep = ~below & ~above
+        kmers_int = nonzero[keep].astype(np.uint64)
+        counts = np.minimum(cnts[keep], params.counter_max).astype(np.uint32)
+
+        counter_size = calc_counter_size(params.cutoff_max, params.counter_max)
+        lut_prefix_len = pick_lut_prefix_len(k, 1, len(kmers_int), kmc1=True)
+        if not params.without_output:
+            kb = (k + 3) // 4
+            kmer_bytes = np.zeros((len(kmers_int), kb), dtype=np.uint8)
+            v = kmers_int.copy()
+            for j in range(kb - 1, -1, -1):
+                kmer_bytes[:, j] = (v & np.uint64(0xFF)).astype(np.uint8)
+                v >>= np.uint64(8)
+            info = DbInfo(
+                kmer_len=k,
+                counter_size=counter_size,
+                lut_prefix_len=lut_prefix_len,
+                cutoff_min=params.cutoff_min,
+                cutoff_max=params.cutoff_max,
+                both_strands=s1.canonical_kmers,
+                version=0,
+            )
+            write_kmc1_db(params.output_file_name, info, kmer_bytes, counts)
+
+
+def words_to_kmer_bytes(words: np.ndarray, k: int) -> np.ndarray:
+    """(N, W) uint32 MSW-first lanes -> (N, KB) right-aligned big-endian bytes."""
+    n, W = words.shape
+    kb = (k + 3) // 4
+    b = np.ascontiguousarray(words).astype(">u4").view(np.uint8).reshape(n, 4 * W)
+    return np.ascontiguousarray(b[:, 4 * W - kb :])
+
+
+def count(
+    input_files,
+    output_file_name: str,
+    k: int = defs.DEFAULT_K,
+    **kwargs,
+):
+    """One-call convenience API: returns (Stage1Results, Stage2Results)."""
+    s1_keys = set(Stage1Params.__dataclass_fields__)
+    s2_keys = set(Stage2Params.__dataclass_fields__)
+    p1 = Stage1Params(input_files=list(input_files), kmer_len=k)
+    p2 = Stage2Params(output_file_name=output_file_name)
+    for key, value in kwargs.items():
+        if key in s1_keys:
+            setattr(p1, key, value)
+        elif key in s2_keys:
+            setattr(p2, key, value)
+        else:
+            raise TypeError(f"unknown parameter {key}")
+    r = Runner()
+    res1 = r.run_stage1(p1)
+    res2 = r.run_stage2(p2)
+    return res1, res2

@@ -1,0 +1,155 @@
+"""End-to-end differential tests: full pipeline vs the trivial oracle
+(mirrors the reference's golden-dump strategy, SURVEY.md §4)."""
+import numpy as np
+import pytest
+
+from kmc_tpu import oracle
+from kmc_tpu.formats import dump_db_file, read_db
+from kmc_tpu.runner import InputFileType, count
+
+from util import random_reads, write_fasta, write_fastq, write_fastq_gz
+
+
+def run_and_compare(tmp_path, reads, k, fmt="fastq", write=None, **kwargs):
+    write = write or write_fastq
+    inp = write(tmp_path / "in.fastq", reads)
+    out = str(tmp_path / "out")
+    oracle_kwargs = dict(
+        both_strands=kwargs.get("canonical_kmers", True),
+        cutoff_min=kwargs.get("cutoff_min", 2),
+        cutoff_max=kwargs.get("cutoff_max", 10**9),
+        counter_max=kwargs.get("counter_max", 255),
+        homopolymer_compressed=kwargs.get("homopolymer_compressed", False),
+    )
+    res1, res2 = count([inp], out, k=k, batch_positions=1 << 12, **kwargs)
+    counts = oracle.count_kmers(
+        reads, k, oracle_kwargs["both_strands"], oracle_kwargs["homopolymer_compressed"]
+    )
+    records, stats = oracle.apply_cutoffs(
+        counts, oracle_kwargs["cutoff_min"], oracle_kwargs["cutoff_max"],
+        oracle_kwargs["counter_max"],
+    )
+    expect = oracle.dump_text(records)
+    got = dump_db_file(out)
+    assert got == expect
+    assert res2.n_unique_kmers == stats["n_unique"]
+    assert res2.n_below_cutoff_min == stats["n_below_min"]
+    assert res2.n_above_cutoff_max == stats["n_above_max"]
+    assert res2.n_total_kmers == stats["n_total"]
+    return res1, res2
+
+
+@pytest.mark.parametrize("k", [15, 16, 17, 27, 31, 32, 33])
+def test_basic_k_sweep(tmp_path, k):
+    reads = random_reads(60, 80, seed=k)
+    run_and_compare(tmp_path, reads, k, cutoff_min=1)
+
+
+@pytest.mark.parametrize("k", [63, 64, 65, 127, 128, 255, 256])
+def test_large_k(tmp_path, k):
+    reads = random_reads(20, 300, seed=k, genome_len=2000)
+    run_and_compare(tmp_path, reads, k, cutoff_min=1)
+
+
+def test_cutoffs_and_counter_max(tmp_path):
+    reads = random_reads(200, 60, seed=7, genome_len=500)
+    run_and_compare(tmp_path, reads, 21, cutoff_min=2, cutoff_max=50, counter_max=10)
+
+
+def test_counter_max_one_no_counters(tmp_path):
+    # cs=1 -> counter_size 0, existence-only db (reference defs.h:154-158)
+    reads = random_reads(50, 60, seed=8)
+    inp = write_fastq(tmp_path / "in.fastq", reads)
+    out = str(tmp_path / "out")
+    count([inp], out, k=21, cutoff_min=1, counter_max=1, batch_positions=1 << 12)
+    db = read_db(out)
+    assert db.info.counter_size == 0
+    counts = oracle.count_kmers(reads, 21)
+    assert db.info.n_unique_stored == len(counts)
+    got = dump_db_file(out)
+    expect = oracle.dump_text(sorted((km, 1) for km in counts))
+    assert got == expect
+
+
+def test_single_strand_mode(tmp_path):
+    reads = random_reads(60, 70, seed=9)
+    run_and_compare(tmp_path, reads, 25, cutoff_min=1, canonical_kmers=False)
+
+
+def test_reads_with_n(tmp_path):
+    reads = random_reads(80, 70, seed=10, n_prob=0.05)
+    run_and_compare(tmp_path, reads, 21, cutoff_min=1)
+
+
+def test_fasta_input(tmp_path):
+    reads = random_reads(40, 90, seed=11)
+    run_and_compare(
+        tmp_path, reads, 25, cutoff_min=1,
+        write=write_fasta, input_file_type=InputFileType.FASTA,
+    )
+
+
+def test_multiline_fasta_input(tmp_path):
+    reads = random_reads(20, 200, seed=12)
+    run_and_compare(
+        tmp_path, reads, 25, cutoff_min=1,
+        write=lambda p, r: write_fasta(p, r, line_width=60),
+        input_file_type=InputFileType.MULTILINE_FASTA,
+    )
+
+
+def test_gzip_input(tmp_path):
+    reads = random_reads(50, 80, seed=13)
+    run_and_compare(
+        tmp_path, reads, 25, cutoff_min=1,
+        write=lambda p, r: write_fastq_gz(str(p) + ".gz", r),
+    )
+
+
+def test_multiple_input_files(tmp_path):
+    reads1 = random_reads(30, 70, seed=14)
+    reads2 = random_reads(30, 70, seed=15)
+    inp1 = write_fastq(tmp_path / "a.fastq", reads1)
+    inp2 = write_fastq(tmp_path / "b.fastq", reads2)
+    out = str(tmp_path / "out")
+    _, res2 = count([inp1, inp2], out, k=21, cutoff_min=1, batch_positions=1 << 12)
+    counts = oracle.count_kmers(reads1 + reads2, 21)
+    records, stats = oracle.apply_cutoffs(counts, 1, 10**9, 255)
+    assert dump_db_file(out) == oracle.dump_text(records)
+    assert res2.n_unique_kmers == stats["n_unique"]
+
+
+@pytest.mark.parametrize("k", [1, 2, 5, 9, 13])
+def test_small_k(tmp_path, k):
+    reads = random_reads(50, 50, seed=16 + k, genome_len=300)
+    res1, _ = run_and_compare(tmp_path, reads, k, cutoff_min=1)
+    assert res1.was_small_k_opt_used
+
+
+def test_small_k_single_strand(tmp_path):
+    reads = random_reads(40, 50, seed=30)
+    run_and_compare(tmp_path, reads, 7, cutoff_min=1, canonical_kmers=False)
+
+
+def test_homopolymer_compression(tmp_path):
+    reads = ["AAACCCGGGTTTAAACGT" * 5, "ACGTACGT" * 10, "AAAAAAAAAAAAAAAAAAAACGT"]
+    run_and_compare(tmp_path, reads, 15, cutoff_min=1, homopolymer_compressed=True)
+
+
+def test_batch_boundary_exactness(tmp_path):
+    # reads crossing many small batch boundaries are still counted once
+    reads = random_reads(200, 120, seed=17, genome_len=800)
+    inp = write_fastq(tmp_path / "in.fastq", reads)
+    out = str(tmp_path / "out")
+    count([inp], out, k=31, cutoff_min=1, batch_positions=256)
+    counts = oracle.count_kmers(reads, 31)
+    records, _ = oracle.apply_cutoffs(counts, 1, 10**9, 255)
+    assert dump_db_file(out) == oracle.dump_text(records)
+
+
+def test_n_reads_counting(tmp_path):
+    reads = random_reads(37, 60, seed=18)
+    inp = write_fastq(tmp_path / "in.fastq", reads)
+    out = str(tmp_path / "out")
+    res1, _ = count([inp], out, k=21, cutoff_min=1, batch_positions=1 << 12)
+    assert res1.n_sequences == 37
