@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end k-mer counting throughput on the real TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (the reference's default operating point, k=27 variant of
+BASELINE.json config #1): synthetic 30x-coverage 150bp reads over a random
+genome, FASTQ on local disk -> full pipeline (host parse + device count +
+KMC2 database write).  vs_baseline compares against reference KMC3
+throughput measured on this host if BASELINE_MEASURED.json exists
+(see tools/measure_reference.py), else 1.0.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+GENOME_LEN = int(os.environ.get("KMC_TPU_BENCH_GENOME", 1 << 23))  # 8 Mbp
+COVERAGE = int(os.environ.get("KMC_TPU_BENCH_COVERAGE", 30))
+READ_LEN = 150
+K = 27
+CACHE = Path(os.environ.get("KMC_TPU_BENCH_CACHE", "/tmp/kmc_tpu_bench"))
+
+
+def prepare_input() -> Path:
+    CACHE.mkdir(parents=True, exist_ok=True)
+    fq = CACHE / f"reads_{GENOME_LEN}_{COVERAGE}.fastq"
+    if fq.exists():
+        return fq
+    rng = np.random.default_rng(0)
+    genome = rng.integers(0, 4, GENOME_LEN).astype(np.uint8)
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n_reads = GENOME_LEN * COVERAGE // READ_LEN
+    starts = rng.integers(0, GENOME_LEN - READ_LEN, n_reads)
+    qual = b"I" * READ_LEN
+    with open(fq, "wb") as f:
+        # vectorized record assembly in blocks
+        block = 1 << 16
+        for lo in range(0, n_reads, block):
+            hi = min(lo + block, n_reads)
+            idx = starts[lo:hi, None] + np.arange(READ_LEN)[None, :]
+            seqs = acgt[genome[idx]]
+            out = []
+            for i, s in enumerate(seqs, start=lo):
+                out.append(b"@r%d\n%s\n+\n%s\n" % (i, s.tobytes(), qual))
+            f.write(b"".join(out))
+    return fq
+
+
+def main():
+    fq = prepare_input()
+    from kmc_tpu.runner import count
+
+    out_db = str(CACHE / "bench_out")
+    # warm-up: compile all kernels on a tiny slice so the measured run is
+    # steady-state (first XLA compile is ~30-60s on this setup)
+    warm = CACHE / "warm.fastq"
+    if not warm.exists():
+        with open(fq, "rb") as f:
+            head = f.read(1 << 20)
+        head = head[: head.rfind(b"\n@")] if b"\n@" in head else head
+        warm.write_bytes(head + b"\n")
+    count([str(warm)], str(CACHE / "warm_out"), k=K, cutoff_min=2)
+
+    t0 = time.perf_counter()
+    res1, res2 = count([str(fq)], out_db, k=K, cutoff_min=2)
+    elapsed = time.perf_counter() - t0
+
+    kmers_per_sec = res2.n_total_kmers / elapsed
+
+    vs_baseline = 1.0
+    baseline_file = Path(__file__).parent / "BASELINE_MEASURED.json"
+    if baseline_file.exists():
+        ref = json.loads(baseline_file.read_text())
+        ref_rate = ref.get("ref_kmers_per_sec")
+        if ref_rate:
+            vs_baseline = kmers_per_sec / ref_rate
+
+    print(
+        json.dumps(
+            {
+                "metric": "kmer_count_throughput_k27_30x",
+                "value": round(kmers_per_sec, 1),
+                "unit": "kmers/sec",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+    print(
+        f"# total_kmers={res2.n_total_kmers} unique={res2.n_unique_kmers} "
+        f"elapsed={elapsed:.2f}s stage1={res1.time:.2f}s stage2={res2.time:.2f}s",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,256 @@
+"""Random-access / listing API over KMC databases.
+
+Mirrors the reference kmc_api surface (CKMCFile / CKmerAPI,
+/root/reference/kmc_api/kmc_file.h:34-235, kmer_api.h:23) with the same
+method names as py_kmc_api (py_kmc_api/py_kmc_api.cpp:27-98), plus
+vectorized batch variants (the TPU-native extra: queries are array ops, not
+per-k-mer calls).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .formats.kmc_db import KmcDb, kmers_bytes_to_strings, read_db, sorted_records
+from .io.readers import CODE_LUT
+from .signatures import kmer_signatures_numpy
+
+
+def _canonicalize_codes(codes: np.ndarray) -> np.ndarray:
+    rc = (3 - codes)[::-1]
+    for a, b in zip(codes, rc):
+        if a != b:
+            return codes if a < b else rc
+    return codes
+
+
+def _codes_to_bytes(codes: np.ndarray) -> np.ndarray:
+    """2-bit pack a single k-mer's codes into right-aligned big-endian bytes."""
+    k = len(codes)
+    kb = (k + 3) // 4
+    padded = np.concatenate([np.zeros(kb * 4 - k, np.uint8), codes.astype(np.uint8)])
+    b = (
+        (padded[0::4] << 6) | (padded[1::4] << 4) | (padded[2::4] << 2) | padded[3::4]
+    ).astype(np.uint8)
+    return b
+
+
+class KmerAPI:
+    """K-mer value object (reference CKmerAPI, kmc_api/kmer_api.h:23)."""
+
+    def __init__(self, kmer_len: int = 1):
+        self.kmer_len = kmer_len
+        self.codes = np.zeros(kmer_len, dtype=np.uint8)
+
+    def from_string(self, s: str) -> bool:
+        codes = CODE_LUT[np.frombuffer(s.encode(), dtype=np.uint8)]
+        if (codes >= 4).any():
+            return False
+        self.kmer_len = len(s)
+        self.codes = codes
+        return True
+
+    def to_string(self) -> str:
+        return "".join("ACGT"[c] for c in self.codes)
+
+    def reverse(self):
+        """In-place reverse complement (kmer_api.h reverse())."""
+        self.codes = (3 - self.codes)[::-1]
+
+    def __str__(self):
+        return self.to_string()
+
+
+class KMCFileInfo:
+    """Mirror of CKMCFileInfo (py_kmc_api)."""
+
+    def __init__(self, info, total_kmers):
+        self.kmer_length = info.kmer_len
+        self.mode = info.mode
+        self.counter_size = info.counter_size
+        self.lut_prefix_length = info.lut_prefix_len
+        self.signature_len = info.signature_len
+        self.min_count = info.cutoff_min
+        self.max_count = info.cutoff_max
+        self.both_strands = info.both_strands
+        self.total_kmers = total_kmers
+
+
+class KMCFile:
+    """KMC database reader (reference CKMCFile).
+
+    Both open modes load the (small) prefix structures and expose the same
+    query surface; listing streams in sorted order.
+    """
+
+    def __init__(self):
+        self._db: KmcDb | None = None
+        self._kmers = None  # (N, KB) sorted
+        self._counts = None
+        self._pos = 0
+        self._min_count = 1
+        self._max_count = (1 << 32) - 1
+
+    # -- opening ----------------------------------------------------------
+    def OpenForRA(self, path: str) -> bool:
+        return self._open(path)
+
+    def OpenForListing(self, path: str) -> bool:
+        return self._open(path)
+
+    def _open(self, path: str) -> bool:
+        try:
+            self._db = read_db(path)
+        except (OSError, ValueError):
+            return False
+        self._kmers, self._counts = sorted_records(self._db)
+        self._pos = 0
+        self._min_count = self._db.info.cutoff_min
+        self._max_count = self._db.info.cutoff_max
+        return True
+
+    def Close(self) -> bool:
+        ok = self._db is not None
+        self._db = None
+        self._kmers = self._counts = None
+        return ok
+
+    # -- info -------------------------------------------------------------
+    def Info(self) -> KMCFileInfo:
+        return KMCFileInfo(self._db.info, len(self._kmers))
+
+    def KmerLength(self) -> int:
+        return self._db.info.kmer_len
+
+    def KmerCount(self) -> int:
+        mask = (self._counts >= self._min_count) & (self._counts <= self._max_count)
+        return int(mask.sum())
+
+    # -- counter filtering (kmc_file.h SetMinCount/SetMaxCount) -----------
+    def SetMinCount(self, c: int) -> bool:
+        self._min_count = c
+        return True
+
+    def SetMaxCount(self, c: int) -> bool:
+        self._max_count = c
+        return True
+
+    def GetMinCount(self) -> int:
+        return self._min_count
+
+    def GetMaxCount(self) -> int:
+        return self._max_count
+
+    def RestartListing(self) -> bool:
+        self._pos = 0
+        return True
+
+    # -- listing -----------------------------------------------------------
+    def ReadNextKmer(self, kmer: KmerAPI):
+        """Returns (ok, count); advances the listing cursor (skipping k-mers
+        outside [min_count, max_count] like the reference)."""
+        while self._pos < len(self._kmers):
+            i = self._pos
+            self._pos += 1
+            c = int(self._counts[i])
+            if self._min_count <= c <= self._max_count:
+                kmer.kmer_len = self._db.info.kmer_len
+                kmer.codes = _bytes_to_codes(self._kmers[i], kmer.kmer_len)
+                return True, c
+        return False, 0
+
+    # -- random access ------------------------------------------------------
+    def CheckKmer(self, kmer) -> tuple[bool, int]:
+        """Membership + counter for one k-mer (string or KmerAPI).
+
+        The reference routes through signature -> bin -> prefix LUT -> binary
+        search (kmc_file.cpp:1321); over the in-memory sorted array one
+        searchsorted is equivalent.
+        """
+        if isinstance(kmer, KmerAPI):
+            codes = kmer.codes
+        else:
+            codes = CODE_LUT[np.frombuffer(str(kmer).encode(), dtype=np.uint8)]
+        if (codes >= 4).any() or len(codes) != self._db.info.kmer_len:
+            return False, 0
+        if self._db.info.both_strands:
+            codes = _canonicalize_codes(codes)
+        row = _codes_to_bytes(codes)
+        idx = _searchsorted_rows(self._kmers, row[None, :])[0]
+        if idx < len(self._kmers) and (self._kmers[idx] == row).all():
+            c = int(self._counts[idx])
+            if self._min_count <= c <= self._max_count:
+                return True, c
+        return False, 0
+
+    def IsKmer(self, kmer) -> bool:
+        return self.CheckKmer(kmer)[0]
+
+    def GetCountersForRead(self, read: str) -> tuple[bool, list]:
+        """Counters for every k-mer of a read, 0 where absent or broken by
+        non-ACGT symbols (reference kmc_file.cpp:1193)."""
+        k = self._db.info.kmer_len
+        codes = CODE_LUT[np.frombuffer(read.upper().encode(), dtype=np.uint8)]
+        n = len(codes) - k + 1
+        if n <= 0:
+            return True, []
+        rows, valid = _batch_kmer_rows(codes, k, self._db.info.both_strands)
+        idx = _searchsorted_rows(self._kmers, rows)
+        idx_c = np.minimum(idx, len(self._kmers) - 1)
+        if len(self._kmers):
+            found = (self._kmers[idx_c] == rows).all(axis=1) & (idx < len(self._kmers))
+            counters = np.where(found & valid, self._counts[idx_c], 0)
+        else:
+            counters = np.zeros(n, np.uint32)
+        counters = np.where(
+            (counters >= self._min_count) & (counters <= self._max_count), counters, 0
+        )
+        return True, [int(c) for c in counters]
+
+
+def _bytes_to_codes(row: np.ndarray, k: int) -> np.ndarray:
+    kb = len(row)
+    codes = np.empty(kb * 4, dtype=np.uint8)
+    codes[0::4] = (row >> 6) & 3
+    codes[1::4] = (row >> 4) & 3
+    codes[2::4] = (row >> 2) & 3
+    codes[3::4] = row & 3
+    return codes[kb * 4 - k :]
+
+
+def _searchsorted_rows(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
+    """Vectorized lexicographic searchsorted over (N, KB) uint8 rows."""
+    kb = haystack.shape[1]
+    void_h = np.ascontiguousarray(haystack).view([("", np.uint8)] * kb).ravel()
+    void_n = np.ascontiguousarray(needles).view([("", np.uint8)] * kb).ravel()
+    return np.searchsorted(void_h, void_n)
+
+
+def _batch_kmer_rows(codes: np.ndarray, k: int, both_strands: bool):
+    """All k-mer rows of a read as (n, KB) bytes + validity mask."""
+    n = len(codes) - k + 1
+    valid = np.ones(n, dtype=bool)
+    bad = codes >= 4
+    cs = np.concatenate([[0], np.cumsum(bad)])
+    valid = (cs[k:] - cs[:-k]) == 0
+    c4 = np.minimum(codes, 3).astype(np.uint8)
+    windows = np.lib.stride_tricks.sliding_window_view(c4, k)
+    if both_strands:
+        rc = (3 - windows)[:, ::-1]
+        use_rc = np.zeros(n, dtype=bool)
+        decided = np.zeros(n, dtype=bool)
+        for j in range(k):
+            lt = rc[:, j] < windows[:, j]
+            gt = rc[:, j] > windows[:, j]
+            use_rc |= ~decided & lt
+            decided |= lt | gt
+        windows = np.where(use_rc[:, None], rc, windows)
+    kb = (k + 3) // 4
+    padded = np.zeros((n, kb * 4), dtype=np.uint8)
+    padded[:, kb * 4 - k :] = windows
+    rows = (
+        (padded[:, 0::4] << 6)
+        | (padded[:, 1::4] << 4)
+        | (padded[:, 2::4] << 2)
+        | padded[:, 3::4]
+    ).astype(np.uint8)
+    return rows, valid

@@ -1,0 +1,182 @@
+"""KFF v1.0 writer/reader, byte-compatible with the reference's output
+(/root/reference/kmc_core/kff_writer.{h,cpp}).
+
+Layout produced (all multi-byte integers big-endian):
+  "KFF" ver_major ver_minor encoding unique(1) canonical(1) free_size(u32)
+  'v' section: nb_vars(u64) then (name\\0 value:u64)* with k/max/data_size/ordered
+  'r' sections: nb_recs(u64) then records of (k+3)//4 k-mer bytes
+      (big-endian, right-aligned 2-bit) + data_size counter bytes (BE)
+  'i' index section: nb_sections, (type, offset-from-index-end)*, next_index
+  'v' footer: first_index/min_count/max_count/counter_size/footer_size
+  "KFF"
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+VER_MAJOR = 1
+VER_MINOR = 0
+DEFAULT_ENCODING = 0b00011011  # A=0 C=1 G=2 T=3
+
+
+def _be(x: int) -> bytes:
+    return struct.pack(">Q", x & 0xFFFFFFFFFFFFFFFF)
+
+
+class KffWriter:
+    def __init__(self, path: str, canonical: bool, k: int, counter_size: int,
+                 min_count: int, max_count: int, encoding: int = DEFAULT_ENCODING):
+        self.k = k
+        self.counter_size = counter_size
+        self.min_count = min_count
+        self.max_count = max_count
+        self._f = open(path, "wb")
+        self._index = []
+        self._pos = 0
+        self._write(b"KFF")
+        self._write(bytes([VER_MAJOR, VER_MINOR, encoding, 1, 1 if canonical else 0]))
+        self._write(struct.pack(">I", 0))  # free_size (u32, like the reference)
+        # variables section
+        self._index.append(self._pos)
+        self._write(b"v")
+        pairs = [(b"k", k), (b"max", 1), (b"data_size", counter_size), (b"ordered", 1)]
+        self._write(_be(len(pairs)))
+        for name, value in pairs:
+            self._write(name + b"\x00" + _be(value))
+
+    def _write(self, data: bytes):
+        self._f.write(data)
+        self._pos += len(data)
+
+    def store_section(self, kmers: np.ndarray, counts: np.ndarray):
+        """kmers: (N, (k+3)//4) uint8 right-aligned big-endian; counts uint32."""
+        self._index.append(self._pos)
+        self._write(b"r")
+        n = len(kmers)
+        self._write(_be(n))
+        if n:
+            rec = np.empty((n, kmers.shape[1] + self.counter_size), dtype=np.uint8)
+            rec[:, : kmers.shape[1]] = kmers
+            c = np.asarray(counts, dtype=np.uint64)
+            for j in range(self.counter_size):  # big-endian counter
+                shift = np.uint64(8 * (self.counter_size - 1 - j))
+                rec[:, kmers.shape[1] + j] = ((c >> shift) & np.uint64(0xFF)).astype(np.uint8)
+            data = rec.tobytes()
+            self._write(data)
+
+    def close(self):
+        nb_sections = len(self._index) + 1  # +1 footer
+        index_size = 1 + 8 + nb_sections * 9 + 8
+        index_start = self._pos
+        index_end = self._pos + index_size
+        self._write(b"i")
+        self._write(_be(nb_sections))
+        self._write(b"v" + struct.pack(">q", self._index[0] - index_end))
+        for off in self._index[1:]:
+            self._write(b"r" + struct.pack(">q", off - index_end))
+        self._write(b"v" + struct.pack(">q", 0))  # footer
+        self._write(struct.pack(">q", 0))  # next_index
+        footer = [
+            (b"first_index", index_start),
+            (b"min_count", self.min_count),
+            (b"max_count", self.max_count),
+            (b"counter_size", self.counter_size),
+        ]
+        footer_size = 1 + 8 + sum(len(n) + 1 + 8 for n, _ in footer)
+        footer_size += len(b"footer_size") + 1 + 8
+        footer.append((b"footer_size", footer_size))
+        self._write(b"v" + _be(len(footer)))
+        for name, value in footer:
+            self._write(name + b"\x00" + _be(value))
+        self._write(b"KFF")
+        self._f.close()
+
+
+@dataclass
+class KffData:
+    k: int
+    counter_size: int
+    canonical: bool
+    encoding: int
+    min_count: int = 1
+    max_count: int = 1 << 32
+    kmers: np.ndarray = None  # (N, (k+3)//4) uint8
+    counts: np.ndarray = None
+
+
+def read_kff(path: str) -> KffData:
+    """Read a KFF file with max=1 records (the shape the reference and this
+    framework produce; kmc_tools' KFF reader supports the same subset)."""
+    raw = open(path, "rb").read()
+    if raw[:3] != b"KFF" or raw[-3:] != b"KFF":
+        raise ValueError("bad KFF markers")
+    encoding = raw[5]
+    canonical = bool(raw[7])
+    pos = 8
+    (free_size,) = struct.unpack_from(">I", raw, pos)
+    pos += 4 + free_size
+    variables = {"max": 1, "data_size": 0, "k": 0}
+    kmer_chunks = []
+    count_chunks = []
+
+    def read_vars(pos):
+        (nb,) = struct.unpack_from(">Q", raw, pos)
+        pos += 8
+        for _ in range(nb):
+            end = raw.index(b"\x00", pos)
+            name = raw[pos:end].decode()
+            (val,) = struct.unpack_from(">Q", raw, end + 1)
+            variables[name] = val
+            pos = end + 9
+        return pos
+
+    while pos < len(raw) - 3:
+        sec = raw[pos : pos + 1]
+        pos += 1
+        if sec == b"v":
+            pos = read_vars(pos)
+        elif sec == b"r":
+            (nb,) = struct.unpack_from(">Q", raw, pos)
+            pos += 8
+            k = variables["k"]
+            max_per_block = variables.get("max", 1)
+            data_size = variables["data_size"]
+            if max_per_block != 1:
+                raise NotImplementedError("KFF max>1 blocks not supported")
+            kb = (k + 3) // 4
+            rec = kb + data_size
+            arr = np.frombuffer(raw, np.uint8, count=nb * rec, offset=pos).reshape(nb, rec)
+            kmer_chunks.append(arr[:, :kb])
+            c = np.zeros(nb, np.uint64)
+            for j in range(data_size):
+                c = (c << np.uint64(8)) | arr[:, kb + j].astype(np.uint64)
+            count_chunks.append(c.astype(np.uint32) if data_size else np.ones(nb, np.uint32))
+            pos += nb * rec
+        elif sec == b"i":
+            (nb,) = struct.unpack_from(">Q", raw, pos)
+            pos += 8 + nb * 9 + 8
+        elif sec == b"m":
+            raise NotImplementedError("KFF minimizer sections not supported")
+        else:
+            raise ValueError(f"unknown KFF section {sec!r} at {pos-1}")
+    k = variables["k"]
+    kb = (k + 3) // 4
+    kmers = (
+        np.concatenate(kmer_chunks) if kmer_chunks else np.zeros((0, kb), np.uint8)
+    )
+    counts = (
+        np.concatenate(count_chunks) if count_chunks else np.zeros(0, np.uint32)
+    )
+    return KffData(
+        k=k,
+        counter_size=variables["data_size"],
+        canonical=canonical,
+        encoding=encoding,
+        min_count=variables.get("min_count", 1),
+        max_count=variables.get("max_count", 1 << 32),
+        kmers=kmers.copy(),
+        counts=counts,
+    )

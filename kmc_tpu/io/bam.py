@@ -1,0 +1,98 @@
+"""BAM input: BGZF inflate + alignment-record decode -> code chunks.
+
+Semantics mirror the reference (splitter.cpp:329-420, fastq_reader.cpp:
+203-310): secondary (flag bit 8) and supplementary (bit 11) alignments are
+excluded; in single-strand mode reverse-complemented alignments (bit 4) are
+transformed back to the original read orientation; 4-bit sequence codes map
+1/2/4/8 -> A/C/G/T and everything else (incl. N=15) breaks k-mers.
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+
+from ..defs import CODE_INVALID
+
+# 4-bit BAM code -> 2-bit code (invalid = 4)
+NIBBLE_LUT = np.full(16, CODE_INVALID, dtype=np.uint8)
+NIBBLE_LUT[1] = 0  # A
+NIBBLE_LUT[2] = 1  # C
+NIBBLE_LUT[4] = 2  # G
+NIBBLE_LUT[8] = 3  # T
+# reverse-complement nibble decode (splitter.cpp rev_maping)
+NIBBLE_LUT_RC = np.full(16, CODE_INVALID, dtype=np.uint8)
+NIBBLE_LUT_RC[1] = 3
+NIBBLE_LUT_RC[2] = 2
+NIBBLE_LUT_RC[4] = 1
+NIBBLE_LUT_RC[8] = 0
+
+
+def bgzf_decompress(path: str) -> bytes:
+    """Inflate all BGZF members (a BAM is a concatenated-member gzip)."""
+    raw = open(path, "rb").read()
+    out = []
+    pos = 0
+    while pos < len(raw):
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(raw[pos:]))
+        consumed = len(raw) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return b"".join(out)
+
+
+def bam_code_chunks(path: str, both_strands: bool = True,
+                    chunk_reads: int = 65536) -> Iterator[tuple[np.ndarray, int]]:
+    """Yield (codes, n_reads) chunks; a CODE_INVALID separates reads."""
+    data = bgzf_decompress(path)
+    if data[:4] != b"BAM\x01":
+        raise ValueError("BAM magic missing")
+    (l_text,) = struct.unpack_from("<i", data, 4)
+    pos = 8 + l_text
+    (n_ref,) = struct.unpack_from("<i", data, pos)
+    pos += 4
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", data, pos)
+        pos += 4 + l_name + 4
+
+    buf = []
+    n_reads = 0
+    while pos < len(data):
+        (block_size,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        rec_end = pos + block_size
+        bin_mq_nl, flag_nc, l_seq = struct.unpack_from("<III", data, pos + 8)
+        l_read_name = bin_mq_nl & 0xFF
+        n_cigar_op = flag_nc & 0xFFFF
+        flags = flag_nc >> 16
+        exclude = bool((flags >> 8) & 1) or bool((flags >> 11) & 1)
+        seq_off = pos + 32 + l_read_name + 4 * n_cigar_op
+        if not exclude and l_seq > 0:
+            nb = (l_seq + 1) // 2
+            packed = np.frombuffer(data, np.uint8, count=nb, offset=seq_off)
+            nibbles = np.empty(nb * 2, np.uint8)
+            nibbles[0::2] = packed >> 4
+            nibbles[1::2] = packed & 15
+            nibbles = nibbles[:l_seq]
+            is_rc = bool((flags >> 4) & 1)
+            if not both_strands and is_rc:
+                codes = NIBBLE_LUT_RC[nibbles][::-1]
+            else:
+                codes = NIBBLE_LUT[nibbles]
+            buf.append(codes)
+            buf.append(np.full(1, CODE_INVALID, np.uint8))
+            n_reads += 1
+            if len(buf) >= 2 * chunk_reads:
+                yield np.concatenate(buf), n_reads
+                buf = []
+                n_reads = 0
+        pos = rec_end
+    if buf or n_reads:
+        yield (
+            np.concatenate(buf) if buf else np.zeros(0, np.uint8),
+            n_reads,
+        )

@@ -84,6 +84,11 @@ class Stage1Params:
     verbose: bool = False
     # TPU-specific: candidate k-mer positions per device batch
     batch_positions: int = 1 << 22
+    # TPU-specific: keep the k-mer store HBM-resident (spills to host RAM
+    # only when the unique set outgrows device_store_rows); False forces the
+    # host-staged per-bin bucket pipeline
+    device_store: bool = True
+    device_store_rows: int = 1 << 26
 
     def validate(self):
         if not (defs.MIN_K <= self.kmer_len <= defs.MAX_K):
@@ -142,6 +147,8 @@ class Runner:
     """Two-stage k-mer counter (reference kmc_runner.h:246-255)."""
 
     def __init__(self):
+        self._estimator = None
+        self._estimated_histogram = None
         self._s1: Optional[Stage1Params] = None
         self._buckets = None  # bin -> list[(words uint32 (n,W), counts uint32)]
         self._bucket_rows = None
@@ -161,11 +168,28 @@ class Runner:
 
         k = params.kmer_len
         self._small_k = k <= 13
-        if self._small_k:
+        self._estimator = None
+        if params.estimate_histogram_cfg != EstimateHistogramCfg.DONT_ESTIMATE:
+            if self._small_k:
+                raise ValueError(
+                    "histogram estimation not supported with small-k optimization"
+                )  # mirrors kmc.h:779-785
+            from .ops.nthash import NtCardEstimator
+
+            self._estimator = NtCardEstimator(k)
+        if params.estimate_histogram_cfg == EstimateHistogramCfg.ONLY_ESTIMATE:
+            for chunk, _ in self._chunks(params):
+                self._estimator.process_codes(chunk)
+            results.estimated_histogram = self._estimator.estimate_histogram()
+            self._estimated_histogram = results.estimated_histogram
+        elif self._small_k:
             self._run_stage1_small_k(params, results)
         else:
             self._run_stage0(params)
             self._run_stage1_bins(params, results)
+            if self._estimator is not None:
+                results.estimated_histogram = self._estimator.estimate_histogram()
+                self._estimated_histogram = results.estimated_histogram
 
         results.n_sequences = self._n_reads
         results.was_small_k_opt_used = self._small_k
@@ -175,12 +199,27 @@ class Runner:
     def _chunks(self, params: Stage1Params, max_bytes=None):
         state = ParseState()
         fmt = params.input_file_type.value
+        feed_estimator = (
+            max_bytes is None
+            and self._estimator is not None
+            and params.estimate_histogram_cfg == EstimateHistogramCfg.ESTIMATE_AND_COUNT_KMERS
+        )
         if fmt == "bam":
-            raise NotImplementedError("BAM input lands in a later milestone")
-        if fmt == "kmc":
-            raise NotImplementedError("KMC-database input lands in a later milestone")
+            from .io.bam import bam_code_chunks
+
+            def gen():
+                for path in params.input_files:
+                    for codes, n_reads in bam_code_chunks(path, params.canonical_kmers):
+                        state.n_reads += n_reads
+                        yield codes
+
+            source = gen()
+        elif fmt == "kmc":
+            source = self._kmc_db_chunks(params, state)
+        else:
+            source = file_code_stream(params.input_files, fmt, state, max_bytes=max_bytes)
         prev_last = -1
-        for chunk in file_code_stream(params.input_files, fmt, state, max_bytes=max_bytes):
+        for chunk in source:
             if params.homopolymer_compressed:
                 chunk = homopolymer_compress_codes(chunk)
                 # a run spanning the chunk boundary collapses to one code at
@@ -189,8 +228,34 @@ class Runner:
                     chunk = chunk[1:]
                 if len(chunk):
                     prev_last = int(chunk[-1])
+            if feed_estimator:
+                self._estimator.process_codes(chunk)
             yield chunk, state
         self._n_reads = state.n_reads
+
+    def _kmc_db_chunks(self, params: Stage1Params, state):
+        """-fkmc input: every k-mer stored in the database becomes one read
+        (counters ignored), matching CBinaryFilesReader::ProcessKMC
+        (binary_reader.h:238-305)."""
+        from .formats.kmc_db import read_db
+
+        for path in params.input_files:
+            db = read_db(path)
+            kmers = db.kmers_bytes()
+            k_in = db.info.kmer_len
+            block = 1 << 16
+            for lo in range(0, len(kmers), block):
+                rows = kmers[lo : lo + block]
+                n, kb = rows.shape
+                codes = np.empty((n, kb * 4), np.uint8)
+                codes[:, 0::4] = (rows >> 6) & 3
+                codes[:, 1::4] = (rows >> 4) & 3
+                codes[:, 2::4] = (rows >> 2) & 3
+                codes[:, 3::4] = rows & 3
+                out = np.full((n, k_in + 1), defs.CODE_INVALID, np.uint8)
+                out[:, :k_in] = codes[:, kb * 4 - k_in :]
+                state.n_reads += n
+                yield out.reshape(-1)
 
     def _run_stage0(self, params: Stage1Params):
         """Sampled signature histogram -> greedy signature->bin map."""
@@ -207,6 +272,33 @@ class Runner:
         self._n_used_bins = int(self._sig_map.max()) + 1
 
     def _run_stage1_bins(self, params: Stage1Params, results: Stage1Results):
+        if params.device_store:
+            self._run_stage1_device_store(params, results)
+        else:
+            self._run_stage1_host_buckets(params, results)
+
+    def _run_stage1_device_store(self, params: Stage1Params, results: Stage1Results):
+        """HBM-resident path: batch outputs never leave the device."""
+        from .ops.store import DeviceKmerStore
+
+        k, m = params.kmer_len, params.signature_len
+        s = params.batch_positions
+        W = (k + 15) // 16
+        bs = BatchStream(s, k)
+        store = DeviceKmerStore(
+            capacity_rows=max(params.device_store_rows, 2 * s),
+            kmer_words=W,
+            initial_rows=2 * s,
+        )
+        gen = (c for c, _ in self._chunks(params))
+        for batch in bs.batches(gen):
+            u_sig, u_words, counts, _ = stage1_batch(
+                batch, s=s, k=k, sig_len=m, both_strands=params.canonical_kmers
+            )
+            store.append(u_sig, u_words, counts)
+        self._store = store
+
+    def _run_stage1_host_buckets(self, params: Stage1Params, results: Stage1Results):
         k, m = params.kmer_len, params.signature_len
         s = params.batch_positions
         bs = BatchStream(s, k)
@@ -262,9 +354,9 @@ class Runner:
         if self._s1 is None:
             raise RuntimeError("run_stage1 first")
         t0 = time.perf_counter()
-        if params.output_file_type != OutputFileType.KMC:
-            raise NotImplementedError("KFF output lands in a later milestone")
         results = Stage2Results()
+        if self._s1.estimate_histogram_cfg == EstimateHistogramCfg.ONLY_ESTIMATE:
+            return results  # kmc.h:1411-1412: stage 2 is a no-op when -e
         if self._small_k:
             self._run_stage2_small_k(params, results)
         else:
@@ -273,16 +365,24 @@ class Runner:
         return results
 
     def _run_stage2_bins(self, params: Stage2Params, results: Stage2Results):
+        if self._s1.device_store:
+            self._run_stage2_device_store(params, results)
+        else:
+            self._run_stage2_host_buckets(params, results)
+
+    def _make_db_info(self, params: Stage2Params) -> DbInfo:
         s1 = self._s1
         k = s1.kmer_len
-        W = (k + 15) // 16
-        kb = (k + 3) // 4
-
-        n_est_unique = 4 * self._n_reads  # reference heuristic kmc.h:1436
+        if self._estimated_histogram:
+            # estimated count of unique k-mers within cutoffs (kmc.h:1437-1446)
+            hist = self._estimated_histogram
+            end = min(params.cutoff_max + 1, len(hist))
+            n_est_unique = sum(hist[params.cutoff_min : end])
+        else:
+            n_est_unique = 4 * self._n_reads  # reference heuristic kmc.h:1436
         lut_prefix_len = pick_lut_prefix_len(k, self._n_used_bins, n_est_unique)
         counter_size = calc_counter_size(params.cutoff_max, params.counter_max)
-
-        info = DbInfo(
+        return DbInfo(
             kmer_len=k,
             counter_size=counter_size,
             lut_prefix_len=lut_prefix_len,
@@ -292,9 +392,87 @@ class Runner:
             both_strands=s1.canonical_kmers,
             n_bins=self._n_used_bins,
         )
+
+    def _run_stage2_device_store(self, params: Stage2Params, results: Stage2Results):
+        s1 = self._s1
+        k = s1.kmer_len
+        store = self._store
+        n_total = store.total_occurrences()
+        bins, words, counts, (n_unique, n_below, n_above) = store.finalize(
+            self._sig_map,
+            cutoff_min=params.cutoff_min,
+            cutoff_max=params.cutoff_max,
+            counter_max=params.counter_max,
+        )
+        self._store = None
+        results.n_unique_kmers = n_unique
+        results.n_below_cutoff_min = n_below
+        results.n_above_cutoff_max = n_above
+        results.n_total_kmers = n_total
+
+        if params.without_output:
+            return
+        bounds = np.searchsorted(bins, np.arange(self._n_used_bins + 1))
+        kmer_bytes = words_to_kmer_bytes(words, k)
+        if params.output_file_type == OutputFileType.KFF:
+            self._write_kff(params, kmer_bytes, counts, bounds)
+            return
+        info = self._make_db_info(params)
+        writer = Kmc2DbWriter(params.output_file_name, info, self._sig_map)
+        writer.n_unique = n_unique
+        writer.n_below_min = n_below
+        writer.n_above_max = n_above
+        writer.n_total = n_total
+        for b in range(self._n_used_bins):
+            lo, hi = bounds[b], bounds[b + 1]
+            if lo < hi:
+                writer.put_bin(b, kmer_bytes[lo:hi], counts[lo:hi])
+        writer.close()
+
+    def _write_kff(self, params: Stage2Params, kmer_bytes, counts, bounds):
+        """KFF output: one raw section per non-empty bin, mirroring the
+        reference completer's KFF path (kb_completer.cpp:172-177)."""
+        from .formats.kff import KffWriter
+
+        s1 = self._s1
+        counter_size = calc_counter_size(params.cutoff_max, params.counter_max)
+        w = KffWriter(
+            params.output_file_name + ".kff",
+            canonical=s1.canonical_kmers,
+            k=s1.kmer_len,
+            counter_size=counter_size,
+            min_count=params.cutoff_min,
+            max_count=params.cutoff_max,
+        )
+        for b in range(self._n_used_bins):
+            lo, hi = bounds[b], bounds[b + 1]
+            if lo < hi:
+                w.store_section(kmer_bytes[lo:hi], counts[lo:hi])
+        w.close()
+
+    def _run_stage2_host_buckets(self, params: Stage2Params, results: Stage2Results):
+        s1 = self._s1
+        k = s1.kmer_len
+        W = (k + 15) // 16
+        kb = (k + 3) // 4
+
+        info = self._make_db_info(params)
         writer = None
+        kff_writer = None
         if not params.without_output:
-            writer = Kmc2DbWriter(params.output_file_name, info, self._sig_map)
+            if params.output_file_type == OutputFileType.KFF:
+                from .formats.kff import KffWriter
+
+                kff_writer = KffWriter(
+                    params.output_file_name + ".kff",
+                    canonical=s1.canonical_kmers,
+                    k=k,
+                    counter_size=info.counter_size,
+                    min_count=params.cutoff_min,
+                    max_count=params.cutoff_max,
+                )
+            else:
+                writer = Kmc2DbWriter(params.output_file_name, info, self._sig_map)
 
         for b in range(self._n_used_bins):
             parts = self._buckets[b]
@@ -337,9 +515,13 @@ class Runner:
                         "n_total": int(self._bucket_occurrences[b]),
                     },
                 )
+            elif kff_writer is not None:
+                kff_writer.store_section(words_to_kmer_bytes(kw, k), kc)
             self._buckets[b] = None  # free as we go
         if writer is not None:
             writer.close()
+        if kff_writer is not None:
+            kff_writer.close()
 
     def _run_stage2_small_k(self, params: Stage2Params, results: Stage2Results):
         s1 = self._s1
@@ -366,6 +548,20 @@ class Runner:
             for j in range(kb - 1, -1, -1):
                 kmer_bytes[:, j] = (v & np.uint64(0xFF)).astype(np.uint8)
                 v >>= np.uint64(8)
+            if params.output_file_type == OutputFileType.KFF:
+                from .formats.kff import KffWriter
+
+                w = KffWriter(
+                    params.output_file_name + ".kff",
+                    canonical=s1.canonical_kmers,
+                    k=k,
+                    counter_size=counter_size,
+                    min_count=params.cutoff_min,
+                    max_count=params.cutoff_max,
+                )
+                w.store_section(kmer_bytes, counts)
+                w.close()
+                return
             info = DbInfo(
                 kmer_len=k,
                 counter_size=counter_size,

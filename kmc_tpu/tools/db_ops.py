@@ -1,0 +1,270 @@
+"""Database algebra: kmc_tools equivalents on sorted record arrays.
+
+Reimplements the reference's sorted-stream merge operations
+(/root/reference/kmc_tools/operations.h) as vectorized NumPy over whole
+record arrays (these ops are I/O-bound; the counting engine is the TPU
+path).  Counter combination modes follow CounterOpType semantics
+(operations.h:36-61): MIN/MAX/SUM/DIFF/FROM_DB1/FROM_DB2, with DIFF
+dropping k-mers whose first counter does not exceed the second.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..defs import calc_counter_size
+from ..formats.kmc_db import DbInfo, KmcDb, read_db, sorted_records, write_kmc1_db
+
+
+def load_sorted(path_prefix: str):
+    """(info, kmers (N,KB) uint8, counts uint32) in global k-mer order."""
+    db = read_db(path_prefix)
+    kmers, counts = sorted_records(db)
+    return db.info, kmers, counts
+
+
+def _lexsort_rows(kmers: np.ndarray) -> np.ndarray:
+    return np.lexsort(tuple(kmers[:, j] for j in range(kmers.shape[1] - 1, -1, -1)))
+
+
+def _row_equal_prev(kmers: np.ndarray) -> np.ndarray:
+    eq = np.ones(len(kmers), dtype=bool)
+    eq[0] = False
+    eq[1:] = (kmers[1:] == kmers[:-1]).all(axis=1)
+    return eq
+
+
+@dataclass
+class OutputParams:
+    """Output database parameters (kmc_tools per-output -ci/-cx/-cs)."""
+
+    cutoff_min: int = 1
+    cutoff_max: int = 1_000_000_000
+    counter_max: int = 255
+
+    def apply(self, kmers, counts):
+        counts = np.asarray(counts, dtype=np.uint64)
+        keep = (counts >= self.cutoff_min) & (counts <= self.cutoff_max)
+        return kmers[keep], np.minimum(counts[keep], self.counter_max).astype(np.uint32)
+
+
+def _aligned_merge(k1, c1, k2, c2):
+    """Align two sorted unique record sets on the union of k-mers.
+
+    Returns (kmers, a1, a2, in1, in2): counters aligned to the merged key
+    set, with membership masks."""
+    n1, n2 = len(k1), len(k2)
+    if k1.shape[1] != k2.shape[1]:
+        raise ValueError("k-mer length mismatch between databases")
+    if n1 + n2 == 0:
+        kb = k1.shape[1]
+        z = np.zeros(0)
+        return np.zeros((0, kb), np.uint8), z.astype(np.uint64), z.astype(np.uint64), z.astype(bool), z.astype(bool)
+    allk = np.concatenate([k1, k2])
+    src = np.concatenate([np.zeros(n1, np.int8), np.ones(n2, np.int8)])
+    cnt = np.concatenate([c1.astype(np.uint64), c2.astype(np.uint64)])
+    order = _lexsort_rows(allk)
+    allk, src, cnt = allk[order], src[order], cnt[order]
+    dup = _row_equal_prev(allk)
+    # rows come from unique sets, so a group is 1 or 2 rows (db1 sorts first
+    # only by stable lexsort order — rely on masks instead)
+    heads = ~dup
+    gid = np.cumsum(heads) - 1
+    n_groups = int(gid[-1]) + 1 if len(gid) else 0
+    a1 = np.zeros(n_groups, np.uint64)
+    a2 = np.zeros(n_groups, np.uint64)
+    in1 = np.zeros(n_groups, bool)
+    in2 = np.zeros(n_groups, bool)
+    m1 = src == 0
+    a1[gid[m1]] = cnt[m1]
+    in1[gid[m1]] = True
+    a2[gid[~m1]] = cnt[~m1]
+    in2[gid[~m1]] = True
+    return allk[heads], a1, a2, in1, in2
+
+
+def _combine(a1, a2, mode: str):
+    mode = mode.lower()
+    if mode == "min":
+        return np.minimum(a1, a2)
+    if mode == "max":
+        return np.maximum(a1, a2)
+    if mode == "sum":
+        return a1 + a2
+    if mode == "diff":
+        return np.where(a1 > a2, a1 - a2, 0)
+    if mode in ("left", "from_db1"):
+        return a1
+    if mode in ("right", "from_db2"):
+        return a2
+    raise ValueError(f"unknown counter mode {mode}")
+
+
+def op_union(k1, c1, k2, c2, mode: str = "sum"):
+    kk, a1, a2, in1, in2 = _aligned_merge(k1, c1, k2, c2)
+    both = in1 & in2
+    counts = np.where(both, _combine(a1, a2, mode), np.where(in1, a1, a2))
+    keep = counts > 0
+    return kk[keep], counts[keep]
+
+
+def op_intersect(k1, c1, k2, c2, mode: str = "min"):
+    kk, a1, a2, in1, in2 = _aligned_merge(k1, c1, k2, c2)
+    both = in1 & in2
+    counts = _combine(a1, a2, mode)
+    keep = both & (counts > 0)
+    return kk[keep], counts[keep]
+
+
+def op_kmers_subtract(k1, c1, k2, c2):
+    kk, a1, a2, in1, in2 = _aligned_merge(k1, c1, k2, c2)
+    keep = in1 & ~in2
+    return kk[keep], a1[keep]
+
+
+def op_counters_subtract(k1, c1, k2, c2, mode: str = "diff"):
+    kk, a1, a2, in1, in2 = _aligned_merge(k1, c1, k2, c2)
+    both = in1 & in2
+    counts = np.where(both, _combine(a1, a2, mode), a1)
+    keep = in1 & (counts > 0)
+    return kk[keep], counts[keep]
+
+
+SIMPLE_OPS = {
+    "union": op_union,
+    "intersect": op_intersect,
+    "kmers_subtract": op_kmers_subtract,
+    "counters_subtract": op_counters_subtract,
+    "reverse_kmers_subtract": lambda k1, c1, k2, c2: op_kmers_subtract(k2, c2, k1, c1),
+    "reverse_counters_subtract": lambda k1, c1, k2, c2, mode="diff": op_counters_subtract(
+        k2, c2, k1, c1, mode
+    ),
+}
+
+DEFAULT_COUNTER_MODE = {
+    # reference defaults, kmc_tools/config.h:99-108
+    "union": "sum",
+    "intersect": "min",
+    "counters_subtract": "diff",
+    "reverse_counters_subtract": "diff",
+}
+
+
+def run_simple_op(op: str, db1: str, db2: str, out: str, mode: str | None = None,
+                  out_params: OutputParams | None = None):
+    info1, k1, c1 = load_sorted(db1)
+    info2, k2, c2 = load_sorted(db2)
+    if info1.kmer_len != info2.kmer_len:
+        raise ValueError(
+            f"k-mer length mismatch: {info1.kmer_len} vs {info2.kmer_len}"
+        )
+    fn = SIMPLE_OPS[op]
+    if op in DEFAULT_COUNTER_MODE:
+        kmers, counts = fn(k1, c1, k2, c2, mode or DEFAULT_COUNTER_MODE[op])
+    else:
+        kmers, counts = fn(k1, c1, k2, c2)
+    out_params = out_params or OutputParams()
+    kmers, counts = out_params.apply(kmers, counts)
+    write_sorted_db(out, info1.kmer_len, kmers, counts, out_params)
+    return len(kmers)
+
+
+def write_sorted_db(path_prefix: str, k: int, kmers, counts,
+                    out_params: OutputParams, both_strands: bool = True):
+    """Write globally sorted records as a KMC1 database (what kmc_tools
+    produces for transform/simple outputs, kmc1_db_writer.h:55)."""
+    counter_size = calc_counter_size(out_params.cutoff_max, out_params.counter_max)
+    lut_prefix_len = _pick_kmc1_lut_len(k, len(kmers))
+    info = DbInfo(
+        kmer_len=k,
+        counter_size=counter_size,
+        lut_prefix_len=lut_prefix_len,
+        cutoff_min=out_params.cutoff_min,
+        cutoff_max=out_params.cutoff_max,
+        both_strands=both_strands,
+        version=0,
+    )
+    write_kmc1_db(path_prefix, info, kmers, np.asarray(counts, np.uint32))
+
+
+def _pick_kmc1_lut_len(k: int, n: int) -> int:
+    from ..formats.kmc_db import pick_lut_prefix_len
+
+    return pick_lut_prefix_len(k, 1, n, kmc1=True)
+
+
+# ---------------- transforms ----------------
+
+def transform_sort(db: str, out: str, out_params: OutputParams | None = None):
+    info, kmers, counts = load_sorted(db)
+    p = out_params or OutputParams(cutoff_min=info.cutoff_min,
+                                   cutoff_max=info.cutoff_max,
+                                   counter_max=(1 << (8 * info.counter_size)) - 1
+                                   if info.counter_size else 1)
+    kmers, counts = p.apply(kmers, counts)
+    write_sorted_db(out, info.kmer_len, kmers, counts, p, info.both_strands)
+
+
+def transform_reduce(db: str, out: str, out_params: OutputParams):
+    transform_sort(db, out, out_params)
+
+
+def transform_compact(db: str, out: str):
+    info, kmers, counts = load_sorted(db)
+    p = OutputParams(cutoff_min=1, cutoff_max=10**9, counter_max=1)
+    counts = np.ones(len(kmers), np.uint32)
+    write_sorted_db(out, info.kmer_len, kmers, counts, p, info.both_strands)
+
+
+def transform_set_counts(db: str, out: str, value: int):
+    info, kmers, counts = load_sorted(db)
+    p = OutputParams(cutoff_min=1, cutoff_max=max(10**9, value), counter_max=max(255, value))
+    counts = np.full(len(kmers), value, np.uint32)
+    write_sorted_db(out, info.kmer_len, kmers, counts, p, info.both_strands)
+
+
+def transform_histogram(db: str, out_path: str, cutoff_min: int = 1,
+                        cutoff_max: int = 10000) -> None:
+    """Histogram of counter values (histogram_writer.h:20-84):
+    lines `value\\tnumber_of_kmers_with_that_counter` for the full range."""
+    _, _, counts = load_sorted(db)
+    hist = np.bincount(counts.astype(np.int64), minlength=cutoff_max + 1)
+    with open(out_path, "w") as f:
+        for v in range(cutoff_min, cutoff_max + 1):
+            f.write(f"{v}\t{hist[v] if v < len(hist) else 0}\n")
+
+
+def transform_dump(db: str, out_path: str, sorted_output: bool = True):
+    from ..formats.dump import dump_db_file
+
+    dump_db_file(db, out_path, sorted_output)
+
+
+def db_compare(db1: str, db2: str) -> bool:
+    """kmc_tools compare: record-level equality (operations.h:258)."""
+    _, k1, c1 = load_sorted(db1)
+    _, k2, c2 = load_sorted(db2)
+    return (
+        k1.shape == k2.shape
+        and bool((k1 == k2).all())
+        and bool((c1 == c2).all())
+    )
+
+
+def db_info_text(db_path: str) -> str:
+    info = read_db(db_path).info
+    lines = [
+        f"k                 : {info.kmer_len}",
+        f"total k-mers      : {info.n_unique_stored}",
+        f"cutoff max        : {info.cutoff_max}",
+        f"cutoff min        : {info.cutoff_min}",
+        f"counter size      : {info.counter_size} bytes",
+        f"mode              : {'quality-aware counters' if info.mode else 'normal'}",
+        f"both strands      : {'yes' if info.both_strands else 'no'}",
+        f"database format   : {'KMC2' if info.version == 0x200 else 'KMC1'}",
+        f"signature length  : {info.signature_len}",
+        f"number of bins    : {info.n_bins}",
+        f"lut prefix length : {info.lut_prefix_len}",
+    ]
+    return "\n".join(lines) + "\n"

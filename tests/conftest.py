@@ -11,3 +11,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: the many (k-width, batch-size) kernel variants
+# compile once per machine instead of once per pytest process
+jax.config.update("jax_compilation_cache_dir", "/tmp/kmc_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,196 @@
+"""BAM / -fkmc inputs, estimate-only mode, KFF output, and the three CLIs."""
+import gzip
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from kmc_tpu import cli, dump_cli, oracle, tools_cli
+from kmc_tpu.formats import dump_db_file, read_db
+from kmc_tpu.formats.kff import KffWriter, read_kff
+from kmc_tpu.runner import InputFileType, OutputFileType, count
+
+from util import random_reads, write_fastq
+
+
+def make_bam(path, reads, flags=None):
+    """Minimal BAM (single gzip member is a valid BGZF-style stream for our
+    reader; flag bits follow the spec)."""
+    code = {"A": 1, "C": 2, "G": 4, "T": 8, "N": 15}
+    body = b"BAM\x01" + struct.pack("<i", 0) + struct.pack("<i", 1)
+    body += struct.pack("<i", 4) + b"ref\x00" + struct.pack("<i", 1000)
+    for i, r in enumerate(reads):
+        flag = (flags or {}).get(i, 0)
+        name = f"r{i}".encode() + b"\x00"
+        l_seq = len(r)
+        seq_bytes = bytearray()
+        for j in range(0, l_seq, 2):
+            hi = code[r[j]] << 4
+            lo = code[r[j + 1]] if j + 1 < l_seq else 0
+            seq_bytes.append(hi | lo)
+        qual = b"\xff" * l_seq
+        rec = struct.pack("<iiBBHHHiiii", 0, 0, len(name), 30, 0, 0, flag,
+                          l_seq, -1, -1, 0)
+        rec += name + bytes(seq_bytes) + qual
+        body += struct.pack("<i", len(rec)) + rec
+    with open(path, "wb") as f:
+        f.write(gzip.compress(body))
+    return str(path)
+
+
+def test_bam_input(tmp_path):
+    reads = random_reads(30, 60, seed=21)
+    bam = make_bam(tmp_path / "in.bam", reads)
+    out = str(tmp_path / "out")
+    r1, r2 = count([bam], out, k=21, cutoff_min=1, batch_positions=1 << 12,
+                   input_file_type=InputFileType.BAM)
+    counts = oracle.count_kmers(reads, 21)
+    records, _ = oracle.apply_cutoffs(counts, 1, 10**9, 255)
+    assert dump_db_file(out) == oracle.dump_text(records)
+    assert r1.n_sequences == 30
+
+
+def test_bam_excludes_secondary_and_supplementary(tmp_path):
+    reads = random_reads(10, 60, seed=22)
+    # read 0 secondary (0x100), read 1 supplementary (0x800) -> excluded
+    bam = make_bam(tmp_path / "in.bam", reads, flags={0: 0x100, 1: 0x800})
+    out = str(tmp_path / "out")
+    r1, _ = count([bam], out, k=21, cutoff_min=1, batch_positions=1 << 12,
+                  input_file_type=InputFileType.BAM)
+    counts = oracle.count_kmers(reads[2:], 21)
+    records, _ = oracle.apply_cutoffs(counts, 1, 10**9, 255)
+    assert dump_db_file(out) == oracle.dump_text(records)
+    assert r1.n_sequences == 8
+
+
+def test_bam_reverse_flag_single_strand(tmp_path):
+    reads = random_reads(6, 50, seed=23)
+    # store read 3 reverse-complemented with the 0x10 flag; single-strand
+    # counting must transform it back (splitter.cpp:361-383)
+    stored = list(reads)
+    stored[3] = oracle.revcomp(stored[3])
+    bam = make_bam(tmp_path / "in.bam", stored, flags={3: 0x10})
+    out = str(tmp_path / "out")
+    count([bam], out, k=15, cutoff_min=1, batch_positions=1 << 12,
+          input_file_type=InputFileType.BAM, canonical_kmers=False)
+    counts = oracle.count_kmers(reads, 15, both_strands=False)
+    records, _ = oracle.apply_cutoffs(counts, 1, 10**9, 255)
+    assert dump_db_file(out) == oracle.dump_text(records)
+
+
+def test_kmc_db_input(tmp_path):
+    reads = random_reads(40, 70, seed=24)
+    db1 = str(tmp_path / "db1")
+    count([write_fastq(tmp_path / "in.fq", reads)], db1, k=25, cutoff_min=1,
+          batch_positions=1 << 12)
+    # recount 21-mers from the 25-mer database: each stored 25-mer is one read
+    out = str(tmp_path / "out")
+    count([db1], out, k=21, cutoff_min=1, batch_positions=1 << 12,
+          input_file_type=InputFileType.KMC)
+    stored_25mers = [km for km, _ in oracle.apply_cutoffs(
+        oracle.count_kmers(reads, 25), 1, 10**9, 255)[0]]
+    counts = oracle.count_kmers(stored_25mers, 21)
+    records, _ = oracle.apply_cutoffs(counts, 1, 10**9, 255)
+    assert dump_db_file(out) == oracle.dump_text(records)
+
+
+def test_estimate_only(tmp_path):
+    rng = np.random.default_rng(0)
+    genome = "".join(rng.choice(list("ACGT"), 30000))
+    reads = [genome[i : i + 100] for i in range(0, 29000, 33)]  # ~3x coverage
+    inp = write_fastq(tmp_path / "in.fq", reads)
+    from kmc_tpu.runner import EstimateHistogramCfg, Runner, Stage1Params, Stage2Params
+
+    p1 = Stage1Params(input_files=[inp], kmer_len=25, batch_positions=1 << 12,
+                      estimate_histogram_cfg=EstimateHistogramCfg.ONLY_ESTIMATE)
+    r = Runner()
+    res1 = r.run_stage1(p1)
+    hist = res1.estimated_histogram
+    assert len(hist) > 3
+    n_unique_true = len(oracle.count_kmers(reads, 25))
+    total_est = sum(hist[1:])
+    assert 0.3 * n_unique_true < total_est < 3 * n_unique_true
+    res2 = r.run_stage2(Stage2Params(output_file_name=str(tmp_path / "o")))
+    assert res2.n_unique_kmers == 0  # stage 2 is a no-op under -e
+
+
+def test_kff_output(tmp_path):
+    reads = random_reads(40, 70, seed=25)
+    inp = write_fastq(tmp_path / "in.fq", reads)
+    out = str(tmp_path / "out")
+    count([inp], out, k=21, cutoff_min=1, batch_positions=1 << 12,
+          output_file_type=OutputFileType.KFF)
+    data = read_kff(out + ".kff")
+    assert data.k == 21
+    assert data.canonical
+    counts = oracle.count_kmers(reads, 21)
+    from kmc_tpu.formats.kmc_db import kmers_bytes_to_strings
+
+    got = dict(zip(kmers_bytes_to_strings(data.kmers, 21), data.counts))
+    assert got == {km: min(c, 255) for km, c in counts.items()}
+
+
+def test_kmc_cli_end_to_end(tmp_path, capsys):
+    reads = random_reads(50, 70, seed=26)
+    inp = write_fastq(tmp_path / "in.fq", reads)
+    out = str(tmp_path / "outdb")
+    js = str(tmp_path / "stats.json")
+    rc = cli.main([f"-k21", "-ci1", f"-j{js}", "-S4096", inp, out, str(tmp_path)])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "No. of unique k-mers" in text
+    stats = json.load(open(js))
+    counts = oracle.count_kmers(reads, 21)
+    assert stats["Stats"]["#Unique_k-mers"] == len(counts)
+    assert stats["Stats"]["#Total_reads"] == 50
+    # and the db dumps correctly
+    records, _ = oracle.apply_cutoffs(counts, 1, 10**9, 255)
+    assert dump_db_file(out) == oracle.dump_text(records)
+
+
+def test_kmc_cli_list_file(tmp_path, capsys):
+    reads1 = random_reads(20, 60, seed=27)
+    reads2 = random_reads(20, 60, seed=28)
+    f1 = write_fastq(tmp_path / "a.fq", reads1)
+    f2 = write_fastq(tmp_path / "b.fq", reads2)
+    lst = tmp_path / "files.lst"
+    lst.write_text(f"{f1}\n{f2}\n")
+    out = str(tmp_path / "outdb")
+    rc = cli.main(["-k21", "-ci1", "-S4096", f"@{lst}", out, str(tmp_path)])
+    assert rc == 0
+    counts = oracle.count_kmers(reads1 + reads2, 21)
+    records, _ = oracle.apply_cutoffs(counts, 1, 10**9, 255)
+    assert dump_db_file(out) == oracle.dump_text(records)
+
+
+def test_kmc_dump_cli(tmp_path):
+    reads = random_reads(30, 60, seed=29)
+    inp = write_fastq(tmp_path / "in.fq", reads)
+    out = str(tmp_path / "db")
+    count([inp], out, k=21, cutoff_min=1, batch_positions=1 << 12)
+    txt = str(tmp_path / "dump.txt")
+    assert dump_cli.main([out, txt]) == 0
+    assert open(txt).read() == dump_db_file(out)
+    # ci filter applies
+    txt2 = str(tmp_path / "dump2.txt")
+    assert dump_cli.main(["-ci2", out, txt2]) == 0
+    counts = oracle.count_kmers(reads, 21)
+    expect = oracle.dump_text(sorted(
+        (km, min(c, 255)) for km, c in counts.items() if c >= 2))
+    assert open(txt2).read() == expect
+
+
+def test_filter(tmp_path):
+    genome_reads = random_reads(30, 80, seed=31, genome_len=400)
+    other_reads = random_reads(10, 80, seed=99, genome_len=400)
+    inp = write_fastq(tmp_path / "ref.fq", genome_reads)
+    db = str(tmp_path / "db")
+    count([inp], db, k=21, cutoff_min=1, batch_positions=1 << 12)
+    mixed = genome_reads[:5] + other_reads
+    q = write_fastq(tmp_path / "q.fq", mixed)
+    out = str(tmp_path / "filtered.fq")
+    rc = tools_cli.main(["filter", db, q, "-ci0.9", "-cx1.0", out])
+    assert rc == 0
+    kept = oracle.read_sequences(out, "fastq")
+    assert kept == genome_reads[:5]

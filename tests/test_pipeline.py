@@ -40,9 +40,22 @@ def run_and_compare(tmp_path, reads, k, fmt="fastq", write=None, **kwargs):
 
 
 @pytest.mark.parametrize("k", [15, 16, 17, 27, 31, 32, 33])
-def test_basic_k_sweep(tmp_path, k):
+@pytest.mark.parametrize("device_store", [True, False])
+def test_basic_k_sweep(tmp_path, k, device_store):
     reads = random_reads(60, 80, seed=k)
-    run_and_compare(tmp_path, reads, k, cutoff_min=1)
+    run_and_compare(tmp_path, reads, k, cutoff_min=1, device_store=device_store)
+
+
+def test_device_store_compaction_and_spill(tmp_path):
+    # store sized far below the batch flow forces compactions and spills
+    reads = random_reads(300, 100, seed=99, genome_len=700)
+    inp = write_fastq(tmp_path / "in.fastq", reads)
+    out = str(tmp_path / "out")
+    count([inp], out, k=21, cutoff_min=1, batch_positions=512,
+          device_store_rows=2048)
+    counts = oracle.count_kmers(reads, 21)
+    records, _ = oracle.apply_cutoffs(counts, 1, 10**9, 255)
+    assert dump_db_file(out) == oracle.dump_text(records)
 
 
 @pytest.mark.parametrize("k", [63, 64, 65, 127, 128, 255, 256])
@@ -51,9 +64,11 @@ def test_large_k(tmp_path, k):
     run_and_compare(tmp_path, reads, k, cutoff_min=1)
 
 
-def test_cutoffs_and_counter_max(tmp_path):
+@pytest.mark.parametrize("device_store", [True, False])
+def test_cutoffs_and_counter_max(tmp_path, device_store):
     reads = random_reads(200, 60, seed=7, genome_len=500)
-    run_and_compare(tmp_path, reads, 21, cutoff_min=2, cutoff_max=50, counter_max=10)
+    run_and_compare(tmp_path, reads, 21, cutoff_min=2, cutoff_max=50,
+                    counter_max=10, device_store=device_store)
 
 
 def test_counter_max_one_no_counters(tmp_path):
