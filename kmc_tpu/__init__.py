@@ -8,7 +8,31 @@ multi-chip scaling shards input batches and owner-partitions signature bins
 across a jax.sharding.Mesh.
 """
 
+import os as _os
+
 from .defs import KMC_TPU_VER as __version__
+
+
+def _enable_compilation_cache():
+    """Persist XLA compilations across processes: first compile of the big
+    kernels is 30-90s on this setup, cached reloads are ~ms.  Opt out with
+    KMC_TPU_NO_COMPILE_CACHE=1."""
+    if _os.environ.get("KMC_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "KMC_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/kmc_tpu_xla")
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
 
 from .runner import (  # noqa: E402
     Runner,

@@ -105,7 +105,19 @@ def file_code_stream(paths, fmt: str, state: ParseState | None = None,
     boundary; the trailing newline of the last read maps to the sentinel).
     max_bytes limits *consumed input bytes* (for stage-0 sampling,
     reference defs.h:37 STATS_FASTQ_SIZE).
+
+    Uses the native C parser/inflater (native/kmc_host.cpp) when available;
+    falls back to the vectorized-NumPy path below.
     """
+    if fmt in _PARSERS:
+        try:
+            from .native import NativeParser  # probe availability
+
+            NativeParser(fmt)
+            yield from _native_code_stream(paths, fmt, state, max_bytes)
+            return
+        except (RuntimeError, OSError, ImportError):
+            pass
     parse = _PARSERS[fmt]
     consumed = 0
     own_state = state or ParseState()
@@ -138,6 +150,45 @@ def file_code_stream(paths, fmt: str, state: ParseState | None = None,
             break
 
 
+def _native_code_stream(paths, fmt: str, state: ParseState | None,
+                        max_bytes: int | None) -> Iterator[np.ndarray]:
+    """Native-parser driver: resumable mid-line, so chunks need no newline
+    alignment and no leftover copies."""
+    from .native import NativeGzReader, NativeParser
+
+    own_state = state or ParseState()
+    consumed = 0
+    buf = np.empty(CHUNK_BYTES, dtype=np.uint8)
+    for path in paths:
+        parser = NativeParser(fmt)
+        p = Path(path)
+        gz = p.suffix == ".gz"
+        reader = NativeGzReader(path) if gz else open(p, "rb", buffering=0)
+        try:
+            ended_with_newline = True
+            while True:
+                if gz:
+                    n = reader.read_into(buf)
+                else:
+                    n = reader.readinto(memoryview(buf))
+                if not n:
+                    break
+                ended_with_newline = buf[n - 1] == 10
+                yield parser.parse(buf[:n])
+                consumed += n
+                if max_bytes is not None and consumed >= max_bytes:
+                    break
+            if not ended_with_newline and (max_bytes is None or consumed < max_bytes):
+                yield parser.parse(np.frombuffer(b"\n", dtype=np.uint8))
+        finally:
+            reader.close()
+        own_state.n_reads += parser.n_reads
+        # file boundary sentinel (protects k-mers from spanning files)
+        yield np.full(1, CODE_INVALID, dtype=np.uint8)
+        if max_bytes is not None and consumed >= max_bytes:
+            break
+
+
 def homopolymer_compress_codes(codes: np.ndarray) -> np.ndarray:
     """Collapse runs of identical bases (reference splitter.cpp:424-435);
     runs of sentinels collapse too, which is harmless."""
@@ -158,9 +209,13 @@ class BatchStream:
     """
 
     def __init__(self, s: int, k: int):
+        from ..ops.extract import batch_len
+
+        if s % 8:
+            raise ValueError("batch_positions must be a multiple of 8")
         self.s = s
         self.k = k
-        self.batch_bytes = s + k + TAIL
+        self.batch_bytes = batch_len(s, k)
 
     def batches(self, chunks: Iterator[np.ndarray]) -> Iterator[np.ndarray]:
         s, L = self.s, self.batch_bytes

@@ -37,8 +37,10 @@ TAIL = 16  # extra codes needed past the last k-mer start for packing windows
 
 
 def batch_len(s: int, k: int) -> int:
-    """Total code-stream length fed to stage1_batch for S candidate starts."""
-    return s + k + TAIL
+    """Total code-stream length fed to stage1_batch for S candidate starts
+    (rounded up to a multiple of 8 so batches 2-bit-pack cleanly; s must be
+    a multiple of 8)."""
+    return s + ((k + TAIL + 7) // 8) * 8
 
 
 def _pack_streams(c4: jax.Array, n: int):
@@ -130,11 +132,24 @@ def _kmer_words(p, q, k: int, s: int, both_strands: bool):
     return words
 
 
+def _unpack_device(packed: jax.Array, mask: jax.Array):
+    """Invert io/native.py::pack_codes on device with pure vector ops:
+    packed u8[L/4], mask u8[L/8] (MSB-first) -> (c4 uint32[L], bad int32[L])."""
+    p = packed.astype(jnp.uint32)
+    c4 = jnp.stack(
+        [(p >> 6) & 3, (p >> 4) & 3, (p >> 2) & 3, p & 3], axis=1
+    ).reshape(-1)
+    m = mask.astype(jnp.uint32)
+    bits = jnp.stack([(m >> (7 - j)) & 1 for j in range(8)], axis=1).reshape(-1)
+    bad = (1 - bits).astype(jnp.int32)
+    return c4, bad
+
+
 @functools.partial(jax.jit, static_argnames=("s", "k", "sig_len", "both_strands"))
 def stage1_batch(codes: jax.Array, *, s: int, k: int, sig_len: int, both_strands: bool):
     """Process one code-stream batch.
 
-    codes: uint8[s + k + TAIL]; candidate k-mer starts are [0, s).
+    codes: uint8[batch_len(s, k)]; candidate k-mer starts are [0, s).
     Returns (sigs, words, counts, n_groups):
       sigs   uint32[s]  — signature per unique k-mer (INVALID_SIG marks the
                           trailing garbage group),
@@ -142,11 +157,24 @@ def stage1_batch(codes: jax.Array, *, s: int, k: int, sig_len: int, both_strands
       counts uint32[s]  — occurrences of each unique k-mer in this batch,
       n_groups int32    — number of valid entries in the three arrays.
     """
-    L = codes.shape[0]
     c = codes.astype(jnp.uint32)
     bad = (c >= 4).astype(jnp.int32)
     c4 = jnp.minimum(c, 3)
+    return _stage1_core(c4, bad, s=s, k=k, sig_len=sig_len, both_strands=both_strands)
 
+
+@functools.partial(jax.jit, static_argnames=("s", "k", "sig_len", "both_strands"))
+def stage1_batch_packed(
+    packed: jax.Array, mask: jax.Array, *, s: int, k: int, sig_len: int, both_strands: bool
+):
+    """stage1_batch on 2-bit-packed input (see io/native.py::pack_codes):
+    the H2D-frugal fast path — 0.375 bytes/code instead of 1."""
+    c4, bad = _unpack_device(packed, mask)
+    return _stage1_core(c4, bad, s=s, k=k, sig_len=sig_len, both_strands=both_strands)
+
+
+def _stage1_core(c4, bad, *, s: int, k: int, sig_len: int, both_strands: bool):
+    L = c4.shape[0]
     n_pack = L - 15
     p, q = _pack_streams(c4, n_pack)
 
@@ -192,10 +220,22 @@ def stage0_stats_batch(codes: jax.Array, *, s: int, k: int, sig_len: int, map_le
     """Stage-0: histogram of per-k-mer signatures over a (sampled) batch
     (reference CalcStats, splitter.cpp:439-533: each k-mer contributes 1 to
     its signature's bin-balancing statistic)."""
-    L = codes.shape[0]
     c = codes.astype(jnp.uint32)
     bad = (c >= 4).astype(jnp.int32)
     c4 = jnp.minimum(c, 3)
+    return _stage0_core(c4, bad, s=s, k=k, sig_len=sig_len, map_len=map_len)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "k", "sig_len", "map_len"))
+def stage0_stats_batch_packed(
+    packed: jax.Array, mask: jax.Array, *, s: int, k: int, sig_len: int, map_len: int
+):
+    c4, bad = _unpack_device(packed, mask)
+    return _stage0_core(c4, bad, s=s, k=k, sig_len=sig_len, map_len=map_len)
+
+
+def _stage0_core(c4, bad, *, s: int, k: int, sig_len: int, map_len: int):
+    L = c4.shape[0]
     p, q = _pack_streams(c4, L - 15)
     cs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(bad)])
     valid = (cs[k : k + s] - cs[0:s]) == 0

@@ -11,7 +11,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .extract import _kmer_words, _pack_streams
+from .extract import _kmer_words, _pack_streams, _unpack_device
 
 
 @functools.partial(jax.jit, static_argnames=("s", "k", "both_strands"), donate_argnums=(1,))
@@ -21,7 +21,19 @@ def smallk_batch(codes: jax.Array, hist: jax.Array, *, s: int, k: int, both_stra
     c = codes.astype(jnp.uint32)
     bad = (c >= 4).astype(jnp.int32)
     c4 = jnp.minimum(c, 3)
-    p, q = _pack_streams(c4, codes.shape[0] - 15)
+    return _smallk_core(c4, bad, hist, s=s, k=k, both_strands=both_strands)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "k", "both_strands"), donate_argnums=(2,))
+def smallk_batch_packed(
+    packed: jax.Array, mask: jax.Array, hist: jax.Array, *, s: int, k: int, both_strands: bool
+):
+    c4, bad = _unpack_device(packed, mask)
+    return _smallk_core(c4, bad, hist, s=s, k=k, both_strands=both_strands)
+
+
+def _smallk_core(c4, bad, hist, *, s: int, k: int, both_strands: bool):
+    p, q = _pack_streams(c4, c4.shape[0] - 15)
     cs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(bad)])
     valid = (cs[k : k + s] - cs[0:s]) == 0
     words = _kmer_words(p, q, k, s, both_strands)  # k<=13 -> single lane

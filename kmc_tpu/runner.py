@@ -26,9 +26,14 @@ from .defs import calc_counter_size
 from .formats.kmc_db import DbInfo, Kmc2DbWriter, pick_lut_prefix_len, write_kmc1_db
 from .io.readers import BatchStream, ParseState, file_code_stream, homopolymer_compress_codes
 from .signatures import build_signature_map, map_size, special_signature
-from .ops.extract import INVALID_SIG, stage0_stats_batch, stage1_batch
+from .io.native import pack_codes
+from .ops.extract import (
+    INVALID_SIG,
+    stage0_stats_batch_packed,
+    stage1_batch_packed,
+)
 from .ops.sortcount import merge_count_bin
-from .ops.smallk import smallk_batch, smallk_histogram_shape
+from .ops.smallk import smallk_batch_packed, smallk_histogram_shape
 
 
 class InputFileType(Enum):
@@ -266,7 +271,8 @@ class Runner:
         hist = np.zeros(msize, dtype=np.uint64)
         gen = (c for c, _ in self._chunks(params, max_bytes=defs.STATS_SAMPLE_BYTES))
         for batch in bs.batches(gen):
-            h = stage0_stats_batch(batch, s=s, k=k, sig_len=m, map_len=msize)
+            packed, mask = pack_codes(batch)
+            h = stage0_stats_batch_packed(packed, mask, s=s, k=k, sig_len=m, map_len=msize)
             hist += np.asarray(h, dtype=np.uint64)
         self._sig_map = build_signature_map(hist, m, params.n_bins)
         self._n_used_bins = int(self._sig_map.max()) + 1
@@ -292,8 +298,9 @@ class Runner:
         )
         gen = (c for c, _ in self._chunks(params))
         for batch in bs.batches(gen):
-            u_sig, u_words, counts, _ = stage1_batch(
-                batch, s=s, k=k, sig_len=m, both_strands=params.canonical_kmers
+            packed, mask = pack_codes(batch)
+            u_sig, u_words, counts, _ = stage1_batch_packed(
+                packed, mask, s=s, k=k, sig_len=m, both_strands=params.canonical_kmers
             )
             store.append(u_sig, u_words, counts)
         self._store = store
@@ -310,8 +317,9 @@ class Runner:
 
         gen = (c for c, _ in self._chunks(params))
         for batch in bs.batches(gen):
-            u_sig, u_words, counts, n_groups = stage1_batch(
-                batch, s=s, k=k, sig_len=m, both_strands=params.canonical_kmers
+            packed, mask = pack_codes(batch)
+            u_sig, u_words, counts, n_groups = stage1_batch_packed(
+                packed, mask, s=s, k=k, sig_len=m, both_strands=params.canonical_kmers
             )
             n = int(n_groups)
             sig = np.asarray(u_sig[:n])
@@ -345,7 +353,10 @@ class Runner:
         hist = jnp.zeros(smallk_histogram_shape(k), jnp.uint32)
         gen = (c for c, _ in self._chunks(params))
         for batch in bs.batches(gen):
-            hist = smallk_batch(batch, hist, s=s, k=k, both_strands=params.canonical_kmers)
+            packed, mask = pack_codes(batch)
+            hist = smallk_batch_packed(
+                packed, mask, hist, s=s, k=k, both_strands=params.canonical_kmers
+            )
         self._smallk_hist = np.asarray(hist)[:-1].astype(np.uint64)  # drop invalid slot
 
     # ---------------- stage 2 ----------------

@@ -1,0 +1,277 @@
+// kmc_tpu native host runtime: input parsing, gzip inflate, 2-bit encoding.
+//
+// TPU-native role split: the device owns all counting compute (extract,
+// sort, merge — see kmc_tpu/ops/*); this library owns the host side that
+// feeds it — the equivalent of the reference's reader/splitter front half
+// (/root/reference/kmc_core/binary_reader.h, fastq_reader.cpp), redesigned
+// as a single-pass byte->code translator emitting one flat sentinel-
+// separated code stream instead of per-read record objects.
+//
+// Exposed via ctypes (see kmc_tpu/io/native.py).  All functions are plain C
+// ABI, single-threaded, and carry explicit resumable state so Python can
+// stream arbitrarily large files through fixed-size buffers.
+//
+// Codes: A/a->0 C/c->1 G/g->2 T/t->3, everything else -> 4 (sentinel that
+// breaks k-mers; newlines/headers/qualities all map to it implicitly by
+// never being emitted, with one sentinel emitted per record boundary).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <cstdlib>
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// byte -> code LUT
+// ---------------------------------------------------------------------------
+static uint8_t CODE_LUT[256];
+static bool lut_init_done = false;
+
+static void init_lut() {
+    if (lut_init_done) return;
+    memset(CODE_LUT, 4, sizeof(CODE_LUT));
+    CODE_LUT[(unsigned char)'A'] = 0; CODE_LUT[(unsigned char)'a'] = 0;
+    CODE_LUT[(unsigned char)'C'] = 1; CODE_LUT[(unsigned char)'c'] = 1;
+    CODE_LUT[(unsigned char)'G'] = 2; CODE_LUT[(unsigned char)'g'] = 2;
+    CODE_LUT[(unsigned char)'T'] = 3; CODE_LUT[(unsigned char)'t'] = 3;
+    lut_init_done = true;
+}
+
+// ---------------------------------------------------------------------------
+// FASTQ parser: resumable single-pass state machine.
+//
+// state[0] = current line phase (0 header, 1 seq, 2 plus, 3 qual)
+// state[1] = number of sequence lines seen (n_reads)
+//
+// Sequence-line bytes emit their code; the newline terminating a sequence
+// line emits one sentinel (4).  Other lines emit nothing.  Matches the
+// semantics of kmc_tpu/io/readers.py::_fastq_codes.
+// ---------------------------------------------------------------------------
+int64_t parse_fastq(const uint8_t* buf, int64_t n, uint8_t* out,
+                    int64_t* state) {
+    init_lut();
+    int64_t phase = state[0];
+    int64_t n_reads = state[1];
+    int64_t m = 0;
+    int64_t i = 0;
+    while (i < n) {
+        if (phase == 1) {
+            // copy sequence bytes until newline
+            const uint8_t* nl = (const uint8_t*)memchr(buf + i, '\n', (size_t)(n - i));
+            int64_t end = nl ? (int64_t)(nl - buf) : n;
+            for (int64_t j = i; j < end; ++j) out[m++] = CODE_LUT[buf[j]];
+            if (nl) {
+                out[m++] = 4;  // record separator
+                phase = 2;
+                n_reads++;
+                i = end + 1;
+            } else {
+                i = n;
+            }
+        } else {
+            const uint8_t* nl = (const uint8_t*)memchr(buf + i, '\n', (size_t)(n - i));
+            if (!nl) break;  // phase unchanged; caller resumes mid-line? no:
+            // non-seq lines spanning chunks are fine because we only advance
+            // phase at newlines; bytes before the newline are skipped.
+            phase = (phase + 1) & 3;
+            i = (int64_t)(nl - buf) + 1;
+        }
+    }
+    state[0] = phase;
+    state[1] = n_reads;
+    return m;
+}
+
+// ---------------------------------------------------------------------------
+// FASTA parser (single- and multi-line records).
+//
+// state[0] = 1 if currently inside a header line, else 0
+// state[1] = n_sequences (number of '>' seen)
+// Header lines emit exactly one sentinel (for the '>'); sequence bytes emit
+// codes; newlines inside sequences emit nothing (records stay contiguous).
+// Matches kmc_tpu/io/readers.py::_fasta_codes.
+// ---------------------------------------------------------------------------
+int64_t parse_fasta(const uint8_t* buf, int64_t n, uint8_t* out,
+                    int64_t* state) {
+    init_lut();
+    int64_t in_header = state[0];
+    int64_t n_seqs = state[1];
+    int64_t m = 0;
+    int64_t i = 0;
+    while (i < n) {
+        uint8_t b = buf[i];
+        if (in_header) {
+            const uint8_t* nl = (const uint8_t*)memchr(buf + i, '\n', (size_t)(n - i));
+            if (!nl) { i = n; break; }
+            in_header = 0;
+            i = (int64_t)(nl - buf) + 1;
+        } else if (b == '>') {
+            out[m++] = 4;
+            n_seqs++;
+            in_header = 1;
+            i++;
+        } else if (b == '\n') {
+            i++;
+        } else {
+            // sequence bytes until newline or '>'
+            const uint8_t* nl = (const uint8_t*)memchr(buf + i, '\n', (size_t)(n - i));
+            int64_t end = nl ? (int64_t)(nl - buf) : n;
+            for (int64_t j = i; j < end; ++j) out[m++] = CODE_LUT[buf[j]];
+            i = end;  // newline handled next iteration
+        }
+    }
+    state[0] = in_header;
+    state[1] = n_seqs;
+    return m;
+}
+
+// ---------------------------------------------------------------------------
+// Homopolymer compression (reference splitter.cpp:424-435): collapse runs of
+// identical codes in place-compatible fashion.  prev_last carries the last
+// emitted code across chunk boundaries (-1 initially).
+// ---------------------------------------------------------------------------
+int64_t homopolymer_compress(const uint8_t* in, int64_t n, uint8_t* out,
+                             int64_t* prev_last) {
+    int64_t m = 0;
+    int last = (int)*prev_last;
+    for (int64_t i = 0; i < n; ++i) {
+        if ((int)in[i] != last) {
+            out[m++] = in[i];
+            last = in[i];
+        }
+    }
+    *prev_last = last;
+    return m;
+}
+
+// ---------------------------------------------------------------------------
+// gzip/zlib streaming inflate.  Supports multi-member gzip files (BGZF and
+// pigz outputs are concatenated members).
+// ---------------------------------------------------------------------------
+typedef struct {
+    z_stream zs;
+    FILE* f;
+    uint8_t* in_buf;
+    int64_t in_cap;
+    int64_t in_len;
+    int64_t in_pos;
+    int eof;
+    int initialized;
+} gz_reader_t;
+
+void* gz_open(const char* path, int64_t in_buf_bytes) {
+    gz_reader_t* r = (gz_reader_t*)calloc(1, sizeof(gz_reader_t));
+    if (!r) return nullptr;
+    r->f = fopen(path, "rb");
+    if (!r->f) { free(r); return nullptr; }
+    r->in_cap = in_buf_bytes > 0 ? in_buf_bytes : (1 << 20);
+    r->in_buf = (uint8_t*)malloc((size_t)r->in_cap);
+    if (!r->in_buf) { fclose(r->f); free(r); return nullptr; }
+    memset(&r->zs, 0, sizeof(r->zs));
+    // 15+16: gzip container; +32 would auto-detect zlib too
+    if (inflateInit2(&r->zs, 15 + 16) != Z_OK) {
+        fclose(r->f); free(r->in_buf); free(r);
+        return nullptr;
+    }
+    r->initialized = 1;
+    return r;
+}
+
+// Returns bytes written to out (0 on clean EOF, -1 on error).
+int64_t gz_read(void* handle, uint8_t* out, int64_t out_cap) {
+    gz_reader_t* r = (gz_reader_t*)handle;
+    if (!r || !r->initialized) return -1;
+    int64_t total = 0;
+    while (total < out_cap) {
+        if (r->in_pos >= r->in_len && !r->eof) {
+            r->in_len = (int64_t)fread(r->in_buf, 1, (size_t)r->in_cap, r->f);
+            r->in_pos = 0;
+            if (r->in_len == 0) r->eof = 1;
+        }
+        r->zs.next_in = r->in_buf + r->in_pos;
+        r->zs.avail_in = (uInt)(r->in_len - r->in_pos);
+        r->zs.next_out = out + total;
+        r->zs.avail_out = (uInt)(out_cap - total);
+        int ret = inflate(&r->zs, Z_NO_FLUSH);
+        int64_t consumed = (int64_t)(r->in_len - r->in_pos) - (int64_t)r->zs.avail_in;
+        r->in_pos += consumed;
+        int64_t produced = (out_cap - total) - (int64_t)r->zs.avail_out;
+        total += produced;
+        if (ret == Z_STREAM_END) {
+            // multi-member gzip: restart for the next member
+            if (inflateReset2(&r->zs, 15 + 16) != Z_OK) return -1;
+            if (r->in_pos >= r->in_len && r->eof) break;
+            continue;
+        }
+        if (ret != Z_OK && ret != Z_BUF_ERROR) return -1;
+        if (r->eof && r->in_pos >= r->in_len) break;  // truncated stream: stop
+        if (produced == 0 && consumed == 0 && r->eof) break;
+    }
+    return total;
+}
+
+void gz_close(void* handle) {
+    gz_reader_t* r = (gz_reader_t*)handle;
+    if (!r) return;
+    if (r->initialized) inflateEnd(&r->zs);
+    if (r->f) fclose(r->f);
+    free(r->in_buf);
+    free(r);
+}
+
+// ---------------------------------------------------------------------------
+// Device-feed packing: codes (0..3 base, >=4 sentinel) -> 2-bit packed bases
+// (4/byte, big-endian within byte, sentinel packs as 0) + validity bitmask
+// (8 codes/byte, MSB-first: bit 7 = first code, 1 = real base).  Cuts the
+// host->device bytes per code from 1 to 0.375 — the tunnel H2D link is the
+// scarce resource, not the TPU.
+// n must be a multiple of 8 (callers pad batches).
+// ---------------------------------------------------------------------------
+void pack_codes(const uint8_t* codes, int64_t n, uint8_t* packed,
+                uint8_t* mask) {
+    for (int64_t i = 0; i < n; i += 8) {
+        uint8_t c0 = codes[i], c1 = codes[i + 1], c2 = codes[i + 2],
+                c3 = codes[i + 3], c4 = codes[i + 4], c5 = codes[i + 5],
+                c6 = codes[i + 6], c7 = codes[i + 7];
+        packed[i >> 2] = (uint8_t)(((c0 & 3) << 6) | ((c1 & 3) << 4) |
+                                   ((c2 & 3) << 2) | (c3 & 3));
+        packed[(i >> 2) + 1] = (uint8_t)(((c4 & 3) << 6) | ((c5 & 3) << 4) |
+                                         ((c6 & 3) << 2) | (c7 & 3));
+        mask[i >> 3] = (uint8_t)(((c0 < 4) << 7) | ((c1 < 4) << 6) |
+                                 ((c2 < 4) << 5) | ((c3 < 4) << 4) |
+                                 ((c4 < 4) << 3) | ((c5 < 4) << 2) |
+                                 ((c6 < 4) << 1) | (c7 < 4));
+    }
+}
+
+// ---------------------------------------------------------------------------
+// 2-bit pack/unpack helpers (used by format writers for big arrays).
+// rows: (n, kb*4) codes right-aligned -> (n, kb) big-endian packed bytes.
+// ---------------------------------------------------------------------------
+void pack_2bit_rows(const uint8_t* codes, int64_t n, int64_t kb, uint8_t* out) {
+    for (int64_t r = 0; r < n; ++r) {
+        const uint8_t* c = codes + r * kb * 4;
+        uint8_t* o = out + r * kb;
+        for (int64_t j = 0; j < kb; ++j)
+            o[j] = (uint8_t)((c[4 * j] << 6) | (c[4 * j + 1] << 4) |
+                             (c[4 * j + 2] << 2) | c[4 * j + 3]);
+    }
+}
+
+void unpack_2bit_rows(const uint8_t* rows, int64_t n, int64_t kb, uint8_t* out) {
+    for (int64_t r = 0; r < n; ++r) {
+        const uint8_t* in = rows + r * kb;
+        uint8_t* o = out + r * kb * 4;
+        for (int64_t j = 0; j < kb; ++j) {
+            uint8_t b = in[j];
+            o[4 * j] = (uint8_t)(b >> 6);
+            o[4 * j + 1] = (uint8_t)((b >> 4) & 3);
+            o[4 * j + 2] = (uint8_t)((b >> 2) & 3);
+            o[4 * j + 3] = (uint8_t)(b & 3);
+        }
+    }
+}
+
+}  // extern "C"
