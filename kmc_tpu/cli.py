@@ -76,7 +76,13 @@ def parse_args(argv):
             positional.append(a)
             continue
         if a == "--opt-out-size":
+            # estimate + count: the histogram estimate drives lut_prefix_len
+            # selection (reference kmc.h:1436-1447)
             cli["opt_out_size"] = True
+            if s1.estimate_histogram_cfg == EstimateHistogramCfg.DONT_ESTIMATE:
+                s1.estimate_histogram_cfg = (
+                    EstimateHistogramCfg.ESTIMATE_AND_COUNT_KMERS
+                )
         elif a == "--no-device-store":
             s1.device_store = False
         elif a == "-v":

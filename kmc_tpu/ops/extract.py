@@ -173,20 +173,23 @@ def stage1_batch_packed(
     return _stage1_core(c4, bad, s=s, k=k, sig_len=sig_len, both_strands=both_strands)
 
 
-def _stage1_core(c4, bad, *, s: int, k: int, sig_len: int, both_strands: bool):
+def position_sigs(c4, bad, *, s: int, k: int, sig_len: int):
+    """Per-start-position (validity, signature): sig is INVALID_SIG where the
+    k-mer window contains a non-base; also returns the packed streams so
+    callers can reuse them (XLA CSEs the shared subgraphs within one jit)."""
     L = c4.shape[0]
-    n_pack = L - 15
-    p, q = _pack_streams(c4, n_pack)
-
-    # validity: no bad code inside [i, i+k)
+    p, q = _pack_streams(c4, L - 15)
     cs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(bad)])
     valid = (cs[k : k + s] - cs[0:s]) == 0
-
-    # per-position signature = min norm over the k-mer's m-mer window
     n_norm = s + k - sig_len  # m-mer positions needed: [0, s + k - sig_len)
     norms = _norms(p, q, sig_len, n_norm)
     sig = _sliding_min(norms, k - sig_len + 1, s)
     sig = jnp.where(valid, sig, INVALID_SIG)
+    return valid, sig, p, q
+
+
+def _stage1_core(c4, bad, *, s: int, k: int, sig_len: int, both_strands: bool):
+    valid, sig, p, q = position_sigs(c4, bad, s=s, k=k, sig_len=sig_len)
 
     words = _kmer_words(p, q, k, s, both_strands)
     words = [jnp.where(valid, w, jnp.uint32(0xFFFFFFFF)) for w in words]

@@ -24,7 +24,70 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .extract import INVALID_SIG
+from .extract import INVALID_SIG, _stage1_core, _unpack_device, position_sigs
+
+
+def _acc64_add(acc, inc_u32):
+    """Add a uint32 increment into a 2-lane (lo, hi) uint32 accumulator."""
+    lo = acc[0] + inc_u32
+    hi = acc[1] + (lo < acc[0]).astype(jnp.uint32)
+    return jnp.stack([lo, hi])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("s", "k", "sig_len", "both_strands"),
+    donate_argnums=(2, 3, 4, 6, 7),
+)
+def _ingest_packed(
+    packed,
+    mask,
+    store_sig,
+    store_words,
+    store_counts,
+    n_used,
+    occ_acc,
+    skm_acc,
+    prev_sig,
+    *,
+    s: int,
+    k: int,
+    sig_len: int,
+    both_strands: bool,
+):
+    """Fused stage-1 + append: one device dispatch per input batch (the
+    tunnel's per-dispatch latency dominates at small batch sizes, so the
+    extract kernel and the store update must ride one executable).
+
+    Also counts super-k-mers exactly: a new super-k-mer starts at every valid
+    position whose signature differs from its predecessor's (the reference's
+    cut rule, splitter.cpp:557-677); prev_sig carries the last position's
+    signature across batches.
+    """
+    c4, bad = _unpack_device(packed, mask)
+    _, sig_pos, _, _ = position_sigs(c4, bad, s=s, k=k, sig_len=sig_len)
+    prev = jnp.concatenate([prev_sig, sig_pos[:-1]])
+    new_skm = (sig_pos != INVALID_SIG) & (sig_pos != prev)
+    skm_acc = _acc64_add(skm_acc, jnp.sum(new_skm.astype(jnp.uint32)))
+
+    sig, words, counts, _ = _stage1_core(
+        c4, bad, s=s, k=k, sig_len=sig_len, both_strands=both_strands
+    )
+    counts = jnp.where(sig == INVALID_SIG, 0, counts)
+    words = jnp.where((sig == INVALID_SIG)[:, None], jnp.uint32(0xFFFFFFFF), words)
+    store_sig = jax.lax.dynamic_update_slice(store_sig, sig, (n_used,))
+    store_words = jax.lax.dynamic_update_slice(store_words, words, (n_used, 0))
+    store_counts = jax.lax.dynamic_update_slice(store_counts, counts, (n_used,))
+    occ_acc = _acc64_add(occ_acc, jnp.sum(counts, dtype=jnp.uint32))
+    return (
+        store_sig,
+        store_words,
+        store_counts,
+        n_used + sig.shape[0],
+        occ_acc,
+        skm_acc,
+        sig_pos[-1:],
+    )
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 7))
@@ -158,6 +221,8 @@ class DeviceKmerStore:
         self._alloc(self.capacity)
         self.n_used = jnp.int32(0)
         self.occ_acc = jnp.zeros((2,), jnp.uint32)  # (lo, hi) occurrence total
+        self.skm_acc = jnp.zeros((2,), jnp.uint32)  # (lo, hi) super-k-mers
+        self.prev_sig = jnp.full((1,), INVALID_SIG, jnp.uint32)
         self._since_compact = 0
         self.spilled = []  # host-side spilled compacted runs
         self.total_appended_rows = 0
@@ -168,9 +233,13 @@ class DeviceKmerStore:
         self.counts = jnp.zeros((capacity,), jnp.uint32)
 
     def _grow(self, needed_rows: int):
+        # grow 4x: every growth step recompiles the ingest/compact kernels
+        # for the new shapes (30-90s each on this setup), so minimize levels;
+        # TPU runs avoid growth entirely by allocating full capacity upfront
+        # (see runner._run_stage1_device_store)
         new_cap = self.capacity
         while new_cap < needed_rows:
-            new_cap *= 2
+            new_cap *= 4
         new_cap = min(new_cap, self.max_capacity)
         if new_cap <= self.capacity:
             return False
@@ -184,16 +253,18 @@ class DeviceKmerStore:
         self.n_used = old[3]
         return True
 
-    def append(self, sig, words, counts, count_occurrences: bool = True):
-        s = sig.shape[0]
-        self.total_appended_rows += s
-        # ensure room (host-side check on a cheap cached scalar)
+    def _make_room(self, s: int):
         if self._since_compact + s > self.capacity - self._base_rows():
             if not self._grow(self._base_rows() + self._since_compact + s):
                 self.compact()
                 if self._since_compact + s > self.capacity - self._base_rows():
                     if not self._grow(self._base_rows() + s):
                         self.spill()
+
+    def append(self, sig, words, counts, count_occurrences: bool = True):
+        s = sig.shape[0]
+        self.total_appended_rows += s
+        self._make_room(s)
         acc = self.occ_acc if count_occurrences else jnp.zeros((2,), jnp.uint32)
         self.sig, self.words, self.counts, self.n_used, acc = _append(
             self.sig, self.words, self.counts, self.n_used, sig, words, counts, acc
@@ -201,6 +272,23 @@ class DeviceKmerStore:
         if count_occurrences:
             self.occ_acc = acc
         self._since_compact += s
+
+    def ingest_packed(self, packed, mask, *, s: int, k: int, sig_len: int,
+                      both_strands: bool):
+        """Fused extract+append of one 2-bit-packed batch (one dispatch)."""
+        self.total_appended_rows += s
+        self._make_room(s)
+        (self.sig, self.words, self.counts, self.n_used, self.occ_acc,
+         self.skm_acc, self.prev_sig) = _ingest_packed(
+            packed, mask, self.sig, self.words, self.counts, self.n_used,
+            self.occ_acc, self.skm_acc, self.prev_sig,
+            s=s, k=k, sig_len=sig_len, both_strands=both_strands,
+        )
+        self._since_compact += s
+
+    def total_super_kmers(self) -> int:
+        acc = np.asarray(self.skm_acc)
+        return int(acc[0]) + (int(acc[1]) << 32)
 
     def total_occurrences(self) -> int:
         acc = np.asarray(self.occ_acc)

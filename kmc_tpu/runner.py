@@ -285,25 +285,34 @@ class Runner:
 
     def _run_stage1_device_store(self, params: Stage1Params, results: Stage1Results):
         """HBM-resident path: batch outputs never leave the device."""
+        import jax
+
         from .ops.store import DeviceKmerStore
 
         k, m = params.kmer_len, params.signature_len
         s = params.batch_positions
         W = (k + 15) // 16
         bs = BatchStream(s, k)
+        capacity = max(params.device_store_rows, 2 * s)
+        # on real TPUs allocate full capacity upfront: HBM is plentiful and a
+        # shape-stable store means each kernel compiles exactly once (growth
+        # recompiles cost 30-90s each over the tunnel); on CPU (tests) start
+        # small so the big sorts never materialize
+        init_rows = capacity if jax.default_backend() != "cpu" else 2 * s
         store = DeviceKmerStore(
-            capacity_rows=max(params.device_store_rows, 2 * s),
+            capacity_rows=capacity,
             kmer_words=W,
-            initial_rows=2 * s,
+            initial_rows=init_rows,
         )
         gen = (c for c, _ in self._chunks(params))
         for batch in bs.batches(gen):
             packed, mask = pack_codes(batch)
-            u_sig, u_words, counts, _ = stage1_batch_packed(
-                packed, mask, s=s, k=k, sig_len=m, both_strands=params.canonical_kmers
+            store.ingest_packed(
+                packed, mask, s=s, k=k, sig_len=m,
+                both_strands=params.canonical_kmers,
             )
-            store.append(u_sig, u_words, counts)
         self._store = store
+        results.n_total_super_kmers = store.total_super_kmers()
 
     def _run_stage1_host_buckets(self, params: Stage1Params, results: Stage1Results):
         k, m = params.kmer_len, params.signature_len
