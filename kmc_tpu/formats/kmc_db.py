@@ -144,6 +144,58 @@ class Kmc2DbWriter:
             self.n_above_max += stats["n_above_max"]
             self.n_total += stats["n_total"]
 
+    def write_all(self, bins: np.ndarray, kmers: np.ndarray, counts: np.ndarray):
+        """Bulk path: all records at once, sorted by (bin, k-mer).
+
+        One vectorized pass replaces the per-bin loop (the loop costs ~10s at
+        512 bins x millions of rows; this is ~1s).  Must be the only write
+        call; close() afterwards."""
+        assert self._next_bin == 0 and self._n_recs == 0
+        info = self.info
+        n = len(kmers)
+        # suffix + counter records in one pass
+        rec = np.empty((n, info.record_bytes), dtype=np.uint8)
+        rec[:, : info.suffix_bytes] = kmers[:, kmers.shape[1] - info.suffix_bytes :]
+        c = np.asarray(counts, dtype=np.uint64)
+        for j in range(info.counter_size):  # little-endian counter
+            rec[:, info.suffix_bytes + j] = (
+                (c >> np.uint64(8 * j)) & np.uint64(0xFF)
+            ).astype(np.uint8)
+        rec.tofile(self._suf)
+        # one global (bin, prefix) histogram -> cumulative LUT for all bins
+        prefix_ids = kmer_bytes_to_prefix_ids(kmers, info.kmer_len, info.lut_prefix_len)
+        lpl2 = 2 * info.lut_prefix_len
+        keys = (bins.astype(np.int64) << lpl2) | prefix_ids.astype(np.int64)
+        lut = np.bincount(keys, minlength=info.n_bins << lpl2).astype(np.uint64)
+        shifted = np.empty_like(lut)
+        shifted[0] = 0
+        np.cumsum(lut[:-1], out=shifted[1:])
+        shifted.astype("<u8").tofile(self._pre)
+        self._n_recs = n
+        self._lut_pos = info.n_bins
+        self._next_bin = info.n_bins
+        # every bin emitted in order => lut index == bin id
+        valid = self._sig_map_bins >= 0
+        self._sig_map_out = np.where(valid, self._sig_map_bins, 0).astype(np.uint32)
+
+    def write_all_records(self, rec: np.ndarray, lut_counts: np.ndarray):
+        """Bulk path for device-completer output: rec = (N, record_bytes)
+        suffix+counter bytes already in final order and cutoff-filtered;
+        lut_counts = uint64[(n_bins << 2*lpl)] per-(bin, prefix) record
+        counts.  Must be the only write call; close() afterwards."""
+        assert self._next_bin == 0 and self._n_recs == 0
+        info = self.info
+        rec.tofile(self._suf)
+        shifted = np.empty_like(lut_counts)
+        shifted[0] = 0
+        np.cumsum(lut_counts[:-1], out=shifted[1:])
+        shifted.astype("<u8").tofile(self._pre)
+        self._n_recs = len(rec)
+        self._lut_pos = info.n_bins
+        self._next_bin = info.n_bins
+        valid = self._sig_map_bins >= 0
+        self._sig_map_out = np.where(valid, self._sig_map_bins, 0).astype(np.uint32)
+
     def _put_one(self, bin_id, kmers, counts):
         info = self.info
         if kmers is None or len(kmers) == 0:

@@ -55,6 +55,7 @@ def _line_ids(buf: np.ndarray, first_line_id: int) -> np.ndarray:
 class ParseState:
     line_id: int = 0  # global index of the line containing the next byte
     n_reads: int = 0
+    consumed_bytes: int = 0  # raw (compressed) input bytes consumed so far
 
 
 def _fastq_codes(buf: np.ndarray, state: ParseState) -> np.ndarray:
@@ -138,6 +139,7 @@ def file_code_stream(paths, fmt: str, state: ParseState | None = None,
                 arr = np.frombuffer(buf, dtype=np.uint8, count=cut)
                 yield parse(arr, st)
                 consumed += cut
+                own_state.consumed_bytes += cut
                 if max_bytes is not None and consumed >= max_bytes:
                     break
             if leftover and (max_bytes is None or consumed < max_bytes):
@@ -176,6 +178,7 @@ def _native_code_stream(paths, fmt: str, state: ParseState | None,
                 ended_with_newline = buf[n - 1] == 10
                 yield parser.parse(buf[:n])
                 consumed += n
+                own_state.consumed_bytes += n
                 if max_bytes is not None and consumed >= max_bytes:
                     break
             if not ended_with_newline and (max_bytes is None or consumed < max_bytes):

@@ -55,6 +55,36 @@ class EstimateHistogramCfg(Enum):
     ONLY_ESTIMATE = 2
 
 
+class ILogger:
+    """Verbose/warning log sink (reference kmc_runner.h:24-47)."""
+
+    def log(self, message: str):  # pragma: no cover - interface default
+        print(message)
+
+
+class IProgressObserver:
+    """Coarse step progress (reference IProgressObserver: stats splitter)."""
+
+    def start(self, name: str):
+        pass
+
+    def step(self):
+        pass
+
+    def end(self):
+        pass
+
+
+class IPercentProgressObserver:
+    """Percentage progress per stage (reference IPercentProgressObserver)."""
+
+    def set_label(self, label: str):
+        pass
+
+    def set_progress(self, value: int):
+        pass
+
+
 def _fluent(cls):
     """Add reference-style SetX fluent setters for every dataclass field."""
     for name in cls.__dataclass_fields__:
@@ -418,36 +448,62 @@ class Runner:
         k = s1.kmer_len
         store = self._store
         n_total = store.total_occurrences()
-        bins, words, counts, (n_unique, n_below, n_above) = store.finalize(
+
+        if params.without_output or params.output_file_type == OutputFileType.KFF:
+            # KFF needs big-endian counters and whole k-mers: use the
+            # words-based finalize
+            bins, words, counts, (n_unique, n_below, n_above) = store.finalize(
+                self._sig_map,
+                cutoff_min=params.cutoff_min,
+                cutoff_max=params.cutoff_max,
+                counter_max=params.counter_max,
+            )
+            if s1.verbose:
+                print(f"[stage2] finalize exec: {store.t_finalize_exec:.2f}s "
+                      f"D2H: {store.t_finalize_d2h:.2f}s ({len(bins)} rows)")
+            self._store = None
+            results.n_unique_kmers = n_unique
+            results.n_below_cutoff_min = n_below
+            results.n_above_cutoff_max = n_above
+            results.n_total_kmers = n_total
+            if params.without_output:
+                return
+            bounds = np.searchsorted(bins, np.arange(self._n_used_bins + 1))
+            kmer_bytes = words_to_kmer_bytes(words, k)
+            self._write_kff(params, kmer_bytes, counts, bounds)
+            return
+
+        # KMC2 output: device completer emits the exact on-disk payload
+        info = self._make_db_info(params)
+        rec, lut, (n_unique, n_below, n_above) = store.finalize_records(
             self._sig_map,
             cutoff_min=params.cutoff_min,
             cutoff_max=params.cutoff_max,
             counter_max=params.counter_max,
+            k=k,
+            lut_prefix_len=info.lut_prefix_len,
+            counter_size=info.counter_size,
+            n_bins=self._n_used_bins,
         )
+        if s1.verbose:
+            print(f"[stage2] finalize exec: {store.t_finalize_exec:.2f}s "
+                  f"D2H: {store.t_finalize_d2h:.2f}s ({len(rec)} rows)")
         self._store = None
         results.n_unique_kmers = n_unique
         results.n_below_cutoff_min = n_below
         results.n_above_cutoff_max = n_above
         results.n_total_kmers = n_total
 
-        if params.without_output:
-            return
-        bounds = np.searchsorted(bins, np.arange(self._n_used_bins + 1))
-        kmer_bytes = words_to_kmer_bytes(words, k)
-        if params.output_file_type == OutputFileType.KFF:
-            self._write_kff(params, kmer_bytes, counts, bounds)
-            return
-        info = self._make_db_info(params)
+        t0 = time.perf_counter()
         writer = Kmc2DbWriter(params.output_file_name, info, self._sig_map)
         writer.n_unique = n_unique
         writer.n_below_min = n_below
         writer.n_above_max = n_above
         writer.n_total = n_total
-        for b in range(self._n_used_bins):
-            lo, hi = bounds[b], bounds[b + 1]
-            if lo < hi:
-                writer.put_bin(b, kmer_bytes[lo:hi], counts[lo:hi])
+        writer.write_all_records(rec, lut)
         writer.close()
+        if s1.verbose:
+            print(f"[stage2] db write: {time.perf_counter() - t0:.2f}s")
 
     def _write_kff(self, params: Stage2Params, kmer_bytes, counts, bounds):
         """KFF output: one raw section per non-empty bin, mirroring the

@@ -18,7 +18,26 @@ from ..formats.kmc_db import DbInfo, KmcDb, read_db, sorted_records, write_kmc1_
 
 
 def load_sorted(path_prefix: str):
-    """(info, kmers (N,KB) uint8, counts uint32) in global k-mer order."""
+    """(info, kmers (N,KB) uint8, counts uint32) in global k-mer order.
+
+    Accepts KMC databases (path prefix of .kmc_pre/.kmc_suf) or KFF files
+    (path ending in .kff), like the reference's db_reader_factory
+    (kmc_tools/db_reader_factory.h)."""
+    if str(path_prefix).endswith(".kff"):
+        from ..formats.kff import read_kff
+
+        kf = read_kff(str(path_prefix))
+        order = _lexsort_rows(kf.kmers)
+        info = DbInfo(
+            kmer_len=kf.k,
+            counter_size=kf.counter_size,
+            lut_prefix_len=0,
+            cutoff_min=kf.min_count,
+            cutoff_max=kf.max_count,
+            both_strands=kf.canonical,
+            n_unique_stored=len(kf.kmers),
+        )
+        return info, kf.kmers[order], kf.counts[order]
     db = read_db(path_prefix)
     kmers, counts = sorted_records(db)
     return db.info, kmers, counts

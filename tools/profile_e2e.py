@@ -29,14 +29,16 @@ def main():
         with open(sliced, "rb") as f:
             head = f.read(1 << 20)
         warm.write_bytes(head[: head.rfind(b"\n@") + 1])
+    rows = int(sys.argv[3]) if len(sys.argv) > 3 else 28
     t0 = time.perf_counter()
     count([str(warm)], "/tmp/profile_warm_out", k=27, cutoff_min=2,
-          batch_positions=1 << SLOG)
+          batch_positions=1 << SLOG, device_store_rows=1 << rows)
     t_warm = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     r1, r2 = count([str(sliced)], "/tmp/profile_out", k=27, cutoff_min=2,
-                   batch_positions=1 << SLOG)
+                   batch_positions=1 << SLOG, device_store_rows=1 << rows,
+                   verbose=True)
     dt = time.perf_counter() - t0
     print(f"warm(compile): {t_warm:.1f}s")
     print(f"e2e {MB}MB s=2^{SLOG}: {dt:.2f}s  stage1={r1.time:.2f}s "
