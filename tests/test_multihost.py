@@ -1,0 +1,54 @@
+"""Multi-chip store pipeline: 8-virtual-device mesh vs oracle."""
+import numpy as np
+import pytest
+
+import jax
+
+from kmc_tpu import oracle
+from kmc_tpu.formats import dump_db_file
+from kmc_tpu.parallel.distributed import make_mesh
+from kmc_tpu.parallel.multihost import distributed_count
+
+
+@pytest.fixture(scope="module")
+def reads_file(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    path = tmp_path_factory.mktemp("mh") / "reads.fastq"
+    genome = rng.integers(0, 4, 20000)
+    with open(path, "w") as f:
+        for i in range(600):
+            start = rng.integers(0, len(genome) - 120)
+            seq = "".join("ACGT"[c] for c in genome[start : start + 120])
+            if i % 50 == 7:  # sprinkle Ns
+                seq = seq[:40] + "N" + seq[41:]
+            f.write(f"@r{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+    return str(path)
+
+
+@pytest.mark.parametrize("n_devices", [1, 4, 8])
+def test_distributed_matches_oracle(reads_file, tmp_path, n_devices):
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(n_devices)
+    out = str(tmp_path / f"db{n_devices}")
+    stats = distributed_count(
+        [reads_file], out, k=25, mesh=mesh, batch_positions=1 << 12,
+        cutoff_min=1, capacity_rows_per_device=1 << 17,
+    )
+    records, ostats = oracle.oracle_count_file(reads_file, 25, "fastq", cutoff_min=1)
+    assert dump_db_file(out) == oracle.dump_text(records)
+    assert stats["n_unique"] == ostats["n_unique"]
+    assert stats["n_total"] == ostats["n_total"]
+
+
+def test_distributed_cutoffs(reads_file, tmp_path):
+    mesh = make_mesh(4)
+    out = str(tmp_path / "db_ci2")
+    stats = distributed_count(
+        [reads_file], out, k=21, mesh=mesh, batch_positions=1 << 12,
+        cutoff_min=2, counter_max=100, capacity_rows_per_device=1 << 17,
+    )
+    records, ostats = oracle.oracle_count_file(
+        reads_file, 21, "fastq", cutoff_min=2, counter_max=100)
+    assert dump_db_file(out) == oracle.dump_text(records)
+    assert stats["n_below"] == ostats["n_below_min"]
