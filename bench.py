@@ -58,10 +58,11 @@ def main():
 
     out_db = str(CACHE / "bench_out")
     # TPU operating point: big batches amortize the per-dispatch tunnel
-    # latency; the store holds the whole run without mid-run compactions
+    # latency; 2^27 store rows fit the sort working set in HBM (the run
+    # compacts once mid-way)
     tuned = dict(
         batch_positions=1 << 23,
-        device_store_rows=1 << 28,
+        device_store_rows=1 << 27,
     )
     # warm-up: compile all kernels on a tiny slice so the measured run is
     # steady-state (first XLA compile is ~30-90s per kernel on this setup;
@@ -73,6 +74,16 @@ def main():
         head = head[: head.rfind(b"\n@")] if b"\n@" in head else head
         warm.write_bytes(head + b"\n")
     count([str(warm)], str(CACHE / "warm_out"), k=K, cutoff_min=2, **tuned)
+    # also pre-compile the mid-run compaction at the bench store shape
+    from kmc_tpu.ops.store import DeviceKmerStore
+
+    st = DeviceKmerStore(
+        capacity_rows=tuned["device_store_rows"],
+        kmer_words=(K + 15) // 16,
+        initial_rows=tuned["device_store_rows"],
+    )
+    st.compact()
+    del st
 
     t0 = time.perf_counter()
     res1, res2 = count([str(fq)], out_db, k=K, cutoff_min=2, **tuned)

@@ -237,6 +237,22 @@ def stage0_stats_batch_packed(
     return _stage0_core(c4, bad, s=s, k=k, sig_len=sig_len, map_len=map_len)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("s", "k", "sig_len"), donate_argnums=(2,)
+)
+def stage0_stats_accum(
+    packed: jax.Array, mask: jax.Array, hist: jax.Array, *, s: int, k: int,
+    sig_len: int
+):
+    """Device-accumulated stage-0 histogram: one dispatch per batch, no
+    host round-trip until the map is built (D2H sync per batch costs more
+    than the kernel on the tunnel)."""
+    c4, bad = _unpack_device(packed, mask)
+    map_len = hist.shape[0]
+    h = _stage0_core(c4, bad, s=s, k=k, sig_len=sig_len, map_len=map_len)
+    return hist + h
+
+
 def _stage0_core(c4, bad, *, s: int, k: int, sig_len: int, map_len: int):
     L = c4.shape[0]
     p, q = _pack_streams(c4, L - 15)

@@ -37,7 +37,7 @@ def _acc64_add(acc, inc_u32):
 @functools.partial(
     jax.jit,
     static_argnames=("s", "k", "sig_len", "both_strands", "dedup"),
-    donate_argnums=(2, 3, 4, 6, 7),
+    donate_argnums=(2, 3, 4, 6, 7, 9),
 )
 def _ingest_packed(
     packed,
@@ -49,6 +49,7 @@ def _ingest_packed(
     occ_acc,
     skm_acc,
     prev_sig,
+    sig_hist,
     *,
     s: int,
     k: int,
@@ -77,6 +78,14 @@ def _ingest_packed(
     new_skm = (sig_pos != INVALID_SIG) & (sig_pos != prev)
     skm_acc = _acc64_add(skm_acc, jnp.sum(new_skm.astype(jnp.uint32)))
 
+    # signature occurrence histogram for the bin map (replaces the
+    # reference's separate stage-0 sampling pass, splitter.cpp:439-533: the
+    # map is only needed at finalize here, so it can be built from the FULL
+    # input as a side product of ingest)
+    map_len = sig_hist.shape[0] - 1
+    hslot = jnp.minimum(sig_pos, jnp.uint32(map_len)).astype(jnp.int32)
+    sig_hist = sig_hist.at[hslot].add(1)
+
     if dedup:
         sig, words, counts, _ = _stage1_core(
             c4, bad, s=s, k=k, sig_len=sig_len, both_strands=both_strands
@@ -104,6 +113,7 @@ def _ingest_packed(
         occ_acc,
         skm_acc,
         sig_pos[-1:],
+        sig_hist,
     )
 
 
@@ -125,7 +135,7 @@ def _append(store_sig, store_words, store_counts, n_used, sig, words, counts, oc
     return store_sig, store_words, store_counts, n_used + sig.shape[0], occ_acc
 
 
-def _group_reduce(key_cols, payload_cols, counts):
+def _group_reduce(key_cols, payload_cols, counts=None, n_live=None):
     """Sort rows by key_cols, merge equal-key runs, compact group
     representatives to the front — using ONLY sorts and scans (scatter /
     gather / nonzero cost seconds at 64M rows on this part; two extra sort
@@ -137,64 +147,84 @@ def _group_reduce(key_cols, payload_cols, counts):
     front in order — B is strictly increasing across starts of nonempty
     groups, so no stability is needed.
 
+    counts: per-row weights; pass counts=None with n_live=<traced scalar>
+    when every live row weighs 1 and live rows sort to a prefix (unit-count
+    fast path: the prefix-sum is just min(i+1, n_live) and the sort carries
+    one less column).
+
     Returns (sorted_key_cols_of_reps, sorted_payload_cols_of_reps, totals,
     n_groups); all X-sized, rows [0, n_groups) are the groups in key order,
-    the rest is garbage.  counts must sum below 2^32 per call.
+    the rest is garbage.  counts must sum below 2^31 per call (the flag bit
+    rides bit 31 of the prefix sum); the spill machinery bounds this.
     """
-    X = counts.shape[0]
+    X = key_cols[0].shape[0]
     n_keys = len(key_cols)
-    ops = jax.lax.sort(list(key_cols) + list(payload_cols) + [counts], num_keys=n_keys)
-    keys_s = ops[:n_keys]
-    pays_s = ops[n_keys:-1]
-    counts_s = ops[-1]
+    idx = jnp.arange(X, dtype=jnp.int32)
+    if counts is None:
+        ops = jax.lax.sort(list(key_cols) + list(payload_cols), num_keys=n_keys)
+        keys_s = ops[:n_keys]
+        pays_s = ops[n_keys:]
+        # live rows (weight 1) occupy the sorted prefix of length n_live
+        cs = jnp.minimum(idx + 1, n_live).astype(jnp.uint32)
+    else:
+        ops = jax.lax.sort(
+            list(key_cols) + list(payload_cols) + [counts], num_keys=n_keys
+        )
+        keys_s = ops[:n_keys]
+        pays_s = ops[n_keys:-1]
+        cs = jnp.cumsum(ops[-1], dtype=jnp.uint32)
 
     new = jnp.ones((X,), jnp.bool_)
     diff = jnp.zeros((X - 1,), jnp.bool_)
     for c in keys_s:
         diff = diff | (c[1:] != c[:-1])
     new = new.at[1:].set(diff)
-    cs = jnp.cumsum(counts_s, dtype=jnp.uint32)
     before = jnp.concatenate([jnp.zeros((1,), jnp.uint32), cs[:-1]])
 
-    flag = jnp.where(new, jnp.uint32(0), jnp.uint32(1))
-    ops2 = jax.lax.sort(
-        [flag, before, *keys_s, *pays_s], num_keys=2
-    )
-    b2 = ops2[1]
-    keys_r = ops2[2 : 2 + n_keys]
-    pays_r = ops2[2 + n_keys :]
+    # single sort key: the group-start flag rides bit 31 of the prefix-sum
+    # (totals per _group_reduce call are < 2^31, see docstring)
+    key2 = jnp.where(new, before, before | jnp.uint32(0x80000000))
+    ops2 = jax.lax.sort([key2, *keys_s, *pays_s], num_keys=1)
+    b2 = ops2[0] & jnp.uint32(0x7FFFFFFF)
+    keys_r = ops2[1 : 1 + n_keys]
+    pays_r = ops2[1 + n_keys :]
     total_all = cs[-1]
     b_next = jnp.concatenate([b2[1:], total_all[None]])
     n_groups = jnp.sum(new.astype(jnp.int32))
-    in_range = jnp.arange(X, dtype=jnp.int32) < n_groups
+    in_range = idx < n_groups
     # the row after the last group carries garbage B; patch with grand total
-    b_next = jnp.where(
-        jnp.arange(X, dtype=jnp.int32) == n_groups - 1, total_all, b_next
-    )
+    b_next = jnp.where(idx == n_groups - 1, total_all, b_next)
     totals = jnp.where(in_range, b_next - b2, 0)
     return keys_r, pays_r, totals, n_groups
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-def _compact(store_sig, store_words, store_counts, n_used):
+@functools.partial(jax.jit, static_argnames=("unit_counts",), donate_argnums=(0, 1, 2))
+def _compact(store_sig, store_words, store_counts, n_used, *, unit_counts=False):
     """Merge duplicate k-mers in the store; returns compacted arrays and the
-    new row count (valid rows are a prefix; the rest is inert padding)."""
+    new row count (valid rows are a prefix; the rest is inert padding).
+
+    Grouping key is (sig, words): sig is a function of the k-mer so groups
+    are unchanged, and putting it first makes live rows sort to a prefix
+    (dead rows carry INVALID_SIG), enabling the unit-count fast path and
+    recovering sig without a payload column."""
     X, W = store_words.shape
     idx = jnp.arange(X, dtype=jnp.int32)
-    live = idx < n_used
+    live = (idx < n_used) & (store_counts > 0)
     sig = jnp.where(live, store_sig, INVALID_SIG)
-    counts = jnp.where(live, store_counts, 0)
     words = jnp.where(live[:, None], store_words, jnp.uint32(0xFFFFFFFF))
+    key_cols = [sig] + [words[:, t] for t in range(W)]
 
-    keys_r, pays_r, totals, n_groups = _group_reduce(
-        [words[:, t] for t in range(W)], [sig], counts
-    )
+    if unit_counts:
+        n_live = jnp.sum(live.astype(jnp.int32))
+        keys_r, _, totals, n_groups = _group_reduce(key_cols, [], None, n_live)
+    else:
+        counts = jnp.where(live, store_counts, 0)
+        keys_r, _, totals, n_groups = _group_reduce(key_cols, [], counts)
     in_range = idx < n_groups
     group_valid = in_range & (totals > 0)
-    n_unique = jnp.sum(group_valid.astype(jnp.int32))
-    out_sig = jnp.where(group_valid, pays_r[0], INVALID_SIG)
+    out_sig = jnp.where(group_valid, keys_r[0], INVALID_SIG)
     out_words = jnp.where(
-        group_valid[:, None], jnp.stack(keys_r, axis=1), jnp.uint32(0xFFFFFFFF)
+        group_valid[:, None], jnp.stack(keys_r[1:], axis=1), jnp.uint32(0xFFFFFFFF)
     )
     out_counts = jnp.where(group_valid, totals, 0).astype(jnp.uint32)
     return out_sig, out_words, out_counts, n_groups
@@ -248,7 +278,7 @@ def _finalize(
     jax.jit,
     static_argnames=(
         "cutoff_min", "cutoff_max", "counter_max", "k",
-        "lut_prefix_len", "counter_size", "n_bins",
+        "lut_prefix_len", "counter_size", "n_bins", "unit_counts",
     ),
     donate_argnums=(0, 1, 2),
 )
@@ -266,6 +296,7 @@ def _finalize_records(
     lut_prefix_len: int,
     counter_size: int,
     n_bins: int,
+    unit_counts: bool = False,
 ):
     """Device completer: group/merge/cutoff AND emit the exact on-disk byte
     payload (reference CKmerBinCompleter, kb_completer.cpp:59-223) —
@@ -282,18 +313,37 @@ def _finalize_records(
     X, W = store_words.shape
     idx = jnp.arange(X, dtype=jnp.int32)
     live = (idx < n_used) & (store_sig != INVALID_SIG) & (store_counts > 0)
-    counts = jnp.where(live, store_counts, 0)
     words = jnp.where(live[:, None], store_words, jnp.uint32(0xFFFFFFFF))
     map_len = sig_map.shape[0]
     sig_idx = jnp.minimum(store_sig, map_len - 1).astype(jnp.int32)
-    bins = jnp.where(live, sig_map[sig_idx].astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
+    # clamp dead rows' bin to n_bins: sorts after every real bin and leaves
+    # headroom to fuse the bin id into the spare top bits of lane 0
+    bins = jnp.where(live, sig_map[sig_idx].astype(jnp.uint32), jnp.uint32(n_bins))
 
-    keys_r, _, totals, n_groups = _group_reduce(
-        [bins] + [words[:, t] for t in range(W)], [], counts
-    )
-    bins_r = keys_r[0]
-    wr = keys_r[1:]
-    group_valid = (idx < n_groups) & (totals > 0) & (bins_r != jnp.uint32(0xFFFFFFFF))
+    r0 = k - 16 * (W - 1)  # bases in lane 0
+    bin_bits = int(n_bins + 1).bit_length()
+    fuse = (2 * r0 + bin_bits) <= 32
+    if fuse:
+        # (bin, k-mer) order with one fewer sort column: bin rides the
+        # spare top bits of lane 0
+        fused0 = (bins << (2 * r0)) | words[:, 0]
+        key_cols = [fused0] + [words[:, t] for t in range(1, W)]
+    else:
+        key_cols = [bins] + [words[:, t] for t in range(W)]
+
+    if unit_counts:
+        n_live = jnp.sum(live.astype(jnp.int32))
+        keys_r, _, totals, n_groups = _group_reduce(key_cols, [], None, n_live)
+    else:
+        counts = jnp.where(live, store_counts, 0)
+        keys_r, _, totals, n_groups = _group_reduce(key_cols, [], counts)
+    if fuse:
+        bins_r = keys_r[0] >> (2 * r0)
+        wr = [keys_r[0] & jnp.uint32((1 << (2 * r0)) - 1)] + list(keys_r[1:])
+    else:
+        bins_r = keys_r[0]
+        wr = list(keys_r[1:])
+    group_valid = (idx < n_groups) & (totals > 0) & (bins_r < jnp.uint32(n_bins))
     n_unique = jnp.sum(group_valid.astype(jnp.int32))
     below = group_valid & (totals < cutoff_min)
     above = group_valid & (totals > cutoff_max)
@@ -301,24 +351,37 @@ def _finalize_records(
     n_above = jnp.sum(above.astype(jnp.int32))
     keep = group_valid & ~below & ~above
 
-    # --- record bytes -----------------------------------------------------
+    # --- record bytes, packed 4-per-u32, one 1-D column per u32 ------------
+    # (an (X, record_bytes) u8 array would be tile-padded 128/record_bytes x
+    # in HBM — 16 GB at X=2^28! — and per-byte u8 columns pay 1 transfer
+    # setup each; big-endian u32 columns keep everything 1-D and quarter the
+    # transfer count; the host views them as bytes)
     kb = (k + 3) // 4
     suffix_bytes = (k - lut_prefix_len) // 4 if lut_prefix_len else kb
+    record_bytes = suffix_bytes + counter_size
     cnt = jnp.minimum(totals, counter_max)
-    cols = []
-    for j in range(suffix_bytes):
-        t = suffix_bytes - 1 - j  # byte index from the right of the k-mer
-        lane = W - 1 - (t // 4)
-        sh = 8 * (t % 4)
-        cols.append(((wr[lane] >> sh) & 0xFF).astype(jnp.uint8))
-    for j in range(counter_size):  # little-endian counter
-        cols.append(((cnt >> (8 * j)) & 0xFF).astype(jnp.uint8))
-    rec = jnp.stack(cols, axis=1) if cols else jnp.zeros((X, 0), jnp.uint8)
 
-    # --- keep bitmap (MSB-first, np.unpackbits-compatible) ----------------
-    kb_bits = keep.astype(jnp.uint32).reshape(X // 8, 8)
-    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint32)
-    keep_bits = jnp.sum(kb_bits * weights[None, :], axis=1).astype(jnp.uint8)
+    def rec_byte(j):
+        if j < suffix_bytes:
+            t = suffix_bytes - 1 - j  # byte index from the right of the k-mer
+            lane = W - 1 - (t // 4)
+            sh = 8 * (t % 4)
+            return (wr[lane] >> sh) & 0xFF
+        return (cnt >> (8 * (j - suffix_bytes))) & 0xFF  # LE counter byte
+
+    cols = []
+    for c0 in range(0, record_bytes, 4):
+        col = jnp.zeros((X,), jnp.uint32)
+        for j in range(c0, min(c0 + 4, record_bytes)):
+            col = col | (rec_byte(j) << (8 * (3 - (j - c0))))
+        cols.append(col)
+
+    # --- keep bitmap (MSB-first, np.unpackbits-compatible), 1-D math ------
+    keep_u = keep.astype(jnp.uint32)
+    keep_bits = jnp.zeros((X // 8,), jnp.uint32)
+    for j in range(8):
+        keep_bits = keep_bits | (keep_u[j::8] << (7 - j))
+    keep_bits = keep_bits.astype(jnp.uint8)
 
     # --- per-(bin, prefix) LUT histogram ----------------------------------
     if lut_prefix_len:
@@ -335,14 +398,23 @@ def _finalize_records(
     else:
         prefix = jnp.zeros((X,), jnp.uint32)
     lut_size = n_bins << (2 * lut_prefix_len)
-    key = jnp.where(
-        keep,
+    # rows are sorted by (bin, k-mer), so (bin, prefix) keys are monotone over
+    # the group region; invalid/garbage rows form a suffix.  LUT counts are
+    # then differences of the kept-row prefix-sum at key boundaries — a
+    # searchsorted of lut_size probes instead of an X-sized scatter-add
+    # (scatter at 2^28 rows costs ~3s on v5e; this is ~ms).
+    key_mono = jnp.where(
+        (idx < n_groups) & (bins_r < jnp.uint32(n_bins)),
         (bins_r << (2 * lut_prefix_len)) | prefix,
         jnp.uint32(lut_size),
-    ).astype(jnp.int32)
-    lut = jnp.zeros((lut_size + 1,), jnp.uint32).at[key].add(1)
+    )
+    kept_excl = jnp.concatenate(
+        [jnp.zeros((1,), jnp.uint32), jnp.cumsum(keep.astype(jnp.uint32))]
+    )
+    bounds = jnp.searchsorted(key_mono, jnp.arange(lut_size + 1, dtype=jnp.uint32))
+    lut = kept_excl[bounds[1:]] - kept_excl[bounds[:-1]]
 
-    return rec, keep_bits, lut, n_groups, (n_unique, n_below, n_above)
+    return cols, keep_bits, lut, n_groups, (n_unique, n_below, n_above)
 
 
 @dataclass
@@ -358,9 +430,12 @@ class DeviceKmerStore:
         """capacity_rows is the HBM budget cap; the store starts small and
         doubles on demand (log-structured growth), so tiny inputs never pay
         for a full-size sort."""
-        self.max_capacity = int(capacity_rows)
+        def _r8(x):  # keep-bit packing needs row counts divisible by 8
+            return (int(x) + 7) & ~7
+
+        self.max_capacity = _r8(capacity_rows)
         self.W = int(kmer_words)
-        self.capacity = min(self.max_capacity, int(initial_rows or (1 << 20)))
+        self.capacity = min(self.max_capacity, _r8(initial_rows or (1 << 20)))
         self._alloc(self.capacity)
         self.n_used = jnp.int32(0)
         self.occ_acc = jnp.zeros((2,), jnp.uint32)  # (lo, hi) occurrence total
@@ -369,6 +444,10 @@ class DeviceKmerStore:
         self._since_compact = 0
         self.spilled = []  # host-side spilled compacted runs
         self.total_appended_rows = 0
+        # True while every live row still has count 1 (only raw ingests so
+        # far): enables the unit-count fast path in compact/finalize
+        self._unit = True
+        self.sig_hist = None  # lazily sized from sig_len at first ingest
 
     def _alloc(self, capacity):
         self.sig = jnp.full((capacity,), INVALID_SIG, jnp.uint32)
@@ -414,24 +493,72 @@ class DeviceKmerStore:
         )
         if count_occurrences:
             self.occ_acc = acc
+        self._unit = False  # externally appended rows may carry any count
         self._since_compact += s
 
     def ingest_packed(self, packed, mask, *, s: int, k: int, sig_len: int,
                       both_strands: bool, dedup: bool = False):
-        """Fused extract+append of one 2-bit-packed batch (one dispatch)."""
+        """Fused extract+append of one 2-bit-packed batch (one dispatch);
+        also accumulates the signature histogram for the bin map."""
         self.total_appended_rows += s
         self._make_room(s)
+        if self.sig_hist is None:
+            from ..signatures import map_size
+
+            self.sig_hist = jnp.zeros((map_size(sig_len) + 1,), jnp.uint32)
         (self.sig, self.words, self.counts, self.n_used, self.occ_acc,
-         self.skm_acc, self.prev_sig) = _ingest_packed(
+         self.skm_acc, self.prev_sig, self.sig_hist) = _ingest_packed(
             packed, mask, self.sig, self.words, self.counts, self.n_used,
-            self.occ_acc, self.skm_acc, self.prev_sig,
+            self.occ_acc, self.skm_acc, self.prev_sig, self.sig_hist,
             s=s, k=k, sig_len=sig_len, both_strands=both_strands, dedup=dedup,
         )
         self._since_compact += s
 
+    def sig_histogram(self) -> np.ndarray:
+        """Accumulated per-signature k-mer occurrence counts (map_size
+        entries; the trailing invalid slot is dropped)."""
+        return np.asarray(self.sig_hist[:-1], dtype=np.uint64)
+
     def total_super_kmers(self) -> int:
         acc = np.asarray(self.skm_acc)
         return int(acc[0]) + (int(acc[1]) << 32)
+
+    # -- checkpoint / resume (SURVEY.md §5.4: stage-1 state is the natural
+    # checkpoint; the reference's analogue is its tmp bin files + CBinDesc) --
+    def save_checkpoint(self, path: str):
+        """Compact, then persist the store's valid prefix to an .npz."""
+        self.compact()
+        n = self._base
+        np.savez_compressed(
+            path,
+            sig=np.asarray(self.sig[:n]),
+            words=np.asarray(self.words[:n]),
+            counts=np.asarray(self.counts[:n]),
+            occ=np.asarray(self.occ_acc),
+            skm=np.asarray(self.skm_acc),
+            spilled=np.asarray(len(self.spilled)),
+        )
+        for i, (s_, w_, c_) in enumerate(self.spilled):
+            np.savez_compressed(f"{path}.spill{i}", sig=s_, words=w_, counts=c_)
+
+    @classmethod
+    def load_checkpoint(cls, path: str, capacity_rows: int):
+        data = np.load(path if str(path).endswith(".npz") else path + ".npz")
+        n = len(data["sig"])
+        W = data["words"].shape[1]
+        store = cls(max(capacity_rows, 2 * max(n, 1)), W, initial_rows=max(2 * n, 1 << 10))
+        store.append(
+            jnp.asarray(data["sig"]),
+            jnp.asarray(data["words"]),
+            jnp.asarray(data["counts"]),
+            count_occurrences=False,
+        )
+        store.occ_acc = jnp.asarray(data["occ"])
+        store.skm_acc = jnp.asarray(data["skm"])
+        for i in range(int(data["spilled"])):
+            sp = np.load(f"{path}.spill{i}.npz")
+            store.spilled.append((sp["sig"], sp["words"], sp["counts"]))
+        return store
 
     def total_occurrences(self) -> int:
         acc = np.asarray(self.occ_acc)
@@ -442,8 +569,10 @@ class DeviceKmerStore:
 
     def compact(self):
         self.sig, self.words, self.counts, self.n_used = _compact(
-            self.sig, self.words, self.counts, self.n_used
+            self.sig, self.words, self.counts, self.n_used,
+            unit_counts=self._unit,
         )
+        self._unit = False  # merged rows carry real totals now
         self._base = int(self.n_used)  # one D2H scalar per compaction
         self._since_compact = 0
 
@@ -512,7 +641,7 @@ class DeviceKmerStore:
         self._replay_spills()
         sm = jnp.asarray(sig_map.astype(np.int32))
         t0 = _time.perf_counter()
-        rec, keep_bits, lut, n_groups, stats = _finalize_records(
+        cols, keep_bits, lut, n_groups, stats = _finalize_records(
             self.sig,
             self.words,
             self.counts,
@@ -525,17 +654,25 @@ class DeviceKmerStore:
             lut_prefix_len=lut_prefix_len,
             counter_size=counter_size,
             n_bins=n_bins,
+            unit_counts=self._unit,
         )
         n = int(n_groups)  # sync point
         self.t_finalize_exec = _time.perf_counter() - t0
         t0 = _time.perf_counter()
-        rec_h = np.asarray(rec[:n])
         nb = (n + 7) // 8
         keep_h = np.unpackbits(np.asarray(keep_bits[:nb]))[:n].astype(bool)
-        lut_h = np.asarray(lut[:-1]).astype(np.uint64)
+        suffix_bytes = (k - lut_prefix_len) // 4 if lut_prefix_len else (k + 3) // 4
+        record_bytes = suffix_bytes + counter_size
+        rec_h = np.empty((n, 4 * len(cols)), dtype=np.uint8)
+        for j, c in enumerate(cols):
+            rec_h[:, 4 * j : 4 * j + 4] = (
+                np.asarray(c[:n]).astype(">u4").view(np.uint8).reshape(n, 4)
+            )
+        rec_h = rec_h[:, :record_bytes]
+        lut_h = np.asarray(lut).astype(np.uint64)
         self.t_finalize_d2h = _time.perf_counter() - t0
         self.sig = self.words = self.counts = None
-        return rec_h[keep_h], lut_h, tuple(int(x) for x in stats)
+        return np.ascontiguousarray(rec_h[keep_h]), lut_h, tuple(int(x) for x in stats)
 
     def finalize(self, sig_map: np.ndarray, cutoff_min: int, cutoff_max: int, counter_max: int):
         """Returns (bins, words, counts, stats) as host arrays in final DB

@@ -220,7 +220,12 @@ class Runner:
         elif self._small_k:
             self._run_stage1_small_k(params, results)
         else:
-            self._run_stage0(params)
+            if not params.device_store:
+                # host-staged buckets route by bin during stage 1, so the
+                # map must exist upfront (the reference's stage-0 sampling);
+                # the device-store path builds it from the full input as an
+                # ingest side product instead
+                self._run_stage0(params)
             self._run_stage1_bins(params, results)
             if self._estimator is not None:
                 results.estimated_histogram = self._estimator.estimate_histogram()
@@ -294,18 +299,26 @@ class Runner:
 
     def _run_stage0(self, params: Stage1Params):
         """Sampled signature histogram -> greedy signature->bin map."""
+        t0 = time.perf_counter()
         k, m = params.kmer_len, params.signature_len
         s = params.batch_positions
         bs = BatchStream(s, k)
         msize = map_size(m)
         hist = np.zeros(msize, dtype=np.uint64)
+        import jax.numpy as jnp
+
+        from .ops.extract import stage0_stats_accum
+
+        dev_hist = jnp.zeros((msize,), jnp.uint32)
         gen = (c for c, _ in self._chunks(params, max_bytes=defs.STATS_SAMPLE_BYTES))
         for batch in bs.batches(gen):
             packed, mask = pack_codes(batch)
-            h = stage0_stats_batch_packed(packed, mask, s=s, k=k, sig_len=m, map_len=msize)
-            hist += np.asarray(h, dtype=np.uint64)
+            dev_hist = stage0_stats_accum(packed, mask, dev_hist, s=s, k=k, sig_len=m)
+        hist += np.asarray(dev_hist, dtype=np.uint64)
         self._sig_map = build_signature_map(hist, m, params.n_bins)
         self._n_used_bins = int(self._sig_map.max()) + 1
+        if params.verbose:
+            print(f"[stage0] signature map: {time.perf_counter() - t0:.2f}s")
 
     def _run_stage1_bins(self, params: Stage1Params, results: Stage1Results):
         if params.device_store:
@@ -334,14 +347,32 @@ class Runner:
             kmer_words=W,
             initial_rows=init_rows,
         )
+        t_host = t_disp = 0.0
+        t_prev = time.perf_counter()
         gen = (c for c, _ in self._chunks(params))
         for batch in bs.batches(gen):
             packed, mask = pack_codes(batch)
+            t_now = time.perf_counter()
+            t_host += t_now - t_prev
             store.ingest_packed(
                 packed, mask, s=s, k=k, sig_len=m,
                 both_strands=params.canonical_kmers,
             )
+            t_prev = time.perf_counter()
+            t_disp += t_prev - t_now
+        if params.verbose:
+            print(f"[stage1] host(parse+pack): {t_host:.2f}s "
+                  f"dispatch(ingest): {t_disp:.2f}s "
+                  f"({store.total_appended_rows // max(s,1)} batches)")
         self._store = store
+        # bin map from the ingest-accumulated full-input signature histogram
+        t0 = time.perf_counter()
+        self._sig_map = build_signature_map(
+            store.sig_histogram(), m, params.n_bins
+        )
+        self._n_used_bins = int(self._sig_map.max()) + 1
+        if params.verbose:
+            print(f"[stage1] signature map: {time.perf_counter() - t0:.2f}s")
         results.n_total_super_kmers = store.total_super_kmers()
 
     def _run_stage1_host_buckets(self, params: Stage1Params, results: Stage1Results):
@@ -397,6 +428,41 @@ class Runner:
                 packed, mask, hist, s=s, k=k, both_strands=params.canonical_kmers
             )
         self._smallk_hist = np.asarray(hist)[:-1].astype(np.uint64)  # drop invalid slot
+
+    # ---------------- checkpoint / resume ----------------
+    # Stage-1 output is the natural checkpoint (SURVEY.md §5.4): persisting
+    # the device store + signature map makes stage 2 restartable, the TPU
+    # analogue of re-running from the reference's tmp bin files.
+    def save_stage1_checkpoint(self, path: str):
+        if self._store is None:
+            raise RuntimeError("no stage-1 device store to checkpoint")
+        self._store.save_checkpoint(path)
+        np.savez(
+            path + ".meta",
+            sig_map=self._sig_map,
+            n_used_bins=self._n_used_bins,
+            n_reads=self._n_reads,
+            kmer_len=self._s1.kmer_len,
+            signature_len=self._s1.signature_len,
+            canonical=self._s1.canonical_kmers,
+        )
+
+    def resume_stage1_checkpoint(self, path: str, params: Stage1Params):
+        from .ops.store import DeviceKmerStore
+
+        meta = np.load(path + ".meta.npz")
+        params.kmer_len = int(meta["kmer_len"])
+        params.signature_len = int(meta["signature_len"])
+        params.canonical_kmers = bool(meta["canonical"])
+        params.validate()
+        self._s1 = params
+        self._small_k = params.kmer_len <= 13
+        self._sig_map = meta["sig_map"]
+        self._n_used_bins = int(meta["n_used_bins"])
+        self._n_reads = int(meta["n_reads"])
+        self._store = DeviceKmerStore.load_checkpoint(
+            path, capacity_rows=params.device_store_rows
+        )
 
     # ---------------- stage 2 ----------------
     def run_stage2(self, params: Stage2Params) -> Stage2Results:

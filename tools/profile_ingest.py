@@ -32,7 +32,7 @@ def main():
         batches.append(pack_codes(codes))
 
     W = (k + 15) // 16
-    cap = 1 << 26
+    cap = 1 << int(sys.argv[3]) if len(sys.argv) > 3 else 1 << 26
 
     def run(tag):
         store = DeviceKmerStore(capacity_rows=cap, kmer_words=W, initial_rows=cap)
