@@ -231,6 +231,26 @@ def main(argv=None) -> int:
         print(f"Error: {e}", file=sys.stderr)
         print(USAGE)
         return 1
+    if not cli.get("hide_progress"):
+        class _ConsolePercent:
+            """Reference-style 'Stage 1: 37%' console progress."""
+
+            def __init__(self):
+                self._label = ""
+                self._last = -1
+
+            def set_label(self, label):
+                self._label = label
+                self._last = -1
+
+            def set_progress(self, value):
+                if value != self._last:
+                    self._last = value
+                    print(f"\r{self._label}{value}%", end="", flush=True)
+                    if value >= 100:
+                        print()
+
+        s1.percent_progress_observer = _ConsolePercent()
     runner = Runner()
     try:
         r1 = runner.run_stage1(s1)

@@ -218,6 +218,45 @@ def _stage1_core(c4, bad, *, s: int, k: int, sig_len: int, both_strands: bool):
     return u_sig, u_words, counts, n_groups
 
 
+def _revcomp_mmer(m: jax.Array, sig_len: int) -> jax.Array:
+    """Reverse complement of 2-bit packed m-mers (vector bit math,
+    semantics of kmc_api/mmer.h:68-79)."""
+    rev = jnp.zeros_like(m)
+    x = m
+    for _ in range(sig_len):
+        rev = (rev << 2) | (jnp.uint32(3) - (x & 3))
+        x = x >> 2
+    return rev
+
+
+def sig_of_words(words, *, k: int, sig_len: int):
+    """Signature of each canonical k-mer row, recomputed from its lanes.
+
+    words: uint32[X, W] MSW-first right-aligned 2-bit lanes.  Equals the
+    per-position signature the splitter computed (the set of canonical m-mer
+    norms of a k-mer and of its reverse complement is identical, so the
+    canonical representative gives the same minimum).  Lets the HBM store
+    drop its signature column: 8-byte rows instead of 16.
+    """
+    X, W = words.shape
+    mask_m = jnp.uint32((1 << (2 * sig_len)) - 1)
+    special = jnp.uint32(1 << (2 * sig_len))
+    best = jnp.full((X,), special, jnp.uint32)
+    for j in range(k - sig_len + 1):
+        shift = 2 * (k - sig_len - j)  # m-mer j = (kmer >> shift) & mask
+        lane = W - 1 - (shift // 32)
+        off = shift % 32
+        v = words[:, lane] >> off
+        if off + 2 * sig_len > 32 and lane > 0:
+            v = v | (words[:, lane - 1] << (32 - off))
+        f = v & mask_m
+        r = _revcomp_mmer(f, sig_len)
+        fv = jnp.where(_is_allowed(f, sig_len), f, special)
+        rv = jnp.where(_is_allowed(r, sig_len), r, special)
+        best = jnp.minimum(best, jnp.minimum(fv, rv))
+    return best
+
+
 @functools.partial(jax.jit, static_argnames=("s", "k", "sig_len", "map_len"))
 def stage0_stats_batch(codes: jax.Array, *, s: int, k: int, sig_len: int, map_len: int):
     """Stage-0: histogram of per-k-mer signatures over a (sampled) batch

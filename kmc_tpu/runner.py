@@ -17,6 +17,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 from enum import Enum
+from pathlib import Path
 from typing import Optional
 
 import numpy as np
@@ -124,6 +125,11 @@ class Stage1Params:
     # host-staged per-bin bucket pipeline
     device_store: bool = True
     device_store_rows: int = 1 << 26
+    # observers (reference kmc_runner.h:24-93; injected like SetLogger /
+    # SetPercentProgressObserver / SetProgressObserver)
+    logger: object = None
+    percent_progress_observer: object = None
+    progress_observer: object = None
 
     def validate(self):
         if not (defs.MIN_K <= self.kmer_len <= defs.MAX_K):
@@ -347,19 +353,53 @@ class Runner:
             kmer_words=W,
             initial_rows=init_rows,
         )
+        total_bytes = sum(
+            Path(p).stat().st_size for p in params.input_files if Path(p).exists()
+        )
+        ppo = params.percent_progress_observer
+        if ppo is not None:
+            ppo.set_label("Stage 1: ")
+        state_ref = None
         t_host = t_disp = 0.0
         t_prev = time.perf_counter()
-        gen = (c for c, _ in self._chunks(params))
-        for batch in bs.batches(gen):
+        chunk_gen = self._chunks(params)
+
+        def gen():
+            nonlocal state_ref
+            for c, st in chunk_gen:
+                state_ref = st
+                yield c
+
+        import jax
+
+        pending = None  # (packed_dev, mask_dev): H2D in flight during parse
+        for batch in bs.batches(gen()):
             packed, mask = pack_codes(batch)
             t_now = time.perf_counter()
             t_host += t_now - t_prev
-            store.ingest_packed(
-                packed, mask, s=s, k=k, sig_len=m,
-                both_strands=params.canonical_kmers,
-            )
+            # explicit async device_put: the transfer of this batch overlaps
+            # with parsing the next one (passing numpy straight to the jitted
+            # ingest would serialize H2D with the host loop)
+            staged = (jax.device_put(packed), jax.device_put(mask))
+            if pending is not None:
+                store.ingest_packed(
+                    *pending, s=s, k=k, sig_len=m,
+                    both_strands=params.canonical_kmers,
+                )
+            pending = staged
             t_prev = time.perf_counter()
             t_disp += t_prev - t_now
+        if pending is not None:
+            store.ingest_packed(
+                *pending, s=s, k=k, sig_len=m,
+                both_strands=params.canonical_kmers,
+            )
+            if ppo is not None and total_bytes and state_ref is not None:
+                ppo.set_progress(
+                    min(99, state_ref.consumed_bytes * 100 // total_bytes)
+                )
+        if ppo is not None:
+            ppo.set_progress(100)
         if params.verbose:
             print(f"[stage1] host(parse+pack): {t_host:.2f}s "
                   f"dispatch(ingest): {t_disp:.2f}s "
