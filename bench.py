@@ -95,7 +95,7 @@ def main():
     sig_map = build_signature_map(np.ones(map_size(9), np.uint64), 9, 512)
     st.finalize_records(
         sig_map, cutoff_min=2, cutoff_max=10**9, counter_max=255,
-        k=K, lut_prefix_len=3, counter_size=1, n_bins=512,
+        k=K, sig_len=9, lut_prefix_len=3, counter_size=1, n_bins=512,
     )
     del st
 

@@ -563,6 +563,8 @@ class Runner:
                 cutoff_min=params.cutoff_min,
                 cutoff_max=params.cutoff_max,
                 counter_max=params.counter_max,
+                k=k,
+                sig_len=s1.signature_len,
             )
             if s1.verbose:
                 print(f"[stage2] finalize exec: {store.t_finalize_exec:.2f}s "
@@ -587,6 +589,7 @@ class Runner:
             cutoff_max=params.cutoff_max,
             counter_max=params.counter_max,
             k=k,
+            sig_len=s1.signature_len,
             lut_prefix_len=info.lut_prefix_len,
             counter_size=info.counter_size,
             n_bins=self._n_used_bins,

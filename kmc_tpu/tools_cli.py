@@ -86,7 +86,7 @@ def cmd_transform(args) -> int:
             if i < len(args) and args[i] == "-s":
                 sorted_out = True
                 i += 1
-            db_ops.transform_dump(db, args[i], True)
+            db_ops.transform_dump(db, args[i], sorted_out)
             i += 1
         elif op == "set_counts":
             value = int(args[i])
