@@ -107,9 +107,13 @@ def _finalize_shard(st_sig, st_words, st_counts, n_used, sig_map, *,
     send_counts = seg(counts_s, jnp.uint32(0))
     send_words = [seg(w, jnp.uint32(0xFFFFFFFF)) for w in words_s]
 
-    recv_bins = jax.lax.all_to_all(send_bins, axis, 0, 0, tiled=True)
-    recv_counts = jax.lax.all_to_all(send_counts, axis, 0, 0, tiled=True)
-    recv_words = [jax.lax.all_to_all(w, axis, 0, 0, tiled=True) for w in send_words]
+    # the ragged all-to-all over ICI (Pallas remote-DMA kernel on real
+    # multi-chip slices; lax.all_to_all elsewhere — parallel/pallas_a2a.py)
+    from .pallas_a2a import pallas_all_to_all
+
+    recv_bins = pallas_all_to_all(send_bins, axis=axis)
+    recv_counts = pallas_all_to_all(send_counts, axis=axis)
+    recv_words = [pallas_all_to_all(w, axis=axis) for w in send_words]
 
     P_ = D * capacity
     rb = recv_bins.reshape(P_)

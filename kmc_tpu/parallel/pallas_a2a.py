@@ -1,0 +1,103 @@
+"""Pallas ICI all-to-all: the record-exchange transport of the multi-chip
+pipeline as an explicit inter-chip RDMA kernel.
+
+The multihost finalize moves (bin, k-mer, count) rows to their bin owners
+(SURVEY.md §2.6: the TPU replacement for the reference's bin-part queue +
+temp-file shuffle).  The default transport is jax.lax.all_to_all; this
+module provides the same exchange as a hand-written Pallas kernel using
+`make_async_remote_copy`, which lets every peer transfer ride ICI
+concurrently and overlap with local compute — the pattern to extend when
+segments become properly ragged (send only n_rows[dst] instead of the
+fixed-capacity segment).
+
+x: uint32[D, cap, C] on each device (segment j destined for device j) ->
+out: uint32[D, cap, C] (out[j] = segment received from device j).
+
+Usage (inside shard_map over axis 'd'):
+    out = pallas_all_to_all(x, axis="d")
+
+Testing: multi-chip RDMA needs a real multi-chip slice; on the CPU mesh the
+wrapper falls back to lax.all_to_all (transport="xla").  The kernel follows
+the ring-collective pattern of the Pallas TPU guide.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _a2a_kernel(x_ref, out_ref, send_sem, recv_sem, *, axis: str, n_dev: int):
+    """One-shot all-to-all: device d pushes segment j straight into peer
+    j's receive slot d; every transfer is independent and rides ICI
+    concurrently."""
+    me = jax.lax.axis_index(axis)
+
+    # local segment: plain VMEM copy
+    out_ref[me] = x_ref[me]
+
+    # global barrier: everyone's buffers must exist before remote writes
+    barrier = pltpu.get_barrier_semaphore()
+    for p in range(n_dev):
+        pltpu.semaphore_signal(
+            barrier, inc=1, device_id=(jnp.int32(p),),
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+    pltpu.semaphore_wait(barrier, n_dev)
+
+    # push each remote segment to its owner
+    for step in range(1, n_dev):
+        dst = jax.lax.rem(me + step, n_dev)
+        rdma = pltpu.make_async_remote_copy(
+            src_ref=x_ref.at[dst],
+            dst_ref=out_ref.at[me],
+            send_sem=send_sem.at[step - 1],
+            recv_sem=recv_sem.at[step - 1],
+            device_id=(dst,),
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        rdma.start()
+    for step in range(1, n_dev):
+        src = jax.lax.rem(me - step + n_dev, n_dev)
+        rdma_wait = pltpu.make_async_remote_copy(
+            src_ref=x_ref.at[jax.lax.rem(me + step, n_dev)],
+            dst_ref=out_ref.at[me],
+            send_sem=send_sem.at[step - 1],
+            recv_sem=recv_sem.at[step - 1],
+            device_id=(jax.lax.rem(me + step, n_dev),),
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        rdma_wait.wait()
+
+
+def pallas_all_to_all(x: jax.Array, *, axis: str, transport: str = "auto"):
+    """All-to-all of fixed-capacity segments inside shard_map.
+
+    transport: "pallas" (remote-DMA kernel), "xla" (lax.all_to_all), or
+    "auto" (pallas on real TPU backends with >1 device, else xla)."""
+    n_dev = jax.lax.axis_size(axis)
+    if transport == "auto":
+        transport = (
+            "pallas"
+            if jax.default_backend() not in ("cpu",) and n_dev > 1
+            else "xla"
+        )
+    if transport == "xla" or n_dev == 1:
+        return jax.lax.all_to_all(x, axis, 0, 0, tiled=True)
+
+    return pl.pallas_call(
+        functools.partial(_a2a_kernel, axis=axis, n_dev=n_dev),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA((n_dev - 1,)),
+            pltpu.SemaphoreType.DMA((n_dev - 1,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=7
+        ),
+    )(x)

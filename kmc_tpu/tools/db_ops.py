@@ -192,8 +192,23 @@ def run_simple_op(op: str, db1: str, db2: str, out: str, mode: str | None = None
 def write_sorted_db(path_prefix: str, k: int, kmers, counts,
                     out_params: OutputParams, both_strands: bool = True):
     """Write globally sorted records as a KMC1 database (what kmc_tools
-    produces for transform/simple outputs, kmc1_db_writer.h:55)."""
+    produces for transform/simple outputs, kmc1_db_writer.h:55), or as a KFF
+    file when the output path ends in .kff (reference -o kff option)."""
     counter_size = calc_counter_size(out_params.cutoff_max, out_params.counter_max)
+    if str(path_prefix).endswith(".kff"):
+        from ..formats.kff import KffWriter
+
+        w = KffWriter(
+            str(path_prefix),
+            canonical=both_strands,
+            k=k,
+            counter_size=counter_size,
+            min_count=out_params.cutoff_min,
+            max_count=out_params.cutoff_max,
+        )
+        w.store_section(np.asarray(kmers), np.asarray(counts, np.uint32))
+        w.close()
+        return
     lut_prefix_len = _pick_kmc1_lut_len(k, len(kmers))
     info = DbInfo(
         kmer_len=k,
@@ -272,6 +287,17 @@ def db_compare(db1: str, db2: str) -> bool:
 
 
 def db_info_text(db_path: str) -> str:
+    if str(db_path).endswith(".kff"):
+        from ..formats.kff import read_kff
+
+        kf = read_kff(str(db_path))
+        return (
+            f"k                 : {kf.k}\n"
+            f"total k-mers      : {len(kf.kmers)}\n"
+            f"counter size      : {kf.counter_size} bytes\n"
+            f"both strands      : {'yes' if kf.canonical else 'no'}\n"
+            f"database format   : KFF\n"
+        )
     info = read_db(db_path).info
     lines = [
         f"k                 : {info.kmer_len}",
