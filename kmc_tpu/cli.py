@@ -89,6 +89,7 @@ def parse_args(argv):
             cli["verbose"] = True
             s1.verbose = True
         elif a == "-sm":
+            s1.strict_memory_mode = True
             s2.strict_memory_mode = True
         elif a == "-hc":
             s1.homopolymer_compressed = True

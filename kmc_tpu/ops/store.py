@@ -415,8 +415,14 @@ class DeviceKmerStore:
         self.capacity = min(self.max_capacity, _r8(initial_rows or (1 << 20)))
         # slack rows let ingest continue while a compaction's result size is
         # still in flight (the appends are device-ordered after the compact,
-        # and land within capacity+slack even in the worst case)
-        self._slack = _r8(self.capacity // 16)
+        # and land within capacity+slack even in the worst case).  Default 0:
+        # the extra rows widen every sort, which measured slightly worse than
+        # the overlap gain on the bench workload; set KMC_TPU_STORE_SLACK_DIV
+        # (capacity/div rows) to experiment.
+        import os as _os
+
+        div = int(_os.environ.get("KMC_TPU_STORE_SLACK_DIV", "0"))
+        self._slack = _r8(self.capacity // div) if div else 0
         self._pending_base = None
         self._pending_appends = 0
         self.counts = None  # materialized by the first compaction

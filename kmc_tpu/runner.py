@@ -26,13 +26,9 @@ from . import defs
 from .defs import calc_counter_size
 from .formats.kmc_db import DbInfo, Kmc2DbWriter, pick_lut_prefix_len, write_kmc1_db
 from .io.readers import BatchStream, ParseState, file_code_stream, homopolymer_compress_codes
-from .signatures import build_signature_map, map_size, special_signature
+from .signatures import build_signature_map, map_size
 from .io.native import pack_codes
-from .ops.extract import (
-    INVALID_SIG,
-    stage0_stats_batch_packed,
-    stage1_batch_packed,
-)
+from .ops.extract import INVALID_SIG, stage1_batch_packed
 from .ops.sortcount import merge_count_bin
 from .ops.smallk import smallk_batch_packed, smallk_histogram_shape
 
@@ -117,6 +113,7 @@ class Stage1Params:
     ram_only_mode: bool = False
     n_bins: int = defs.DEFAULT_N_BINS
     estimate_histogram_cfg: EstimateHistogramCfg = EstimateHistogramCfg.DONT_ESTIMATE
+    strict_memory_mode: bool = False
     verbose: bool = False
     # TPU-specific: candidate k-mer positions per device batch
     batch_positions: int = 1 << 22
@@ -343,6 +340,11 @@ class Runner:
         W = (k + 15) // 16
         bs = BatchStream(s, k)
         capacity = max(params.device_store_rows, 2 * s)
+        if params.strict_memory_mode:
+            # strict-memory mode: halve the HBM store so the sort working
+            # set stays within budget; overflow spills to host RAM (the
+            # reference's bkb_* strict pipeline analogue, kmc.h:1611-1692)
+            capacity = max(capacity // 2, 2 * s)
         # on real TPUs allocate full capacity upfront: HBM is plentiful and a
         # shape-stable store means each kernel compiles exactly once (growth
         # recompiles cost 30-90s each over the tunnel); on CPU (tests) start
