@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Differential validation against the real reference KMC binary.
+
+Counts the same inputs with reference `kmc` + `kmc_tools transform dump -s`
+and with kmc_tpu, and byte-compares the sorted text dumps — the acceptance
+criterion of the reference's own CI (run_small_fastq_tests.py:124-144).
+
+Builds the reference on first use (see tools/measure_reference.py).
+"""
+from __future__ import annotations
+
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def make_input(path: Path, *, n_reads=2000, read_len=150, seed=0, fmt="fastq",
+               with_n=True):
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, 100_000)
+    with open(path, "w") as f:
+        for i in range(n_reads):
+            start = rng.integers(0, len(genome) - read_len)
+            seq = "".join("ACGT"[c] for c in genome[start : start + read_len])
+            if with_n and i % 37 == 3:
+                pos = rng.integers(0, read_len)
+                seq = seq[:pos] + "N" + seq[pos + 1 :]
+            if fmt == "fastq":
+                f.write(f"@r{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+            else:
+                f.write(f">r{i}\n{seq}\n")
+
+
+def ref_dump(kmc, kmc_tools, inp, k, ci, cs, fmt, workdir) -> str:
+    db = workdir / f"refdb_k{k}"
+    tmp = workdir / "tmp"
+    tmp.mkdir(exist_ok=True)
+    fflag = {"fastq": "-fq", "fasta": "-fa"}[fmt]
+    subprocess.run(
+        [str(kmc), f"-k{k}", f"-ci{ci}", f"-cs{cs}", fflag, "-t1", "-hp",
+         str(inp), str(db), str(tmp)],
+        check=True, capture_output=True,
+    )
+    out = workdir / f"ref_k{k}.dump"
+    if k <= 13:
+        # small-k output is a KMC1 database, already globally sorted; the
+        # reference rejects re-sorting it
+        subprocess.run(
+            [str(kmc_tools), "transform", str(db), "dump", str(out)],
+            check=True, capture_output=True)
+    else:
+        subprocess.run(
+            [str(kmc_tools), "transform", str(db), "sort", str(db) + ".sorted"],
+            check=True, capture_output=True)
+        subprocess.run(
+            [str(kmc_tools), "transform", str(db) + ".sorted", "dump", str(out)],
+            check=True, capture_output=True)
+    return out.read_text()
+
+
+def tpu_dump(inp, k, ci, cs, fmt, workdir) -> str:
+    from kmc_tpu.formats import dump_db_file
+    from kmc_tpu.runner import InputFileType, count
+
+    db = str(workdir / f"tpudb_k{k}")
+    count([str(inp)], db, k=k, cutoff_min=ci, counter_max=cs,
+          input_file_type=InputFileType(fmt), batch_positions=1 << 14)
+    return dump_db_file(db)
+
+
+def main():
+    from tools.measure_reference import build_reference
+
+    workdir = Path(tempfile.mkdtemp(prefix="kmc_diff_"))
+    kmc = build_reference(Path(tempfile.gettempdir()))
+    kmc_tools = kmc.parent / "kmc_tools"
+
+    fq = workdir / "reads.fastq"
+    fa = workdir / "reads.fasta"
+    make_input(fq, fmt="fastq", seed=1)
+    make_input(fa, fmt="fasta", seed=2)
+
+    cases = [
+        (fq, "fastq", 21, 1, 255),
+        (fq, "fastq", 27, 2, 255),
+        (fq, "fastq", 31, 1, 65535),
+        (fq, "fastq", 55, 1, 255),
+        (fa, "fasta", 25, 1, 255),
+        (fq, "fastq", 12, 1, 255),   # small-k KMC1 path
+    ]
+    failures = 0
+    for inp, fmt, k, ci, cs in cases:
+        want = ref_dump(kmc, kmc_tools, inp, k, ci, cs, fmt, workdir)
+        got = tpu_dump(inp, k, ci, cs, fmt, workdir)
+        ok = want == got
+        print(f"k={k:3d} ci={ci} cs={cs} {fmt}: "
+              f"{'MATCH' if ok else 'MISMATCH'} ({want.count(chr(10))} kmers)")
+        if not ok:
+            failures += 1
+            for a, b in zip(want.splitlines(), got.splitlines()):
+                if a != b:
+                    print(f"  first diff: ref={a!r} tpu={b!r}")
+                    break
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
