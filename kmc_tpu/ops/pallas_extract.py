@@ -1,0 +1,189 @@
+"""Pallas TPU kernel for the stage-1 extract: signature scan + canonical
+k-mer lanes, fused into one VMEM-resident pass per tile.
+
+The XLA version (ops/extract.py) materializes ~30 intermediate arrays in HBM
+per batch; this kernel streams the code array tile-by-tile through VMEM and
+writes only the outputs (sig, k-mer lanes) — HBM traffic drops to ~1 B/pos
+read + 4*(1+W) B/pos write.  (The 2-bit unpack itself stays in XLA: Mosaic
+cannot lower the 4-way interleave reshape, and the unpacked code array is a
+single cheap fused op.)
+
+Each grid step processes TILE positions and reads a HALO of extra codes past
+its block (the k-mer/packing windows cross tile edges), passed as a second
+BlockSpec view of the same operand.  All compute is elementwise /
+static-slice / minimum — no cumsum, no sort, no gather: validity is a
+sliding-window maximum of the bad-code indicator, computed with the same
+log-step doubling as the signature minimum.
+
+Semantics identical to extract.position_sigs + _kmer_words (asserted in
+tests/test_pallas_extract.py on CPU interpret mode).
+
+STATUS: NOT wired into the product pipeline.  On the toolchain in this image
+the compiled kernel is 1.6x faster than the XLA version (4.0 ms vs 6.4 ms
+per 8M positions) but Mosaic MISCOMPILES unaligned 1-D vector slices (the
+16 shifted window reads): ~0.1% of outputs lose one 2-bit field, identically
+for value slices and ref slices, and `pltpu.roll` fails to lower at this
+size.  The XLA extract is only ~6 ms/batch (far from the pipeline critical
+path), so the kernel stays here as the validated template to enable when the
+toolchain fixes 1-D lane rotations — or to rewrite in (8,128)-tiled 2-D
+layout if extract ever becomes hot.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .extract import INVALID_SIG, TAIL, _is_allowed
+
+TILE = 1 << 16  # positions per grid step
+HALO = 2048  # codes past the tile (1-D TPU blocks are multiples of 512)
+
+
+def _sliding_min(x, w, out_len):
+    acc = x
+    n = x.shape[0]
+    covered = 1
+    while covered < w:
+        step = min(covered, w - covered)
+        acc = jnp.minimum(acc[: n - step], acc[step:])
+        n -= step
+        covered += step
+    return acc[:out_len]
+
+
+def _sliding_max(x, w, out_len):
+    acc = x
+    n = x.shape[0]
+    covered = 1
+    while covered < w:
+        step = min(covered, w - covered)
+        acc = jnp.maximum(acc[: n - step], acc[step:])
+        n -= step
+        covered += step
+    return acc[:out_len]
+
+
+def _kernel(codes_ref, halo_ref, sig_ref, *rest,
+            k: int, sig_len: int, both_strands: bool, W: int):
+    lane_refs = rest[:W]
+    cbuf = rest[W]
+    S = TILE
+    n_codes = S + HALO
+
+    # join main + halo in VMEM scratch (Mosaic can't concat 1-D vectors).
+    # min/max run on int32: this Mosaic version doesn't legalize arith.minui,
+    # and every minimized quantity here is < 2^31.
+    cbuf[0:S] = codes_ref[:].astype(jnp.int32)
+    cbuf[S:n_codes] = halo_ref[:].astype(jnp.int32)
+    c = cbuf[:]
+    bad = jnp.where(c >= 4, jnp.int32(1), jnp.int32(0))
+    c4 = jnp.minimum(c, 3).astype(jnp.uint32)
+
+    # packed 16-base windows (big-endian) + reverse-complement windows
+    n_pack = n_codes - 15
+    p = jnp.zeros((n_pack,), jnp.uint32)
+    q = jnp.zeros((n_pack,), jnp.uint32)
+    for j in range(16):
+        cj = c4[j : j + n_pack]
+        p = p | (cj << (2 * (15 - j)))
+        q = q | ((jnp.uint32(3) - cj) << (2 * j))
+
+    # validity: no bad code inside [i, i+k)   (integer 0/1: Mosaic's 1-D i1
+    # vectors don't lower, so boolean state stays integer)
+    valid = _sliding_max(bad, k, S) == 0
+
+    # per-position signature = min canonical m-mer norm over the window
+    special = jnp.int32(1 << (2 * sig_len))
+    n_norm = S + k - sig_len
+    fwd = p[:n_norm] >> (2 * (16 - sig_len))
+    rev = q[:n_norm] & jnp.uint32((1 << (2 * sig_len)) - 1)
+    fv = jnp.where(_is_allowed(fwd, sig_len), fwd.astype(jnp.int32), special)
+    rv = jnp.where(_is_allowed(rev, sig_len), rev.astype(jnp.int32), special)
+    norms = jnp.minimum(fv, rv)
+    sig = _sliding_min(norms, k - sig_len + 1, S).astype(jnp.uint32)
+    sig_ref[:] = jnp.where(valid, sig, jnp.uint32(INVALID_SIG))
+
+    # canonical k-mer lanes (see extract._kmer_words)
+    r0 = k - 16 * (W - 1)
+    fwd_l = []
+    rc_l = []
+    w0 = p[0:S]
+    if r0 < 16:
+        w0 = w0 >> (2 * (16 - r0))
+    fwd_l.append(w0)
+    for t in range(1, W):
+        off = r0 + 16 * (t - 1)
+        fwd_l.append(p[off : off + S])
+    if both_strands:
+        m0 = jnp.uint32((1 << (2 * r0)) - 1) if r0 < 16 else jnp.uint32(0xFFFFFFFF)
+        off0 = k - r0
+        rc_l.append(q[off0 : off0 + S] & m0)
+        for t in range(1, W):
+            off = k - r0 - 16 * t
+            rc_l.append(q[off : off + S])
+        use_rc = jnp.zeros((S,), jnp.uint32)
+        decided = jnp.zeros((S,), jnp.uint32)
+        sbit = jnp.uint32(0x80000000)
+        for t in range(W):
+            # unsigned compare via the sign-flip trick: Mosaic lowers u32 <
+            # as a signed comparison on this toolchain
+            a = (rc_l[t] ^ sbit).astype(jnp.int32)
+            b = (fwd_l[t] ^ sbit).astype(jnp.int32)
+            lt = jnp.where(a < b, jnp.uint32(1), jnp.uint32(0))
+            ne = jnp.where(rc_l[t] != fwd_l[t], jnp.uint32(1), jnp.uint32(0))
+            use_rc = use_rc | ((jnp.uint32(1) - decided) & lt)
+            decided = decided | ne
+        lanes = [
+            jnp.where(use_rc != 0, rc_l[t], fwd_l[t]) for t in range(W)
+        ]
+    else:
+        lanes = fwd_l
+    for t in range(W):
+        lane_refs[t][:] = jnp.where(valid, lanes[t], jnp.uint32(0xFFFFFFFF))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("s", "k", "sig_len", "both_strands", "interpret")
+)
+def pallas_extract(codes, *, s: int, k: int, sig_len: int,
+                   both_strands: bool, interpret: bool = False):
+    """(sig uint32[s], [lane_t uint32[s] for t in range(W)]) from a u8 code
+    array of length pallas_batch_len(s, k).  Requires s % TILE == 0 and
+    k + TAIL <= HALO."""
+    assert s % TILE == 0, "s must be a multiple of the 65536-position tile"
+    assert k + TAIL <= HALO
+    W = (k + 15) // 16
+    kernel = functools.partial(
+        _kernel, k=k, sig_len=sig_len, both_strands=both_strands, W=W
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(s // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (HALO,), lambda i: ((i + 1) * TILE // HALO,),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        # per-lane 1-D outputs: a (TILE, W) block would be tile-padded to
+        # (TILE, 128) in VMEM — 32 MB per buffer
+        out_specs=[
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM)
+            for _ in range(1 + W)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s,), jnp.uint32) for _ in range(1 + W)
+        ],
+        scratch_shapes=[pltpu.VMEM((TILE + HALO,), jnp.int32)],
+        interpret=interpret,
+    )(codes, codes)
+
+
+def pallas_batch_len(s: int, k: int) -> int:
+    """Code-array length required by pallas_extract (halo padding)."""
+    return s + HALO

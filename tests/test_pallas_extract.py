@@ -1,0 +1,34 @@
+"""Pallas fused extract == XLA extract (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from kmc_tpu.ops.extract import _kmer_words, position_sigs
+from kmc_tpu.ops.pallas_extract import TILE, pallas_batch_len, pallas_extract
+
+
+@pytest.mark.parametrize("k", [21, 27, 32, 33])
+@pytest.mark.parametrize("both", [True, False])
+def test_pallas_extract_matches_xla(k, both):
+    s, m = TILE * 2, 9
+    rng = np.random.default_rng(k)
+    codes = rng.integers(0, 5, pallas_batch_len(s, k)).astype(np.uint8)
+
+    out = pallas_extract(
+        jnp.asarray(codes), s=s, k=k, sig_len=m, both_strands=both,
+        interpret=True,
+    )
+    sig_p, words_p = out[0], jnp.stack(out[1:], axis=1)
+
+    c = jnp.asarray(codes, jnp.uint32)
+    bad = (c >= 4).astype(jnp.int32)
+    c4 = jnp.minimum(c, 3)
+    valid, sig_x, p, q = position_sigs(c4, bad, s=s, k=k, sig_len=m)
+    wl = _kmer_words(p, q, k, s, both)
+    words_x = jnp.stack(
+        [jnp.where(valid, w, jnp.uint32(0xFFFFFFFF)) for w in wl], axis=1
+    )
+
+    assert np.array_equal(np.asarray(sig_p), np.asarray(sig_x))
+    assert np.array_equal(np.asarray(words_p), np.asarray(words_x))
