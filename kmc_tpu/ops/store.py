@@ -95,7 +95,8 @@ def _append(store_sig, store_words, store_counts, n_used, sig, words, counts,
     return store_sig, store_words, store_counts, n_used + words.shape[0], occ_acc
 
 
-def _group_reduce(key_cols, payload_cols, counts=None, n_live=None):
+def _group_reduce(key_cols, payload_cols, counts=None, n_live=None,
+                  wide=False):
     """Sort rows by key_cols, merge equal-key runs, compact group
     representatives to the front — using ONLY sorts and scans (scatter /
     gather / nonzero cost seconds at 10^8 rows; two extra sort passes cost
@@ -114,8 +115,16 @@ def _group_reduce(key_cols, payload_cols, counts=None, n_live=None):
 
     Returns (sorted_key_cols_of_reps, sorted_payload_cols_of_reps, totals,
     n_groups); all X-sized, rows [0, n_groups) are the groups in key order,
-    the rest is garbage.  counts must sum below 2^31 per call (the flag bit
-    rides bit 31 of the prefix sum); the spill machinery bounds this.
+    the rest is garbage.
+
+    By default counts must sum below 2^31 per call (the flag bit rides bit
+    31 of the prefix sum).  wide=True lifts that cap: the compaction sort is
+    keyed on (flag | row-index) instead — always < 2^31 since X < 2^31 —
+    and the prefix-sum rides as one extra payload column.  Group totals stay
+    exact for any occurrence count: they are differences of consecutive
+    group-start prefix-sums, which wrap identically mod 2^32 (each single
+    group must stay below 2^32; the 64-bit occurrence accumulators track the
+    true grand totals).
     """
     X = key_cols[0].shape[0]
     n_keys = len(key_cols)
@@ -141,12 +150,21 @@ def _group_reduce(key_cols, payload_cols, counts=None, n_live=None):
     new = new.at[1:].set(diff)
     before = jnp.concatenate([jnp.zeros((1,), jnp.uint32), cs[:-1]])
 
-    # single sort key: the group-start flag rides bit 31 of the prefix-sum
-    key2 = jnp.where(new, before, before | jnp.uint32(0x80000000))
-    ops2 = jax.lax.sort([key2, *keys_s, *pays_s], num_keys=1)
-    b2 = ops2[0] & jnp.uint32(0x7FFFFFFF)
-    keys_r = ops2[1 : 1 + n_keys]
-    pays_r = ops2[1 + n_keys :]
+    if wide:
+        # group-start flag rides bit 31 of the row index; B is payload
+        key2 = jnp.where(new, idx.astype(jnp.uint32),
+                         idx.astype(jnp.uint32) | jnp.uint32(0x80000000))
+        ops2 = jax.lax.sort([key2, before, *keys_s, *pays_s], num_keys=1)
+        b2 = ops2[1]
+        keys_r = ops2[2 : 2 + n_keys]
+        pays_r = ops2[2 + n_keys :]
+    else:
+        # single sort key: the flag rides bit 31 of the prefix-sum itself
+        key2 = jnp.where(new, before, before | jnp.uint32(0x80000000))
+        ops2 = jax.lax.sort([key2, *keys_s, *pays_s], num_keys=1)
+        b2 = ops2[0] & jnp.uint32(0x7FFFFFFF)
+        keys_r = ops2[1 : 1 + n_keys]
+        pays_r = ops2[1 + n_keys :]
     total_all = cs[-1]
     b_next = jnp.concatenate([b2[1:], total_all[None]])
     n_groups = jnp.sum(new.astype(jnp.int32))
@@ -168,7 +186,7 @@ def _live_mask(store_sig, store_counts, n_used):
     return live
 
 
-def _compact_core(store_sig, store_words, store_counts, n_used):
+def _compact_core(store_sig, store_words, store_counts, n_used, wide=False):
     """Merge duplicate k-mers.  Grouping key is (sig, words): sig is a
     function of the k-mer so groups are unchanged, and putting it first
     makes live rows sort to a prefix (dead rows carry INVALID_SIG), enabling
@@ -184,7 +202,8 @@ def _compact_core(store_sig, store_words, store_counts, n_used):
         keys_r, _, totals, n_groups = _group_reduce(key_cols, [], None, n_live)
     else:
         counts = jnp.where(live, store_counts, 0)
-        keys_r, _, totals, n_groups = _group_reduce(key_cols, [], counts)
+        keys_r, _, totals, n_groups = _group_reduce(key_cols, [], counts,
+                                                    wide=wide)
     group_valid = (idx < n_groups) & (totals > 0)
     out_sig = jnp.where(group_valid, keys_r[0], INVALID_SIG)
     out_words = jnp.where(
@@ -199,9 +218,9 @@ def _compact_unit(store_sig, store_words, n_used):
     return _compact_core(store_sig, store_words, None, n_used)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-def _compact_counted(store_sig, store_words, store_counts, n_used):
-    return _compact_core(store_sig, store_words, store_counts, n_used)
+@functools.partial(jax.jit, static_argnames=("wide",), donate_argnums=(0, 1, 2))
+def _compact_counted(store_sig, store_words, store_counts, n_used, wide=False):
+    return _compact_core(store_sig, store_words, store_counts, n_used, wide=wide)
 
 
 def _finalize_core(
@@ -218,6 +237,7 @@ def _finalize_core(
     lut_prefix_len: int,
     counter_size: int,
     n_bins: int,
+    wide: bool = False,
 ):
     """Device completer (reference CKmerBinCompleter, kb_completer.cpp:
     59-223): group by (bin, k-mer), merge, and emit the exact on-disk
@@ -254,7 +274,8 @@ def _finalize_core(
         keys_r, _, totals, n_groups = _group_reduce(key_cols, [], None, n_live)
     else:
         counts = jnp.where(live, store_counts, 0)
-        keys_r, _, totals, n_groups = _group_reduce(key_cols, [], counts)
+        keys_r, _, totals, n_groups = _group_reduce(key_cols, [], counts,
+                                                    wide=wide)
     if fuse:
         bins_r = keys_r[0] >> (2 * r0)
         wr = [keys_r[0] & jnp.uint32((1 << (2 * r0)) - 1)] + list(keys_r[1:])
@@ -336,7 +357,7 @@ def _finalize_core(
 
 _FIN_STATICS = (
     "cutoff_min", "cutoff_max", "counter_max", "k",
-    "lut_prefix_len", "counter_size", "n_bins",
+    "lut_prefix_len", "counter_size", "n_bins", "wide",
 )
 
 
@@ -353,7 +374,7 @@ def _finalize_records_counted(store_sig, store_words, store_counts, n_used,
 
 
 def _finalize_rows_core(store_sig, store_words, store_counts, n_used, sig_map,
-                        *, cutoff_min, cutoff_max):
+                        *, cutoff_min, cutoff_max, wide=False):
     """Words-path finalize (KFF output / without_output): groups in (bin,
     k-mer) order with raw totals; cutoffs applied host-side."""
     X, W = store_words.shape
@@ -370,7 +391,8 @@ def _finalize_rows_core(store_sig, store_words, store_counts, n_used, sig_map,
         keys_r, _, totals, n_groups = _group_reduce(key_cols, [], None, n_live)
     else:
         counts = jnp.where(live, store_counts, 0)
-        keys_r, _, totals, n_groups = _group_reduce(key_cols, [], counts)
+        keys_r, _, totals, n_groups = _group_reduce(key_cols, [], counts,
+                                                    wide=wide)
     bins_r = keys_r[0]
     group_valid = (idx < n_groups) & (totals > 0) & (bins_r != jnp.uint32(0xFFFFFFFF))
     n_unique = jnp.sum(group_valid.astype(jnp.int32))
@@ -382,7 +404,7 @@ def _finalize_rows_core(store_sig, store_words, store_counts, n_used, sig_map,
     return out_bins, out_words, out_counts, n_groups, (n_unique, n_below, n_above)
 
 
-_ROWS_STATICS = ("cutoff_min", "cutoff_max")
+_ROWS_STATICS = ("cutoff_min", "cutoff_max", "wide")
 
 
 @functools.partial(jax.jit, static_argnames=_ROWS_STATICS, donate_argnums=(0, 1))
@@ -434,6 +456,11 @@ class DeviceKmerStore:
         self._since_compact = 0
         self.spilled = []  # host-side spilled compacted (sig, words, counts)
         self.total_appended_rows = 0
+        # conservative host-side bound on total occurrences (every ingest
+        # position contributes at most 1); selects the wide group-reduce
+        # when a single call could see >= 2^31 occurrences, with no device
+        # sync on the hot path
+        self._occ_upper = 0
         self.sig_hist = None  # lazily sized from sig_len at first ingest
         self.k = None  # learned at first ingest / append
 
@@ -501,6 +528,7 @@ class DeviceKmerStore:
         also accumulates the signature histogram for the bin map."""
         self.k = k
         self.total_appended_rows += s
+        self._occ_upper += s
         self._make_room(s)
         if self.sig_hist is None:
             from ..signatures import map_size
@@ -535,6 +563,7 @@ class DeviceKmerStore:
         self.k = k
         n = words.shape[0]
         self.total_appended_rows += n
+        self._occ_upper += int(np.asarray(counts, dtype=np.uint64).sum())
         self._make_room(n)
         self._materialize_counts()
         acc = self.occ_acc if count_occurrences else jnp.zeros((2,), jnp.uint32)
@@ -561,13 +590,17 @@ class DeviceKmerStore:
     def _base_rows(self) -> int:
         return getattr(self, "_base", 0)
 
+    def _wide(self) -> bool:
+        return self._occ_upper >= (1 << 31)
+
     def compact(self, blocking: bool = False):
         if self.counts is None:
             self.sig, self.words, self.counts, self.n_used = _compact_unit(
                 self.sig, self.words, self.n_used)
         else:
             self.sig, self.words, self.counts, self.n_used = _compact_counted(
-                self.sig, self.words, self.counts, self.n_used)
+                self.sig, self.words, self.counts, self.n_used,
+                wide=self._wide())
         # defer the result-size fetch: ingest keeps streaming into the slack
         # region while the compact executes (see _make_room)
         self._pending_base = self.n_used
@@ -685,7 +718,8 @@ class DeviceKmerStore:
                 self.sig, self.words, self.n_used, sm, **kw)
         else:
             cols, keep_bits, lut, n_groups, stats = _finalize_records_counted(
-                self.sig, self.words, self.counts, self.n_used, sm, **kw)
+                self.sig, self.words, self.counts, self.n_used, sm,
+                wide=self._wide(), **kw)
         n = int(n_groups)  # sync point
         self.t_finalize_exec = _time.perf_counter() - t0
         t0 = _time.perf_counter()
@@ -727,7 +761,8 @@ class DeviceKmerStore:
                 self.sig, self.words, self.n_used, sm, **kw)
         else:
             g_bins, g_words, g_counts, n_groups, stats = _finalize_rows_counted(
-                self.sig, self.words, self.counts, self.n_used, sm, **kw)
+                self.sig, self.words, self.counts, self.n_used, sm,
+                wide=self._wide(), **kw)
         n = int(n_groups)  # sync point: device queue drains here
         self.t_finalize_exec = _time.perf_counter() - t0
         t0 = _time.perf_counter()

@@ -33,12 +33,25 @@ from .distributed import make_mesh
 
 
 def _ingest_shard(packed, mask, st_sig, st_words, st_counts, n_used, occ, skm,
-                  prev, *, s, k, sig_len, both_strands):
+                  prev, *, s, k, sig_len, both_strands, n_devices, axis):
     """Per-device fused extract+append (mirrors ops/store._ingest_packed,
     without the leading device axis: shard_map strips it)."""
     c4, bad = _unpack_device(packed[0], mask[0])
     valid, sig_pos, p, q = position_sigs(c4, bad, s=s, k=k, sig_len=sig_len)
-    prv = jnp.concatenate([prev[0], sig_pos[:-1]])
+    # exact super-k-mer stats: batches are dealt round-robin, so in stream
+    # order device d's batch follows device d-1's batch of the same group
+    # (and device 0's follows the previous group's last device).  A ppermute
+    # hands every device its predecessor's final signature; device 0 instead
+    # uses the carry saved from the previous group, and saves what it
+    # receives (this group's last device) as the next group's carry.
+    last_sig = sig_pos[-1:]
+    recv = jax.lax.ppermute(
+        last_sig, axis, [(i, (i + 1) % n_devices) for i in range(n_devices)]
+    )
+    me = jax.lax.axis_index(axis)
+    prev_use = jnp.where(me == 0, prev[0], recv)
+    carry_next = recv
+    prv = jnp.concatenate([prev_use, sig_pos[:-1]])
     new_skm = (sig_pos != INVALID_SIG) & (sig_pos != prv)
     skm2 = _acc64_add(skm[0], jnp.sum(new_skm.astype(jnp.uint32)))
 
@@ -59,12 +72,13 @@ def _ingest_shard(packed, mask, st_sig, st_words, st_counts, n_used, occ, skm,
         (n_used[0] + s)[None],
         occ2[None],
         skm2[None],
-        sig_pos[-1:][None],
+        carry_next[None],
     )
 
 
 def _finalize_shard(st_sig, st_words, st_counts, n_used, sig_map, *,
-                    cutoff_min, cutoff_max, n_devices, capacity, axis):
+                    cutoff_min, cutoff_max, n_devices, capacity, axis,
+                    wide=False):
     """Per-device: route rows to bin owners (one all_to_all), then local
     group-reduce.  Returns per-device (bins, words, totals, n_groups,
     stats, n_dropped)."""
@@ -119,7 +133,7 @@ def _finalize_shard(st_sig, st_words, st_counts, n_used, sig_map, *,
     rb = recv_bins.reshape(P_)
     rc = recv_counts.reshape(P_)
     rw = [w.reshape(P_) for w in recv_words]
-    keys_r, _, totals, n_groups = _group_reduce([rb] + rw, [], rc)
+    keys_r, _, totals, n_groups = _group_reduce([rb] + rw, [], rc, wide=wide)
     bins_r = keys_r[0]
     gidx = jnp.arange(P_, dtype=jnp.int32)
     group_valid = (gidx < n_groups) & (totals > 0) & (bins_r != jnp.uint32(0xFFFFFFFF))
@@ -168,7 +182,8 @@ class ShardedKmerStore:
 
     def make_ingest(self, *, s, k, sig_len, both_strands):
         body = functools.partial(
-            _ingest_shard, s=s, k=k, sig_len=sig_len, both_strands=both_strands
+            _ingest_shard, s=s, k=k, sig_len=sig_len, both_strands=both_strands,
+            n_devices=self.D, axis=self.axis,
         )
         sharded = jax.shard_map(
             body,
@@ -211,6 +226,8 @@ class ShardedKmerStore:
             n_devices=D,
             capacity=cap,
             axis=self.axis,
+            # conservative: total occurrences <= total ingested positions
+            wide=self._rows_per_device * D >= (1 << 31),
         )
         sharded = jax.shard_map(
             body,

@@ -1,0 +1,76 @@
+"""_group_reduce: wide mode (no 2^31 occurrence cap) vs narrow vs numpy."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from kmc_tpu.ops.store import _group_reduce
+
+
+def _np_groups(keys, counts):
+    """Reference grouping: sorted unique keys with summed counts (uint32
+    wraparound semantics per group)."""
+    order = np.lexsort(keys[::-1])
+    ks = np.stack([k[order] for k in keys], axis=1)
+    cs = counts[order].astype(np.uint64)
+    uniq, idx = np.unique(ks, axis=0, return_index=True)
+    # np.unique sorts rows lexicographically; sum counts per group
+    totals = []
+    bounds = np.sort(idx)
+    bounds = np.append(bounds, len(ks))
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        totals.append(cs[lo:hi].sum() & 0xFFFFFFFF)
+    return uniq, np.asarray(totals, np.uint32)
+
+
+@pytest.mark.parametrize("wide", [False, True])
+def test_group_reduce_matches_numpy(wide):
+    rng = np.random.default_rng(3)
+    X = 4096
+    k0 = rng.integers(0, 50, X).astype(np.uint32)
+    k1 = rng.integers(0, 4, X).astype(np.uint32)
+    counts = rng.integers(1, 9, X).astype(np.uint32)
+    keys_r, _, totals, n_groups = _group_reduce(
+        [jnp.asarray(k0), jnp.asarray(k1)], [], jnp.asarray(counts), wide=wide
+    )
+    n = int(n_groups)
+    got_keys = np.stack([np.asarray(c[:n]) for c in keys_r], axis=1)
+    got_tot = np.asarray(totals[:n])
+    exp_keys, exp_tot = _np_groups([k0, k1], counts)
+    assert np.array_equal(got_keys, exp_keys)
+    assert np.array_equal(got_tot, exp_tot)
+
+
+def test_group_reduce_wide_over_2e31_occurrences():
+    """Sum of counts far beyond 2^31: the narrow path's flag bit would be
+    clobbered; wide mode must stay exact (per-group totals < 2^32)."""
+    rng = np.random.default_rng(4)
+    X = 1024
+    k0 = rng.integers(0, 40, X).astype(np.uint32)
+    counts = rng.integers(1 << 26, 1 << 27, X).astype(np.uint32)  # sum ~ 2^36
+    keys_r, _, totals, n_groups = _group_reduce(
+        [jnp.asarray(k0)], [], jnp.asarray(counts), wide=True
+    )
+    n = int(n_groups)
+    got = dict(zip(np.asarray(keys_r[0][:n]).tolist(),
+                   np.asarray(totals[:n]).tolist()))
+    exp_keys, exp_tot = _np_groups([k0], counts)
+    exp = dict(zip(exp_keys[:, 0].tolist(), exp_tot.tolist()))
+    assert got == exp
+
+
+def test_group_reduce_wide_payloads():
+    """Payload columns must ride along with their group representative."""
+    k0 = np.array([5, 1, 5, 1, 9], np.uint32)
+    pay = np.array([50, 10, 51, 11, 90], np.uint32)
+    counts = np.ones(5, np.uint32)
+    keys_r, pays_r, totals, n_groups = _group_reduce(
+        [jnp.asarray(k0)], [jnp.asarray(pay)], jnp.asarray(counts), wide=True
+    )
+    n = int(n_groups)
+    assert n == 3
+    assert np.asarray(keys_r[0][:n]).tolist() == [1, 5, 9]
+    assert np.asarray(totals[:n]).tolist() == [2, 2, 1]
+    # each group's payload is one of its members' payloads
+    got_pay = np.asarray(pays_r[0][:n]).tolist()
+    assert got_pay[0] in (10, 11) and got_pay[1] in (50, 51) and got_pay[2] == 90

@@ -41,6 +41,25 @@ def test_distributed_matches_oracle(reads_file, tmp_path, n_devices):
     assert stats["n_total"] == ostats["n_total"]
 
 
+@pytest.mark.parametrize("n_devices", [4, 8])
+def test_distributed_super_kmer_stats_exact(reads_file, tmp_path, n_devices):
+    """The ppermute carry makes multi-chip super-k-mer stats exact: they
+    must equal the single-chip runner's count bit-for-bit."""
+    from kmc_tpu.runner import Stage1Params, Runner
+
+    mesh = make_mesh(n_devices)
+    out = str(tmp_path / f"skm{n_devices}")
+    stats = distributed_count(
+        [reads_file], out, k=25, mesh=mesh, batch_positions=1 << 12,
+        cutoff_min=1, capacity_rows_per_device=1 << 17,
+    )
+    r = Runner()
+    res1 = r.run_stage1(Stage1Params(
+        input_files=[reads_file], kmer_len=25, batch_positions=1 << 12,
+    ))
+    assert stats["n_super_kmers"] == res1.n_total_super_kmers
+
+
 def test_distributed_cutoffs(reads_file, tmp_path):
     mesh = make_mesh(4)
     out = str(tmp_path / "db_ci2")
