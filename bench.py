@@ -58,11 +58,12 @@ def main():
 
     out_db = str(CACHE / "bench_out")
     # TPU operating point: big batches amortize the per-dispatch tunnel
-    # latency; 2^27 store rows fit the sort working set in HBM (the run
-    # compacts once mid-way)
+    # latency; 2^28 store rows hold the whole run's positions (8 B/row) so
+    # no mid-run compaction happens and finalize's sorts ride the
+    # unit-count fast path
     tuned = dict(
         batch_positions=1 << 23,
-        device_store_rows=1 << 27,
+        device_store_rows=1 << 28,
     )
     # warm-up: compile all kernels on a tiny slice so the measured run is
     # steady-state (first XLA compile is ~30-90s per kernel on this setup;
@@ -74,28 +75,29 @@ def main():
         head = head[: head.rfind(b"\n@")] if b"\n@" in head else head
         warm.write_bytes(head + b"\n")
     count([str(warm)], str(CACHE / "warm_out"), k=K, cutoff_min=2, **tuned)
-    # pre-compile the exact kernel variants the measured run hits: ingest,
-    # the mid-run compaction, and the post-compaction (non-unit-count)
-    # finalize at the real (capacity, k, lpl, n_bins) statics
+    # pre-compile the exact kernel variants the measured run hits: the
+    # full-capacity ingest and the unit-count finalize at the real
+    # (capacity, k, lpl, n_bins) statics (the warm run's tiny input picks a
+    # different lut_prefix_len, hence a different finalize executable)
+    from kmc_tpu.formats.kmc_db import pick_lut_prefix_len
     from kmc_tpu.io.native import pack_codes
     from kmc_tpu.ops.extract import batch_len
     from kmc_tpu.ops.store import DeviceKmerStore
-    from kmc_tpu.signatures import build_signature_map, map_size
 
     s = tuned["batch_positions"]
     st = DeviceKmerStore(
-        capacity_rows=tuned["device_store_rows"],
-        kmer_words=(K + 15) // 16,
+        tuned["device_store_rows"],
+        k=K, sig_len=9, both_strands=True, n_bins=512,
         initial_rows=tuned["device_store_rows"],
     )
     rng = np.random.default_rng(1)
     codes = rng.integers(0, 4, batch_len(s, K)).astype(np.uint8)
-    st.ingest_packed(*pack_codes(codes), s=s, k=K, sig_len=9, both_strands=True)
-    st.compact()
-    sig_map = build_signature_map(np.ones(map_size(9), np.uint64), 9, 512)
+    st.ingest_packed(*pack_codes(codes), s=s)
+    n_reads_est = GENOME_LEN * COVERAGE // READ_LEN
+    lpl = pick_lut_prefix_len(K, st.n_used_bins, 4 * n_reads_est)
     st.finalize_records(
-        sig_map, cutoff_min=2, cutoff_max=10**9, counter_max=255,
-        k=K, sig_len=9, lut_prefix_len=3, counter_size=1, n_bins=512,
+        cutoff_min=2, cutoff_max=10**9, counter_max=255,
+        lut_prefix_len=lpl, counter_size=1,
     )
     del st
 

@@ -5,21 +5,33 @@ them back for stage 2 (kb_storer.cpp, kb_reader.h).  On TPU the same role is
 played by one large device-resident array set:
 
   ingest   one fused dispatch per 2-bit-packed input batch: unpack +
-           signature scan + canonical k-mer lanes + append (donated buffers,
-           a dynamic_update_slice — no host round-trip), plus the occurrence
-           / super-k-mer / signature-histogram accumulators;
+           signature scan + canonical k-mer lanes + signature->bin + append
+           (donated buffers, a dynamic_update_slice — no host round-trip),
+           plus the occurrence / super-k-mer accumulators;
   compact  when full, merge duplicate rows (sort+scan only);
   finalize group by (bin, k-mer), merge counts, and emit the exact on-disk
            record bytes + per-(bin, prefix) LUT on device (the reference's
            completer, kb_completer.cpp:59-223, moved into the kernel).
 
-Row layout is LEAN: signature + k-mer lanes (12 bytes/row for k<=32).
-Counts are implicitly 1 until a compaction materializes a counts column, so
-the hot-path sorts carry no count payload (the unit-count fast path in
-_group_reduce).  The signature column doubles as the liveness marker
-(INVALID_SIG = dead row) and as the bin key at finalize — recomputing it
-from the lanes (ops/extract.py::sig_of_words) was measured slower than
-storing it.
+Row layout is LEAN: the bin id and the canonical k-mer lanes, nothing else
+(8 bytes/row for k<=27 at 512 bins).  The bin rides the spare top bits of
+k-mer lane 0 whenever 2*(k mod 16) + bin_bits <= 32; otherwise it is its own
+uint32 column.  Counts are implicitly 1 until a compaction materializes a
+counts column, so the hot-path sorts carry no count payload (the unit-count
+fast path in _group_reduce).
+
+Signature->bin mapping policy (set per store):
+  * "prefix" (default): bin = top bits of the signature — computed with one
+    shift, no table.  The reference's greedy balanced map (s_mapper.h:
+    141-235) exists to even out DISK bin sizes for its per-bin sort stage;
+    this store is flat in HBM and bins only determine output record order,
+    so any signature-consistent map yields a valid, reference-readable KMC2
+    database (the map is written into the .kmc_pre footer and every reader —
+    ours and the reference CKMCFile — routes queries through it).  Dropping
+    the table kills the per-batch 4^m-entry gather (~12 ns/row on v5e) and
+    the stage-0 histogram pass entirely.
+  * "greedy": the reference-faithful sampled-histogram greedy map
+    (signatures.build_signature_map), applied with a per-batch gather.
 
 Host transfers happen only at finalize (or on spill past the HBM budget).
 """
@@ -33,6 +45,8 @@ import numpy as np
 
 from .extract import INVALID_SIG, _kmer_words, _unpack_device, position_sigs
 
+U32MAX = np.uint32(0xFFFFFFFF)
+
 
 def _acc64_add(acc, inc_u32):
     """Add a uint32 increment into a 2-lane (lo, hi) uint32 accumulator."""
@@ -41,16 +55,65 @@ def _acc64_add(acc, inc_u32):
     return jnp.stack([lo, hi])
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("s", "k", "sig_len", "both_strands"),
-    donate_argnums=(2, 3, 5, 7),
-)
-def _ingest(packed, mask, store_sig, store_words, n_used, occ_acc, skm_acc,
-            prev_sig, sig_hist, *, s, k, sig_len, both_strands):
-    """Fused stage-1 + append: one device dispatch per input batch (the
-    tunnel's per-dispatch latency dominates at small batch sizes, so the
-    extract kernel and the store update must ride one executable)."""
+def prefix_bin_bits(k: int, sig_len: int, n_bins: int) -> tuple[int, bool]:
+    """(prefix bits b, fused) for the "prefix" policy: bins are the top b
+    bits of the signature plus one special bin (id 2^b, for k-mers whose
+    whole window is disallowed m-mers — the reference routes those to a
+    dedicated bin too, s_mapper.h:236-242).  b is capped so the bin id
+    (b+1 bits, to cover the special bin) fits lane 0's spare top bits
+    whenever possible."""
+    W = (k + 15) // 16
+    r0 = k - 16 * (W - 1)
+    spare = 32 - 2 * r0
+    b = min(max(n_bins, 2).bit_length() - 1, 2 * sig_len)
+    if b + 1 <= spare:
+        return b, True
+    return b, False
+
+
+def greedy_fuse(k: int, n_used_bins: int) -> bool:
+    W = (k + 15) // 16
+    r0 = k - 16 * (W - 1)
+    return 2 * r0 + int(n_used_bins + 1).bit_length() <= 32
+
+
+def _sig_to_bin(sig_pos, valid, *, sig_len, map_mode, prefix_bits, sig_map,
+                n_dead_bin):
+    """Per-position bin id (uint32); invalid positions get n_dead_bin.
+    The special signature 4^m shifts to exactly 2^prefix_bits — the special
+    bin id — with no branch."""
+    if map_mode == "prefix":
+        bins = (sig_pos >> (2 * sig_len - prefix_bits)).astype(jnp.uint32)
+    else:
+        map_len = sig_map.shape[0]
+        slot = jnp.minimum(sig_pos, jnp.uint32(map_len - 1)).astype(jnp.int32)
+        bins = sig_map[slot].astype(jnp.uint32)
+    return jnp.where(valid, bins, jnp.uint32(n_dead_bin))
+
+
+def _key_cols_from(bins, words, valid, *, fuse, r0):
+    """Store key columns from per-position bins + lanes.  Fused: bin rides
+    lane 0's top bits; dead rows are all-ones in every column and sort after
+    every live row (a live fused lane 0 has bin < 2^bin_bits - 1; a live
+    unfused bin column is < 2^32 - 1)."""
+    W = len(words)
+    dead = ~valid
+    if fuse:
+        fused0 = jnp.where(dead, U32MAX, (bins << (2 * r0)) | words[0])
+        return [fused0] + [
+            jnp.where(dead, U32MAX, words[t]) for t in range(1, W)
+        ]
+    bincol = jnp.where(dead, U32MAX, bins)
+    return [bincol] + [jnp.where(dead, U32MAX, words[t]) for t in range(W)]
+
+
+_ING_STATICS = ("s", "k", "sig_len", "both_strands", "map_mode",
+                "prefix_bits", "fuse", "n_dead_bin")
+
+
+def _ingest_core(packed, mask, key_cols, n_used, occ_acc, skm_acc, prev_sig,
+                 sig_map, *, s, k, sig_len, both_strands, map_mode,
+                 prefix_bits, fuse, n_dead_bin):
     c4, bad = _unpack_device(packed, mask)
     valid, sig_pos, p, q = position_sigs(c4, bad, s=s, k=k, sig_len=sig_len)
 
@@ -62,37 +125,53 @@ def _ingest(packed, mask, store_sig, store_words, n_used, occ_acc, skm_acc,
     new_skm = (sig_pos != INVALID_SIG) & (sig_pos != prev)
     skm_acc = _acc64_add(skm_acc, jnp.sum(new_skm.astype(jnp.uint32)))
 
-    # signature occurrence histogram for the bin map (replaces the
-    # reference's separate stage-0 sampling pass: the map is only needed at
-    # finalize here, so it is a side product of ingest over the FULL input)
-    map_len = sig_hist.shape[0] - 1
-    hslot = jnp.minimum(sig_pos, jnp.uint32(map_len)).astype(jnp.int32)
-    sig_hist = sig_hist.at[hslot].add(1)
-
     wl = _kmer_words(p, q, k, s, both_strands)
-    words = jnp.stack(
-        [jnp.where(valid, w, jnp.uint32(0xFFFFFFFF)) for w in wl], axis=1
-    )
+    bins = _sig_to_bin(sig_pos, valid, sig_len=sig_len, map_mode=map_mode,
+                       prefix_bits=prefix_bits, sig_map=sig_map,
+                       n_dead_bin=n_dead_bin)
+    W = (k + 15) // 16
+    r0 = k - 16 * (W - 1)
+    cols = _key_cols_from(bins, wl, valid, fuse=fuse, r0=r0)
+
     occ_acc = _acc64_add(occ_acc, jnp.sum(valid.astype(jnp.uint32)))
-    store_sig = jax.lax.dynamic_update_slice(store_sig, sig_pos, (n_used,))
-    store_words = jax.lax.dynamic_update_slice(store_words, words, (n_used, 0))
-    return (store_sig, store_words, n_used + s, occ_acc, skm_acc,
-            sig_pos[-1:], sig_hist)
+    out_cols = tuple(
+        jax.lax.dynamic_update_slice(sc, c, (n_used,))
+        for sc, c in zip(key_cols, cols)
+    )
+    return out_cols, n_used + s, occ_acc, skm_acc, sig_pos[-1:]
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 7))
-def _append(store_sig, store_words, store_counts, n_used, sig, words, counts,
-            occ_acc):
+@functools.partial(jax.jit, static_argnames=_ING_STATICS,
+                   donate_argnums=(2, 4, 5))
+def _ingest_prefix(packed, mask, key_cols, n_used, occ_acc, skm_acc, prev_sig,
+                   **statics):
+    """Fused stage-1 + append, "prefix" policy: one device dispatch per
+    input batch (per-dispatch latency dominates at small batch sizes, so the
+    extract kernel and the store update must ride one executable)."""
+    return _ingest_core(packed, mask, tuple(key_cols), n_used, occ_acc,
+                        skm_acc, prev_sig, None, **statics)
+
+
+@functools.partial(jax.jit, static_argnames=_ING_STATICS,
+                   donate_argnums=(2, 4, 5))
+def _ingest_greedy(packed, mask, key_cols, n_used, occ_acc, skm_acc, prev_sig,
+                   sig_map, **statics):
+    return _ingest_core(packed, mask, tuple(key_cols), n_used, occ_acc,
+                        skm_acc, prev_sig, sig_map, **statics)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 5))
+def _append(key_cols, store_counts, n_used, in_cols, counts, occ_acc):
     """External append (checkpoint resume / spill replay); counts column
-    must already exist."""
+    must already exist.  Rows with count 0 are written dead."""
     dead = counts == 0
-    sig = jnp.where(dead, INVALID_SIG, sig)
-    words = jnp.where(dead[:, None], jnp.uint32(0xFFFFFFFF), words)
-    store_sig = jax.lax.dynamic_update_slice(store_sig, sig, (n_used,))
-    store_words = jax.lax.dynamic_update_slice(store_words, words, (n_used, 0))
+    out_cols = tuple(
+        jax.lax.dynamic_update_slice(sc, jnp.where(dead, U32MAX, c), (n_used,))
+        for sc, c in zip(key_cols, in_cols)
+    )
     store_counts = jax.lax.dynamic_update_slice(store_counts, counts, (n_used,))
     occ_acc = _acc64_add(occ_acc, jnp.sum(counts, dtype=jnp.uint32))
-    return store_sig, store_words, store_counts, n_used + words.shape[0], occ_acc
+    return out_cols, store_counts, n_used + counts.shape[0], occ_acc
 
 
 def _group_reduce(key_cols, payload_cols, counts=None, n_live=None,
@@ -175,60 +254,65 @@ def _group_reduce(key_cols, payload_cols, counts=None, n_live=None,
     return keys_r, pays_r, totals, n_groups
 
 
-def _live_mask(store_sig, store_counts, n_used):
-    """Row liveness: INVALID_SIG marks dead rows; additionally counts>0 when
-    the counts column exists."""
-    X = store_sig.shape[0]
+def _live_mask(key_cols, store_counts, n_used):
+    """Row liveness: all-ones key column 0 marks dead rows (fused lane 0 or
+    the bin column — live values are always strictly smaller); additionally
+    counts>0 when the counts column exists."""
+    X = key_cols[0].shape[0]
     idx = jnp.arange(X, dtype=jnp.int32)
-    live = (idx < n_used) & (store_sig != INVALID_SIG)
+    live = (idx < n_used) & (key_cols[0] != U32MAX)
     if store_counts is not None:
         live = live & (store_counts > 0)
     return live
 
 
-def _compact_core(store_sig, store_words, store_counts, n_used, wide=False):
-    """Merge duplicate k-mers.  Grouping key is (sig, words): sig is a
-    function of the k-mer so groups are unchanged, and putting it first
-    makes live rows sort to a prefix (dead rows carry INVALID_SIG), enabling
-    the unit-count fast path and keeping sig without a payload column."""
-    X, W = store_words.shape
+def _compact_core(key_cols, store_counts, n_used, wide=False):
+    """Merge duplicate k-mers.  The key columns already group by (bin,
+    k-mer) — the bin is a function of the k-mer so groups are exact — and
+    dead rows (all-ones) sort to the suffix, enabling the unit-count fast
+    path."""
+    X = key_cols[0].shape[0]
     idx = jnp.arange(X, dtype=jnp.int32)
-    live = _live_mask(store_sig, store_counts, n_used)
-    sig = jnp.where(live, store_sig, INVALID_SIG)
-    words = jnp.where(live[:, None], store_words, jnp.uint32(0xFFFFFFFF))
-    key_cols = [sig] + [words[:, t] for t in range(W)]
+    live = _live_mask(key_cols, store_counts, n_used)
+    cols = [jnp.where(live, c, U32MAX) for c in key_cols]
     if store_counts is None:
         n_live = jnp.sum(live.astype(jnp.int32))
-        keys_r, _, totals, n_groups = _group_reduce(key_cols, [], None, n_live)
+        keys_r, _, totals, n_groups = _group_reduce(cols, [], None, n_live)
     else:
         counts = jnp.where(live, store_counts, 0)
-        keys_r, _, totals, n_groups = _group_reduce(key_cols, [], counts,
+        keys_r, _, totals, n_groups = _group_reduce(cols, [], counts,
                                                     wide=wide)
     group_valid = (idx < n_groups) & (totals > 0)
-    out_sig = jnp.where(group_valid, keys_r[0], INVALID_SIG)
-    out_words = jnp.where(
-        group_valid[:, None], jnp.stack(keys_r[1:], axis=1), jnp.uint32(0xFFFFFFFF)
-    )
+    out_cols = tuple(jnp.where(group_valid, c, U32MAX) for c in keys_r)
     out_counts = jnp.where(group_valid, totals, 0).astype(jnp.uint32)
-    return out_sig, out_words, out_counts, n_groups
+    return out_cols, out_counts, n_groups
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _compact_unit(store_sig, store_words, n_used):
-    return _compact_core(store_sig, store_words, None, n_used)
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _compact_unit(key_cols, n_used):
+    return _compact_core(tuple(key_cols), None, n_used)
 
 
-@functools.partial(jax.jit, static_argnames=("wide",), donate_argnums=(0, 1, 2))
-def _compact_counted(store_sig, store_words, store_counts, n_used, wide=False):
-    return _compact_core(store_sig, store_words, store_counts, n_used, wide=wide)
+@functools.partial(jax.jit, static_argnames=("wide",), donate_argnums=(0, 1))
+def _compact_counted(key_cols, store_counts, n_used, wide=False):
+    return _compact_core(tuple(key_cols), store_counts, n_used, wide=wide)
+
+
+def _split_bins(keys_r, *, fuse, r0):
+    """(bins, kmer lanes) from reduced key columns."""
+    if fuse:
+        bins_r = keys_r[0] >> (2 * r0)
+        wr = [keys_r[0] & jnp.uint32((1 << (2 * r0)) - 1)] + list(keys_r[1:])
+    else:
+        bins_r = keys_r[0]
+        wr = list(keys_r[1:])
+    return bins_r, wr
 
 
 def _finalize_core(
-    store_sig,
-    store_words,
+    key_cols,
     store_counts,
     n_used,
-    sig_map,
     *,
     cutoff_min: int,
     cutoff_max: int,
@@ -237,6 +321,7 @@ def _finalize_core(
     lut_prefix_len: int,
     counter_size: int,
     n_bins: int,
+    fuse: bool,
     wide: bool = False,
 ):
     """Device completer (reference CKmerBinCompleter, kb_completer.cpp:
@@ -244,44 +329,23 @@ def _finalize_core(
     suffix+counter record bytes and the per-(bin, prefix) LUT histogram —
     the host only writes buffers.
 
-    Returns (cols: list of big-endian u32 record-byte columns, keep_bits,
-    lut u32[lut_size], n_groups, stats)."""
-    X, W = store_words.shape
+    Returns (cols: list of big-endian u32 record-byte columns, keep_bits
+    u32 words, lut u32[lut_size], n_groups, stats)."""
+    X = key_cols[0].shape[0]
+    W = (k + 15) // 16
+    r0 = k - 16 * (W - 1)
     idx = jnp.arange(X, dtype=jnp.int32)
-    live = _live_mask(store_sig, store_counts, n_used)
-    words = jnp.where(live[:, None], store_words, jnp.uint32(0xFFFFFFFF))
-    map_len = sig_map.shape[0]
-    sig_idx = jnp.minimum(store_sig, map_len - 1).astype(jnp.int32)
-    # clamp dead rows' bin to n_bins: sorts after every real bin and leaves
-    # headroom to fuse the bin id into the spare top bits of lane 0
-    bins = jnp.where(live, sig_map[sig_idx].astype(jnp.uint32), jnp.uint32(n_bins))
-
-    r0 = k - 16 * (W - 1)  # bases in lane 0
-    bin_bits = int(n_bins + 1).bit_length()
-    fuse = (2 * r0 + bin_bits) <= 32
-    if fuse:
-        # (bin, k-mer) order with one fewer sort column: bin rides the
-        # spare top bits of lane 0
-        fused0 = (bins << (2 * r0)) | jnp.where(
-            live, words[:, 0], jnp.uint32((1 << (2 * r0)) - 1)
-        )
-        key_cols = [fused0] + [words[:, t] for t in range(1, W)]
-    else:
-        key_cols = [bins] + [words[:, t] for t in range(W)]
+    live = _live_mask(key_cols, store_counts, n_used)
+    cols_in = [jnp.where(live, c, U32MAX) for c in key_cols]
 
     if store_counts is None:
         n_live = jnp.sum(live.astype(jnp.int32))
-        keys_r, _, totals, n_groups = _group_reduce(key_cols, [], None, n_live)
+        keys_r, _, totals, n_groups = _group_reduce(cols_in, [], None, n_live)
     else:
         counts = jnp.where(live, store_counts, 0)
-        keys_r, _, totals, n_groups = _group_reduce(key_cols, [], counts,
+        keys_r, _, totals, n_groups = _group_reduce(cols_in, [], counts,
                                                     wide=wide)
-    if fuse:
-        bins_r = keys_r[0] >> (2 * r0)
-        wr = [keys_r[0] & jnp.uint32((1 << (2 * r0)) - 1)] + list(keys_r[1:])
-    else:
-        bins_r = keys_r[0]
-        wr = list(keys_r[1:])
+    bins_r, wr = _split_bins(keys_r, fuse=fuse, r0=r0)
     group_valid = (idx < n_groups) & (totals > 0) & (bins_r < jnp.uint32(n_bins))
     n_unique = jnp.sum(group_valid.astype(jnp.int32))
     below = group_valid & (totals < cutoff_min)
@@ -315,12 +379,13 @@ def _finalize_core(
             col = col | (rec_byte(j) << (8 * (3 - (j - c0))))
         cols.append(col)
 
-    # --- keep bitmap (MSB-first, np.unpackbits-compatible), 1-D math ------
-    keep_u = keep.astype(jnp.uint32)
-    keep_bits = jnp.zeros((X // 8,), jnp.uint32)
-    for j in range(8):
-        keep_bits = keep_bits | (keep_u[j::8] << (7 - j))
-    keep_bits = keep_bits.astype(jnp.uint8)
+    # --- keep bitmap: u32 words, MSB-first (big-endian byte view is
+    # np.unpackbits-compatible).  Packed via reshape + weighted row reduce:
+    # the obvious strided 1-D pack (keep[j::8] << ...) costs 5.8s at 260M
+    # rows on v5e (strided slices lower to gathers); this is 0.05s.
+    keep_w = keep.astype(jnp.uint32).reshape(X // 32, 32)
+    wts = jnp.uint32(1) << (31 - jnp.arange(32, dtype=jnp.uint32))
+    keep_bits = (keep_w * wts[None, :]).sum(axis=1).astype(jnp.uint32)
 
     # --- per-(bin, prefix) LUT histogram ----------------------------------
     if lut_prefix_len:
@@ -357,84 +422,109 @@ def _finalize_core(
 
 _FIN_STATICS = (
     "cutoff_min", "cutoff_max", "counter_max", "k",
-    "lut_prefix_len", "counter_size", "n_bins", "wide",
+    "lut_prefix_len", "counter_size", "n_bins", "fuse", "wide",
 )
 
 
+@functools.partial(jax.jit, static_argnames=_FIN_STATICS, donate_argnums=(0,))
+def _finalize_records_unit(key_cols, n_used, **kw):
+    return _finalize_core(tuple(key_cols), None, n_used, **kw)
+
+
 @functools.partial(jax.jit, static_argnames=_FIN_STATICS, donate_argnums=(0, 1))
-def _finalize_records_unit(store_sig, store_words, n_used, sig_map, **kw):
-    return _finalize_core(store_sig, store_words, None, n_used, sig_map, **kw)
+def _finalize_records_counted(key_cols, store_counts, n_used, **kw):
+    return _finalize_core(tuple(key_cols), store_counts, n_used, **kw)
 
 
-@functools.partial(jax.jit, static_argnames=_FIN_STATICS, donate_argnums=(0, 1, 2))
-def _finalize_records_counted(store_sig, store_words, store_counts, n_used,
-                              sig_map, **kw):
-    return _finalize_core(store_sig, store_words, store_counts, n_used,
-                          sig_map, **kw)
-
-
-def _finalize_rows_core(store_sig, store_words, store_counts, n_used, sig_map,
-                        *, cutoff_min, cutoff_max, wide=False):
+def _finalize_rows_core(key_cols, store_counts, n_used, *, cutoff_min,
+                        cutoff_max, k, n_bins, fuse, wide=False):
     """Words-path finalize (KFF output / without_output): groups in (bin,
     k-mer) order with raw totals; cutoffs applied host-side."""
-    X, W = store_words.shape
+    X = key_cols[0].shape[0]
+    W = (k + 15) // 16
+    r0 = k - 16 * (W - 1)
     idx = jnp.arange(X, dtype=jnp.int32)
-    live = _live_mask(store_sig, store_counts, n_used)
-    words = jnp.where(live[:, None], store_words, jnp.uint32(0xFFFFFFFF))
-    map_len = sig_map.shape[0]
-    sig_idx = jnp.minimum(store_sig, map_len - 1).astype(jnp.int32)
-    bins = jnp.where(live, sig_map[sig_idx].astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
-
-    key_cols = [bins] + [words[:, t] for t in range(W)]
+    live = _live_mask(key_cols, store_counts, n_used)
+    cols_in = [jnp.where(live, c, U32MAX) for c in key_cols]
     if store_counts is None:
         n_live = jnp.sum(live.astype(jnp.int32))
-        keys_r, _, totals, n_groups = _group_reduce(key_cols, [], None, n_live)
+        keys_r, _, totals, n_groups = _group_reduce(cols_in, [], None, n_live)
     else:
         counts = jnp.where(live, store_counts, 0)
-        keys_r, _, totals, n_groups = _group_reduce(key_cols, [], counts,
+        keys_r, _, totals, n_groups = _group_reduce(cols_in, [], counts,
                                                     wide=wide)
-    bins_r = keys_r[0]
-    group_valid = (idx < n_groups) & (totals > 0) & (bins_r != jnp.uint32(0xFFFFFFFF))
+    bins_r, wr = _split_bins(keys_r, fuse=fuse, r0=r0)
+    group_valid = (idx < n_groups) & (totals > 0) & (bins_r < jnp.uint32(n_bins))
     n_unique = jnp.sum(group_valid.astype(jnp.int32))
     n_below = jnp.sum((group_valid & (totals < cutoff_min)).astype(jnp.int32))
     n_above = jnp.sum((group_valid & (totals > cutoff_max)).astype(jnp.int32))
-    out_words = jnp.stack(keys_r[1:], axis=1)
-    out_bins = jnp.where(group_valid, bins_r, jnp.uint32(0xFFFFFFFF)).astype(jnp.int32)
+    out_words = jnp.stack(wr, axis=1)
+    out_bins = jnp.where(group_valid, bins_r, U32MAX).astype(jnp.int32)
     out_counts = jnp.where(group_valid, totals, 0)
     return out_bins, out_words, out_counts, n_groups, (n_unique, n_below, n_above)
 
 
-_ROWS_STATICS = ("cutoff_min", "cutoff_max", "wide")
+_ROWS_STATICS = ("cutoff_min", "cutoff_max", "k", "n_bins", "fuse", "wide")
+
+
+@functools.partial(jax.jit, static_argnames=_ROWS_STATICS, donate_argnums=(0,))
+def _finalize_rows_unit(key_cols, n_used, **kw):
+    return _finalize_rows_core(tuple(key_cols), None, n_used, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=_ROWS_STATICS, donate_argnums=(0, 1))
-def _finalize_rows_unit(store_sig, store_words, n_used, sig_map, **kw):
-    return _finalize_rows_core(store_sig, store_words, None, n_used, sig_map, **kw)
-
-
-@functools.partial(jax.jit, static_argnames=_ROWS_STATICS, donate_argnums=(0, 1, 2))
-def _finalize_rows_counted(store_sig, store_words, store_counts, n_used,
-                           sig_map, **kw):
-    return _finalize_rows_core(store_sig, store_words, store_counts, n_used,
-                               sig_map, **kw)
+def _finalize_rows_counted(key_cols, store_counts, n_used, **kw):
+    return _finalize_rows_core(tuple(key_cols), store_counts, n_used, **kw)
 
 
 class DeviceKmerStore:
-    """HBM store of (signature, k-mer lanes[, counts]) rows (see module
+    """HBM store of ([bin,] k-mer lanes[, counts]) uint32 rows (see module
     docstring)."""
 
-    def __init__(self, capacity_rows: int, kmer_words: int,
+    def __init__(self, capacity_rows: int, *, k: int, sig_len: int,
+                 both_strands: bool, n_bins: int,
+                 map_mode: str = "prefix", sig_map: np.ndarray | None = None,
                  initial_rows: int | None = None):
         """capacity_rows is the HBM budget cap; the store starts small and
         grows 4x on demand (each growth recompiles the big kernels, 30-90s
         over the tunnel — TPU runs pass initial_rows=capacity to stay
-        shape-stable)."""
-        def _r8(x):  # keep-bit packing needs row counts divisible by 8
-            return (int(x) + 7) & ~7
+        shape-stable).
 
-        self.max_capacity = _r8(capacity_rows)
-        self.W = int(kmer_words)
-        self.capacity = min(self.max_capacity, _r8(initial_rows or (1 << 20)))
+        map_mode "prefix": n_bins is rounded down to a power of two and the
+        map becomes sig >> shift (plus the special bin).  map_mode "greedy":
+        sig_map (int32[4^sig_len+1], from signatures.build_signature_map)
+        routes each signature with a per-batch gather."""
+        def _r32(x):  # keep-bit packing needs row counts divisible by 32
+            return (int(x) + 31) & ~31
+
+        self.max_capacity = _r32(capacity_rows)
+        self.k = int(k)
+        self.sig_len = int(sig_len)
+        self.both_strands = bool(both_strands)
+        self.map_mode = map_mode
+        self.W = (self.k + 15) // 16
+        self.r0 = self.k - 16 * (self.W - 1)
+        if map_mode == "prefix":
+            self.prefix_bits, self.fuse = prefix_bin_bits(k, sig_len, n_bins)
+            self.n_used_bins = (1 << self.prefix_bits) + 1  # + special bin
+            self._sig_map_dev = None
+        elif map_mode == "greedy":
+            if sig_map is None:
+                raise ValueError("greedy map_mode requires sig_map")
+            self.prefix_bits = 0
+            self.n_used_bins = int(sig_map.max()) + 1
+            self.fuse = greedy_fuse(k, self.n_used_bins)
+            # disallowed (-1) slots are unreachable; route them to the dead
+            # bin defensively
+            sm = np.where(sig_map < 0, self.n_used_bins, sig_map)
+            self._sig_map_dev = jnp.asarray(sm.astype(np.int32))
+        else:
+            raise ValueError(f"unknown map_mode {map_mode!r}")
+        # the dead-row bin id: sorts after every real bin
+        self.n_dead_bin = self.n_used_bins
+        self.n_cols = self.W if self.fuse else self.W + 1
+
+        self.capacity = min(self.max_capacity, _r32(initial_rows or (1 << 20)))
         # slack rows let ingest continue while a compaction's result size is
         # still in flight (the appends are device-ordered after the compact,
         # and land within capacity+slack even in the worst case).  Default 0:
@@ -444,7 +534,7 @@ class DeviceKmerStore:
         import os as _os
 
         div = int(_os.environ.get("KMC_TPU_STORE_SLACK_DIV", "0"))
-        self._slack = _r8(self.capacity // div) if div else 0
+        self._slack = _r32(self.capacity // div) if div else 0
         self._pending_base = None
         self._pending_appends = 0
         self.counts = None  # materialized by the first compaction
@@ -454,19 +544,18 @@ class DeviceKmerStore:
         self.skm_acc = jnp.zeros((2,), jnp.uint32)  # (lo, hi) super-k-mers
         self.prev_sig = jnp.full((1,), INVALID_SIG, jnp.uint32)
         self._since_compact = 0
-        self.spilled = []  # host-side spilled compacted (sig, words, counts)
+        self.spilled = []  # host-side spilled compacted (cols tuple, counts)
         self.total_appended_rows = 0
         # conservative host-side bound on total occurrences (every ingest
         # position contributes at most 1); selects the wide group-reduce
         # when a single call could see >= 2^31 occurrences, with no device
         # sync on the hot path
         self._occ_upper = 0
-        self.sig_hist = None  # lazily sized from sig_len at first ingest
-        self.k = None  # learned at first ingest / append
 
     def _alloc(self, capacity, with_counts):
-        self.sig = jnp.full((capacity,), INVALID_SIG, jnp.uint32)
-        self.words = jnp.full((capacity, self.W), 0xFFFFFFFF, jnp.uint32)
+        self.key_cols = tuple(
+            jnp.full((capacity,), U32MAX, jnp.uint32) for _ in range(self.n_cols)
+        )
         self.counts = jnp.zeros((capacity,), jnp.uint32) if with_counts else None
 
     def _grow(self, needed_rows: int):
@@ -476,12 +565,13 @@ class DeviceKmerStore:
         new_cap = min(new_cap, self.max_capacity)
         if new_cap <= self.capacity:
             return False
-        old_sig, old_words, old_counts, old_n = (
-            self.sig, self.words, self.counts, self.n_used)
+        old_cols, old_counts, old_n = self.key_cols, self.counts, self.n_used
         self.capacity = new_cap
         self._alloc(new_cap + self._slack, with_counts=old_counts is not None)
-        self.sig = jax.lax.dynamic_update_slice(self.sig, old_sig, (0,))
-        self.words = jax.lax.dynamic_update_slice(self.words, old_words, (0, 0))
+        self.key_cols = tuple(
+            jax.lax.dynamic_update_slice(sc, oc, (0,))
+            for sc, oc in zip(self.key_cols, old_cols)
+        )
         if old_counts is not None:
             self.counts = jax.lax.dynamic_update_slice(self.counts, old_counts, (0,))
         self.n_used = old_n
@@ -519,65 +609,66 @@ class DeviceKmerStore:
         """Create the counts column (1 for live rows) when a path needs it."""
         if self.counts is not None:
             return
-        live = _live_mask(self.sig, None, self.n_used)
+        live = _live_mask(self.key_cols, None, self.n_used)
         self.counts = live.astype(jnp.uint32)
 
-    def ingest_packed(self, packed, mask, *, s: int, k: int, sig_len: int,
-                      both_strands: bool):
-        """Fused extract+append of one 2-bit-packed batch (one dispatch);
-        also accumulates the signature histogram for the bin map."""
-        self.k = k
+    def _ing_statics(self, s: int) -> dict:
+        return dict(
+            s=s, k=self.k, sig_len=self.sig_len,
+            both_strands=self.both_strands, map_mode=self.map_mode,
+            prefix_bits=self.prefix_bits, fuse=self.fuse,
+            n_dead_bin=self.n_dead_bin,
+        )
+
+    def ingest_packed(self, packed, mask, *, s: int, k: int | None = None,
+                      sig_len: int | None = None,
+                      both_strands: bool | None = None):
+        """Fused extract+bin+append of one 2-bit-packed batch (one
+        dispatch).  k/sig_len/both_strands are fixed at construction; the
+        keyword forms are accepted for API compatibility and validated."""
+        for name, val, mine in (("k", k, self.k),
+                                ("sig_len", sig_len, self.sig_len),
+                                ("both_strands", both_strands, self.both_strands)):
+            if val is not None and val != mine:
+                raise ValueError(f"{name}={val} differs from store's {mine}")
         self.total_appended_rows += s
         self._occ_upper += s
         self._make_room(s)
-        if self.sig_hist is None:
-            from ..signatures import map_size
-
-            self.sig_hist = jnp.zeros((map_size(sig_len) + 1,), jnp.uint32)
-        if self.counts is not None:
+        had_counts = self.counts is not None
+        if self.map_mode == "prefix":
+            (self.key_cols, self.n_used, self.occ_acc, self.skm_acc,
+             self.prev_sig) = _ingest_prefix(
+                packed, mask, self.key_cols, self.n_used, self.occ_acc,
+                self.skm_acc, self.prev_sig, **self._ing_statics(s))
+        else:
+            (self.key_cols, self.n_used, self.occ_acc, self.skm_acc,
+             self.prev_sig) = _ingest_greedy(
+                packed, mask, self.key_cols, self.n_used, self.occ_acc,
+                self.skm_acc, self.prev_sig, self._sig_map_dev,
+                **self._ing_statics(s))
+        if had_counts:
             # rare: ingest after a compaction/resume materialized counts —
             # pad the new raw rows with unit counts
-            self._ingest_into_counted(packed, mask, s=s, k=k, sig_len=sig_len,
-                                      both_strands=both_strands)
-        else:
-            (self.sig, self.words, self.n_used, self.occ_acc, self.skm_acc,
-             self.prev_sig, self.sig_hist) = _ingest(
-                packed, mask, self.sig, self.words, self.n_used, self.occ_acc,
-                self.skm_acc, self.prev_sig, self.sig_hist,
-                s=s, k=k, sig_len=sig_len, both_strands=both_strands)
+            ones = jnp.ones((s,), jnp.uint32)
+            start = self.n_used - s
+            self.counts = jax.lax.dynamic_update_slice(self.counts, ones, (start,))
         self._since_compact += s
 
-    def _ingest_into_counted(self, packed, mask, *, s, k, sig_len, both_strands):
-        (self.sig, self.words, self.n_used, self.occ_acc, self.skm_acc,
-         self.prev_sig, self.sig_hist) = _ingest(
-            packed, mask, self.sig, self.words, self.n_used, self.occ_acc,
-            self.skm_acc, self.prev_sig, self.sig_hist,
-            s=s, k=k, sig_len=sig_len, both_strands=both_strands)
-        # unit counts for the fresh rows
-        ones = jnp.ones((s,), jnp.uint32)
-        start = self.n_used - s
-        self.counts = jax.lax.dynamic_update_slice(self.counts, ones, (start,))
-
-    def append(self, sig, words, counts, k: int, count_occurrences: bool = True):
-        """External append of merged (sig, words, counts) rows."""
-        self.k = k
-        n = words.shape[0]
+    def append(self, cols, counts, count_occurrences: bool = True):
+        """External append of merged (key columns, counts) rows."""
+        counts = np.asarray(counts)
+        n = counts.shape[0]
         self.total_appended_rows += n
-        self._occ_upper += int(np.asarray(counts, dtype=np.uint64).sum())
+        self._occ_upper += int(counts.astype(np.uint64).sum())
         self._make_room(n)
         self._materialize_counts()
         acc = self.occ_acc if count_occurrences else jnp.zeros((2,), jnp.uint32)
-        self.sig, self.words, self.counts, self.n_used, acc = _append(
-            self.sig, self.words, self.counts, self.n_used,
-            jnp.asarray(sig), jnp.asarray(words), jnp.asarray(counts), acc)
+        self.key_cols, self.counts, self.n_used, acc = _append(
+            self.key_cols, self.counts, self.n_used,
+            tuple(jnp.asarray(c) for c in cols), jnp.asarray(counts), acc)
         if count_occurrences:
             self.occ_acc = acc
         self._since_compact += n
-
-    def sig_histogram(self) -> np.ndarray:
-        """Accumulated per-signature k-mer occurrence counts (map_size
-        entries; the trailing invalid slot is dropped)."""
-        return np.asarray(self.sig_hist[:-1], dtype=np.uint64)
 
     def total_super_kmers(self) -> int:
         acc = np.asarray(self.skm_acc)
@@ -595,12 +686,11 @@ class DeviceKmerStore:
 
     def compact(self, blocking: bool = False):
         if self.counts is None:
-            self.sig, self.words, self.counts, self.n_used = _compact_unit(
-                self.sig, self.words, self.n_used)
+            self.key_cols, self.counts, self.n_used = _compact_unit(
+                self.key_cols, self.n_used)
         else:
-            self.sig, self.words, self.counts, self.n_used = _compact_counted(
-                self.sig, self.words, self.counts, self.n_used,
-                wide=self._wide())
+            self.key_cols, self.counts, self.n_used = _compact_counted(
+                self.key_cols, self.counts, self.n_used, wide=self._wide())
         # defer the result-size fetch: ingest keeps streaming into the slack
         # region while the compact executes (see _make_room)
         self._pending_base = self.n_used
@@ -614,7 +704,7 @@ class DeviceKmerStore:
         self.compact(blocking=True)
         n = self._base
         self.spilled.append(
-            (np.asarray(self.sig[:n]), np.asarray(self.words[:n]),
+            (tuple(np.asarray(c[:n]) for c in self.key_cols),
              np.asarray(self.counts[:n]))
         )
         self._alloc(self.capacity, with_counts=True)
@@ -626,24 +716,25 @@ class DeviceKmerStore:
         if not self.spilled:
             return
         self._materialize_counts()
-        for sig, words, counts in self.spilled:
+        for cols, counts in self.spilled:
             pos = 0
-            while pos < len(words):
+            while pos < len(counts):
                 room = self.capacity - max(self._base_rows(), int(self.n_used))
                 if room <= 0:
                     raise MemoryError(
                         "device store too small for unique k-mer set; "
                         "use the host-staged pipeline (device_store=False)"
                     )
-                take = min(room, len(words) - pos)
-                # occurrences were already accumulated at first append
-                self.sig, self.words, self.counts, self.n_used, _ = _append(
-                    self.sig, self.words, self.counts, self.n_used,
-                    jnp.asarray(sig[pos : pos + take]),
-                    jnp.asarray(words[pos : pos + take]),
-                    jnp.asarray(counts[pos : pos + take]),
-                    jnp.zeros((2,), jnp.uint32),
+                take = min(room, len(counts) - pos)
+                # occurrences were already accumulated at first append, and
+                # _occ_upper must not double-count replays
+                prev_upper = self._occ_upper
+                self.append(
+                    tuple(c[pos : pos + take] for c in cols),
+                    counts[pos : pos + take],
+                    count_occurrences=False,
                 )
+                self._occ_upper = prev_upper
                 pos += take
         self.spilled = []
 
@@ -655,49 +746,72 @@ class DeviceKmerStore:
         n = self._base
         np.savez_compressed(
             path,
-            sig=np.asarray(self.sig[:n]),
-            words=np.asarray(self.words[:n]),
+            cols=np.stack([np.asarray(c[:n]) for c in self.key_cols]),
             counts=np.asarray(self.counts[:n]),
             occ=np.asarray(self.occ_acc),
             skm=np.asarray(self.skm_acc),
-            sig_hist=(np.asarray(self.sig_hist)
-                      if self.sig_hist is not None else np.zeros(0, np.uint32)),
-            k=np.asarray(self.k or 0),
+            occ_upper=np.asarray(self._occ_upper, dtype=np.uint64),
+            k=np.asarray(self.k),
+            sig_len=np.asarray(self.sig_len),
+            both_strands=np.asarray(self.both_strands),
+            n_used_bins=np.asarray(self.n_used_bins),
+            prefix_bits=np.asarray(self.prefix_bits),
+            map_mode=np.asarray(self.map_mode),
+            sig_map=(np.asarray(self._sig_map_dev)
+                     if self._sig_map_dev is not None else np.zeros(0, np.int32)),
             spilled=np.asarray(len(self.spilled)),
         )
-        for i, (s_, w_, c_) in enumerate(self.spilled):
-            np.savez_compressed(f"{path}.spill{i}", sig=s_, words=w_, counts=c_)
+        for i, (cols, counts) in enumerate(self.spilled):
+            np.savez_compressed(f"{path}.spill{i}",
+                                cols=np.stack(cols), counts=counts)
 
     @classmethod
     def load_checkpoint(cls, path: str, capacity_rows: int):
         data = np.load(path if str(path).endswith(".npz") else path + ".npz")
-        n = len(data["words"])
-        W = data["words"].shape[1]
-        store = cls(max(capacity_rows, 2 * max(n, 1)), W,
-                    initial_rows=max(2 * n, 1 << 10))
-        store.append(data["sig"], data["words"], data["counts"],
-                     k=int(data["k"]), count_occurrences=False)
+        n = len(data["counts"])
+        map_mode = str(data["map_mode"])
+        kw = dict(
+            k=int(data["k"]), sig_len=int(data["sig_len"]),
+            both_strands=bool(data["both_strands"]), map_mode=map_mode,
+        )
+        if map_mode == "prefix":
+            kw["n_bins"] = 1 << int(data["prefix_bits"])
+        else:
+            kw["n_bins"] = int(data["n_used_bins"])
+            kw["sig_map"] = data["sig_map"]
+        store = cls(max(capacity_rows, 2 * max(n, 1)),
+                    initial_rows=max(2 * n, 1 << 10), **kw)
+        store.append(tuple(data["cols"]), data["counts"],
+                     count_occurrences=False)
         store.occ_acc = jnp.asarray(data["occ"])
         store.skm_acc = jnp.asarray(data["skm"])
-        if len(data["sig_hist"]):
-            store.sig_hist = jnp.asarray(data["sig_hist"])
+        store._occ_upper = int(data["occ_upper"])
         for i in range(int(data["spilled"])):
             sp = np.load(f"{path}.spill{i}.npz")
-            store.spilled.append((sp["sig"], sp["words"], sp["counts"]))
+            store.spilled.append((tuple(sp["cols"]), sp["counts"]))
         return store
+
+    def host_sig_map(self) -> np.ndarray:
+        """The active signature->bin map as int32[4^sig_len + 1] (for the
+        .kmc_pre footer and the develop dumps)."""
+        if self.map_mode == "greedy":
+            return np.asarray(self._sig_map_dev)
+        msize = (1 << (2 * self.sig_len)) + 1
+        shift = 2 * self.sig_len - self.prefix_bits
+        return (np.arange(msize, dtype=np.int64) >> shift).astype(np.int32)
 
     def finalize_records(
         self,
-        sig_map: np.ndarray,
+        sig_map: np.ndarray | None = None,  # API compat; map fixed at init
         *,
         cutoff_min: int,
         cutoff_max: int,
         counter_max: int,
-        k: int,
         lut_prefix_len: int,
         counter_size: int,
-        n_bins: int,
-        sig_len: int | None = None,  # accepted for API compat; unused
+        k: int | None = None,
+        sig_len: int | None = None,
+        n_bins: int | None = None,
     ):
         """Device-completer finalize: returns (rec_bytes (N, RB) u8 in final
         record order already cutoff-filtered, lut uint64[(n_bins<<2*lpl)],
@@ -705,25 +819,24 @@ class DeviceKmerStore:
         import time as _time
 
         self._replay_spills()
-        sm = jnp.asarray(sig_map.astype(np.int32))
         kw = dict(
             cutoff_min=cutoff_min, cutoff_max=cutoff_max,
-            counter_max=counter_max, k=k,
+            counter_max=counter_max, k=self.k,
             lut_prefix_len=lut_prefix_len, counter_size=counter_size,
-            n_bins=n_bins,
+            n_bins=self.n_used_bins, fuse=self.fuse,
         )
         t0 = _time.perf_counter()
         if self.counts is None:
             cols, keep_bits, lut, n_groups, stats = _finalize_records_unit(
-                self.sig, self.words, self.n_used, sm, **kw)
+                self.key_cols, self.n_used, wide=False, **kw)
         else:
             cols, keep_bits, lut, n_groups, stats = _finalize_records_counted(
-                self.sig, self.words, self.counts, self.n_used, sm,
+                self.key_cols, self.counts, self.n_used,
                 wide=self._wide(), **kw)
         n = int(n_groups)  # sync point
         self.t_finalize_exec = _time.perf_counter() - t0
         t0 = _time.perf_counter()
-        nb = (n + 7) // 8
+        nb = (n + 31) // 32
         # start all D2H copies before consuming any (pipelines the transfers)
         slices = [keep_bits[:nb]] + [c[:n] for c in cols] + [lut]
         for a in slices:
@@ -731,8 +844,11 @@ class DeviceKmerStore:
                 a.copy_to_host_async()
             except AttributeError:
                 pass
-        keep_h = np.unpackbits(np.asarray(slices[0]))[:n].astype(bool)
-        suffix_bytes = (k - lut_prefix_len) // 4 if lut_prefix_len else (k + 3) // 4
+        keep_h = np.unpackbits(
+            np.asarray(slices[0]).astype(">u4").view(np.uint8)
+        )[:n].astype(bool)
+        k_ = self.k
+        suffix_bytes = (k_ - lut_prefix_len) // 4 if lut_prefix_len else (k_ + 3) // 4
         record_bytes = suffix_bytes + counter_size
         rec_h = np.empty((n, 4 * len(cols)), dtype=np.uint8)
         for j, c in enumerate(slices[1:-1]):
@@ -742,26 +858,26 @@ class DeviceKmerStore:
         rec_h = rec_h[:, :record_bytes]
         lut_h = np.asarray(slices[-1]).astype(np.uint64)
         self.t_finalize_d2h = _time.perf_counter() - t0
-        self.sig = self.words = self.counts = None
+        self.key_cols = self.counts = None
         return np.ascontiguousarray(rec_h[keep_h]), lut_h, tuple(int(x) for x in stats)
 
-    def finalize(self, sig_map: np.ndarray, cutoff_min: int, cutoff_max: int,
-                 counter_max: int, *, k: int | None = None,
-                 sig_len: int | None = None):
+    def finalize(self, sig_map: np.ndarray | None = None, cutoff_min: int = 1,
+                 cutoff_max: int = 10**9, counter_max: int = 255, *,
+                 k: int | None = None, sig_len: int | None = None):
         """Returns (bins, words, counts, stats) as host arrays in final DB
         record order (KFF / no-output paths)."""
         import time as _time
 
         self._replay_spills()
-        sm = jnp.asarray(sig_map.astype(np.int32))
-        kw = dict(cutoff_min=cutoff_min, cutoff_max=cutoff_max)
+        kw = dict(cutoff_min=cutoff_min, cutoff_max=cutoff_max, k=self.k,
+                  n_bins=self.n_used_bins, fuse=self.fuse)
         t0 = _time.perf_counter()
         if self.counts is None:
             g_bins, g_words, g_counts, n_groups, stats = _finalize_rows_unit(
-                self.sig, self.words, self.n_used, sm, **kw)
+                self.key_cols, self.n_used, wide=False, **kw)
         else:
             g_bins, g_words, g_counts, n_groups, stats = _finalize_rows_counted(
-                self.sig, self.words, self.counts, self.n_used, sm,
+                self.key_cols, self.counts, self.n_used,
                 wide=self._wide(), **kw)
         n = int(n_groups)  # sync point: device queue drains here
         self.t_finalize_exec = _time.perf_counter() - t0
@@ -777,5 +893,5 @@ class DeviceKmerStore:
             np.minimum(totals[keep], counter_max).astype(np.uint32),
             tuple(int(x) for x in stats),
         )
-        self.sig = self.words = self.counts = None
+        self.key_cols = self.counts = None
         return out

@@ -122,6 +122,11 @@ class Stage1Params:
     # host-staged per-bin bucket pipeline
     device_store: bool = True
     device_store_rows: int = 1 << 26
+    # signature->bin policy for the device store: "prefix" (computed with a
+    # shift; fastest) or "greedy" (the reference's sampled-histogram greedy
+    # balance, s_mapper.h:141-235).  Either yields a valid self-describing
+    # KMC2 database; see ops/store.py module docstring.
+    signature_map_policy: str = "prefix"
     # observers (reference kmc_runner.h:24-93; injected like SetLogger /
     # SetPercentProgressObserver / SetProgressObserver)
     logger: object = None
@@ -337,7 +342,6 @@ class Runner:
 
         k, m = params.kmer_len, params.signature_len
         s = params.batch_positions
-        W = (k + 15) // 16
         bs = BatchStream(s, k)
         capacity = max(params.device_store_rows, 2 * s)
         if params.strict_memory_mode:
@@ -350,10 +354,21 @@ class Runner:
         # recompiles cost 30-90s each over the tunnel); on CPU (tests) start
         # small so the big sorts never materialize
         init_rows = capacity if jax.default_backend() != "cpu" else 2 * s
+        store_kw = dict(
+            k=k, sig_len=m, both_strands=params.canonical_kmers,
+            map_mode=params.signature_map_policy,
+        )
+        if params.signature_map_policy == "greedy":
+            # greedy needs the map upfront: the reference's sampled stage-0
+            self._run_stage0(params)
+            store_kw["sig_map"] = self._sig_map
+            store_kw["n_bins"] = self._n_used_bins
+        else:
+            store_kw["n_bins"] = params.n_bins
         store = DeviceKmerStore(
             capacity_rows=capacity,
-            kmer_words=W,
             initial_rows=init_rows,
+            **store_kw,
         )
         total_bytes = sum(
             Path(p).stat().st_size for p in params.input_files if Path(p).exists()
@@ -384,18 +399,12 @@ class Runner:
             # ingest would serialize H2D with the host loop)
             staged = (jax.device_put(packed), jax.device_put(mask))
             if pending is not None:
-                store.ingest_packed(
-                    *pending, s=s, k=k, sig_len=m,
-                    both_strands=params.canonical_kmers,
-                )
+                store.ingest_packed(*pending, s=s)
             pending = staged
             t_prev = time.perf_counter()
             t_disp += t_prev - t_now
         if pending is not None:
-            store.ingest_packed(
-                *pending, s=s, k=k, sig_len=m,
-                both_strands=params.canonical_kmers,
-            )
+            store.ingest_packed(*pending, s=s)
             if ppo is not None and total_bytes and state_ref is not None:
                 ppo.set_progress(
                     min(99, state_ref.consumed_bytes * 100 // total_bytes)
@@ -407,14 +416,8 @@ class Runner:
                   f"dispatch(ingest): {t_disp:.2f}s "
                   f"({store.total_appended_rows // max(s,1)} batches)")
         self._store = store
-        # bin map from the ingest-accumulated full-input signature histogram
-        t0 = time.perf_counter()
-        self._sig_map = build_signature_map(
-            store.sig_histogram(), m, params.n_bins
-        )
-        self._n_used_bins = int(self._sig_map.max()) + 1
-        if params.verbose:
-            print(f"[stage1] signature map: {time.perf_counter() - t0:.2f}s")
+        self._sig_map = store.host_sig_map()
+        self._n_used_bins = store.n_used_bins
         results.n_total_super_kmers = store.total_super_kmers()
 
     def _run_stage1_host_buckets(self, params: Stage1Params, results: Stage1Results):
@@ -499,12 +502,12 @@ class Runner:
         params.validate()
         self._s1 = params
         self._small_k = params.kmer_len <= 13
-        self._sig_map = meta["sig_map"]
-        self._n_used_bins = int(meta["n_used_bins"])
         self._n_reads = int(meta["n_reads"])
         self._store = DeviceKmerStore.load_checkpoint(
             path, capacity_rows=params.device_store_rows
         )
+        self._sig_map = self._store.host_sig_map()
+        self._n_used_bins = self._store.n_used_bins
 
     # ---------------- stage 2 ----------------
     def run_stage2(self, params: Stage2Params) -> Stage2Results:
@@ -561,12 +564,9 @@ class Runner:
             # KFF needs big-endian counters and whole k-mers: use the
             # words-based finalize
             bins, words, counts, (n_unique, n_below, n_above) = store.finalize(
-                self._sig_map,
                 cutoff_min=params.cutoff_min,
                 cutoff_max=params.cutoff_max,
                 counter_max=params.counter_max,
-                k=k,
-                sig_len=s1.signature_len,
             )
             if s1.verbose:
                 print(f"[stage2] finalize exec: {store.t_finalize_exec:.2f}s "
@@ -586,15 +586,11 @@ class Runner:
         # KMC2 output: device completer emits the exact on-disk payload
         info = self._make_db_info(params)
         rec, lut, (n_unique, n_below, n_above) = store.finalize_records(
-            self._sig_map,
             cutoff_min=params.cutoff_min,
             cutoff_max=params.cutoff_max,
             counter_max=params.counter_max,
-            k=k,
-            sig_len=s1.signature_len,
             lut_prefix_len=info.lut_prefix_len,
             counter_size=info.counter_size,
-            n_bins=self._n_used_bins,
         )
         if s1.verbose:
             print(f"[stage2] finalize exec: {store.t_finalize_exec:.2f}s "

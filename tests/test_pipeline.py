@@ -168,3 +168,35 @@ def test_n_reads_counting(tmp_path):
     out = str(tmp_path / "out")
     res1, _ = count([inp], out, k=21, cutoff_min=1, batch_positions=1 << 12)
     assert res1.n_sequences == 37
+
+
+@pytest.mark.parametrize("policy", ["prefix", "greedy"])
+@pytest.mark.parametrize("k", [21, 27, 32])
+def test_signature_map_policies(tmp_path, policy, k):
+    """Both signature->bin policies produce identical k-mer/count content
+    (the bin layout differs; dumps are canonical)."""
+    reads = random_reads(80, 90, seed=k + 1000)
+    run_and_compare(tmp_path, reads, k, cutoff_min=1,
+                    signature_map_policy=policy)
+
+
+def test_prefix_policy_random_access(tmp_path):
+    """CheckKmer through the file's own sig_map must work for prefix-policy
+    DBs (exercises the in-file map round trip)."""
+    from kmc_tpu.api import KMCFile, KmerAPI
+
+    reads = random_reads(50, 70, seed=5)
+    inp = write_fastq(tmp_path / "in.fastq", reads)
+    out = str(tmp_path / "out")
+    count([inp], out, k=25, cutoff_min=1, batch_positions=1 << 12)
+    counts = oracle.count_kmers(reads, 25)
+
+    f = KMCFile()
+    assert f.OpenForRA(out)
+    for i, (kmer, cnt) in enumerate(sorted(counts.items())):
+        if i % 7:
+            continue  # sample
+        ka = KmerAPI(25)
+        ka.from_string(kmer)
+        found, got = f.CheckKmer(ka)
+        assert found and got == cnt, (kmer, found, got, cnt)

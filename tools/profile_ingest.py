@@ -35,13 +35,15 @@ def main():
     cap = 1 << int(sys.argv[3]) if len(sys.argv) > 3 else 1 << 26
 
     def run(tag):
-        store = DeviceKmerStore(capacity_rows=cap, kmer_words=W, initial_rows=cap)
-        store.ingest_packed(*batches[0], s=s, k=k, sig_len=m, both_strands=True)
+        store = DeviceKmerStore(cap, k=k, sig_len=m, both_strands=True,
+                                n_bins=512, initial_rows=cap)
+        store.ingest_packed(*batches[0], s=s)
         sync()  # compile
-        store2 = DeviceKmerStore(capacity_rows=cap, kmer_words=W, initial_rows=cap)
+        store2 = DeviceKmerStore(cap, k=k, sig_len=m, both_strands=True,
+                                 n_bins=512, initial_rows=cap)
         t0 = time.perf_counter()
         for pm in batches:
-            store2.ingest_packed(*pm, s=s, k=k, sig_len=m, both_strands=True)
+            store2.ingest_packed(*pm, s=s)
         sync()
         dt = time.perf_counter() - t0
         print(f"{tag}: {dt:.2f}s total, {dt/n_batches*1e3:.0f} ms/batch, "

@@ -28,6 +28,7 @@ def main():
 
     from kmc_tpu.io.readers import BatchStream, ParseState, file_code_stream
     from kmc_tpu.ops.extract import stage1_batch
+    from kmc_tpu.io.native import pack_codes
     from kmc_tpu.ops.store import DeviceKmerStore
 
     k, m, s = 27, 9, 1 << 22
@@ -67,25 +68,27 @@ def main():
     t_k1 = time.perf_counter() - t0
     print(f"stage1 kernel: {t_k1:.2f}s  ({t_k1/len(batches)*1e3:.0f} ms/batch)")
 
-    # phase E: store appends
-    store = DeviceKmerStore(capacity_rows=1 << 26, kmer_words=W, initial_rows=2 * s)
-    store.append(*outs[0][:3])  # compile
+    # phase E: fused ingest (extract + bin + append)
+    store = DeviceKmerStore(1 << 26, k=k, sig_len=m, both_strands=True,
+                            n_bins=512, initial_rows=2 * s)
+    pm0 = pack_codes(np.asarray(batches[0]))
+    store.ingest_packed(*pm0, s=s)  # compile
     sync()
-    store2 = DeviceKmerStore(capacity_rows=1 << 26, kmer_words=W, initial_rows=2 * s)
+    store2 = DeviceKmerStore(1 << 26, k=k, sig_len=m, both_strands=True,
+                             n_bins=512, initial_rows=2 * s)
     t0 = time.perf_counter()
-    for u_sig, u_words, counts, _ in outs:
-        store2.append(u_sig, u_words, counts)
+    for b in batches:
+        store2.ingest_packed(*pack_codes(np.asarray(b)), s=s)
     sync()
     t_app = time.perf_counter() - t0
-    print(f"store append: {t_app:.2f}s  ({t_app/len(batches)*1e3:.0f} ms/batch)")
+    print(f"fused ingest: {t_app:.2f}s  ({t_app/len(batches)*1e3:.0f} ms/batch)")
 
     # phase F: finalize
-    from kmc_tpu.signatures import build_signature_map, map_size
-    sig_map = build_signature_map(np.ones(map_size(m), np.uint64), m, 512)
-    sig_map = np.where(sig_map < 0, 511, sig_map).astype(np.int32)
+    sig_map = store2.host_sig_map()
+    n_bins_used = store2.n_used_bins
     t0 = time.perf_counter()
     bins, words, counts, stats = store2.finalize(
-        sig_map, cutoff_min=2, cutoff_max=10**9, counter_max=255
+        cutoff_min=2, cutoff_max=10**9, counter_max=255
     )
     t_fin = time.perf_counter() - t0
     print(f"finalize(+D2H): {t_fin:.2f}s  ({len(bins)} kept rows)")
@@ -95,13 +98,13 @@ def main():
     from kmc_tpu.runner import words_to_kmer_bytes
     t0 = time.perf_counter()
     info = DbInfo(kmer_len=k, counter_size=1,
-                  lut_prefix_len=pick_lut_prefix_len(k, 512, len(bins)),
+                  lut_prefix_len=pick_lut_prefix_len(k, n_bins_used, len(bins)),
                   signature_len=m, cutoff_min=2, cutoff_max=10**9,
-                  both_strands=True, n_bins=512)
+                  both_strands=True, n_bins=n_bins_used)
     writer = Kmc2DbWriter("/tmp/profile_out", info, sig_map)
-    bounds = np.searchsorted(bins, np.arange(513))
+    bounds = np.searchsorted(bins, np.arange(n_bins_used + 1))
     kb = words_to_kmer_bytes(words, k)
-    for b in range(512):
+    for b in range(n_bins_used):
         lo, hi = bounds[b], bounds[b + 1]
         if lo < hi:
             writer.put_bin(b, kb[lo:hi], counts[lo:hi])
