@@ -7,6 +7,7 @@ kmc_tpu.cli` unchanged.
 from __future__ import annotations
 
 import json
+import os
 import random
 import sys
 
@@ -268,6 +269,18 @@ def main(argv=None) -> int:
     print(format_summary(s1, r1, r2))
     if cli["json_summary"]:
         save_json_summary(cli["json_summary"], s1, r1, r2)
+    if os.environ.get("KMC_TPU_DEVELOP"):
+        # develop-mode diagnostics (reference DEVELOP_MODE, develop.cpp):
+        # signature map + per-bin stats next to the output database
+        from .develop import dump_bin_stats, dump_signature_map
+
+        out = s2.output_file_name
+        if runner._sig_map is not None:
+            dump_signature_map(runner._sig_map, s1.signature_len,
+                               out + ".sig_map.develop")
+        if not s2.without_output and s2.output_file_type == OutputFileType.KMC \
+                and not r1.was_small_k_opt_used:
+            dump_bin_stats(out, out + ".bin_stats.develop")
     return 0
 
 

@@ -372,12 +372,19 @@ def _finalize_core(
             return (wr[lane] >> sh) & 0xFF
         return (cnt >> (8 * (j - suffix_bytes))) & 0xFF  # LE counter byte
 
+    # tight packing: u32 columns plus a u16/u8 tail column so D2H moves
+    # exactly record_bytes per row (no pad bytes)
     cols = []
-    for c0 in range(0, record_bytes, 4):
+    c0 = 0
+    while c0 < record_bytes:
+        rem = record_bytes - c0
+        w, dt = ((4, jnp.uint32) if rem >= 4 else
+                 (2, jnp.uint16) if rem >= 2 else (1, jnp.uint8))
         col = jnp.zeros((X,), jnp.uint32)
-        for j in range(c0, min(c0 + 4, record_bytes)):
-            col = col | (rec_byte(j) << (8 * (3 - (j - c0))))
-        cols.append(col)
+        for j in range(c0, c0 + w):
+            col = col | (rec_byte(j) << (8 * (w - 1 - (j - c0))))
+        cols.append(col.astype(dt))
+        c0 += w
 
     # --- keep bitmap: u32 words, MSB-first (big-endian byte view is
     # np.unpackbits-compatible).  Packed via reshape + weighted row reduce:
@@ -850,12 +857,15 @@ class DeviceKmerStore:
         k_ = self.k
         suffix_bytes = (k_ - lut_prefix_len) // 4 if lut_prefix_len else (k_ + 3) // 4
         record_bytes = suffix_bytes + counter_size
-        rec_h = np.empty((n, 4 * len(cols)), dtype=np.uint8)
-        for j, c in enumerate(slices[1:-1]):
-            rec_h[:, 4 * j : 4 * j + 4] = (
-                np.asarray(c).astype(">u4").view(np.uint8).reshape(n, 4)
+        rec_h = np.empty((n, record_bytes), dtype=np.uint8)
+        off = 0
+        for c in slices[1:-1]:
+            a = np.asarray(c)
+            w = a.dtype.itemsize
+            rec_h[:, off : off + w] = (
+                a.astype(">u%d" % w).view(np.uint8).reshape(n, w)
             )
-        rec_h = rec_h[:, :record_bytes]
+            off += w
         lut_h = np.asarray(slices[-1]).astype(np.uint64)
         self.t_finalize_d2h = _time.perf_counter() - t0
         self.key_cols = self.counts = None

@@ -9,11 +9,22 @@ stage 1" property (/root/reference/kmc_core/kb_completer.cpp:130-222); the
 completer's bin-ordered output is reassembled on the host by interleaving
 the owners' per-bin runs.
 
+Rows use the binned-store layout (ops/store.py): (bin | k-mer) fused uint32
+key columns, bin = prefix-of-signature (one shift, no table — see the
+ops/store.py docstring for why any signature-consistent map is valid), and
+NO counts column — every ingested row weighs 1 and a received row's weight
+is simply its liveness, so the ICI exchange moves exactly the key columns
+(8 B/row for k<=27) and nothing else.
+
 Stages (all shard_map'd over one 'd' mesh axis):
-  ingest   codes batches uint8[D, L] -> per-device raw (sig, words, count)
-           rows appended to the local store partition (fused, one dispatch)
-  finalize per device: map sig->bin, sort rows by owner, fixed-capacity
-           all_to_all, then _group_reduce by (bin, k-mer) and cutoff stats
+  ingest   codes batches uint8[D, L] -> per-device key-column rows appended
+           to the local store partition (fused, one dispatch); exact
+           super-k-mer stats via a ppermute carry of the previous batch's
+           final signature (batches are dealt round-robin, so device d's
+           stream predecessor is device d-1's batch of the same group)
+  finalize per device: owner = bin % D, sort rows by owner into
+           fixed-capacity segments, all_to_all, then _group_reduce by
+           (bin, k-mer) and cutoff stats
 
 The host driver (distributed_count) feeds D batches per step (data
 parallelism over the code stream) and writes a byte-identical KMC2 database.
@@ -28,22 +39,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.extract import INVALID_SIG, _kmer_words, _unpack_device, position_sigs
-from ..ops.store import _acc64_add, _group_reduce
+from ..ops.store import (
+    U32MAX,
+    _acc64_add,
+    _group_reduce,
+    _key_cols_from,
+    _sig_to_bin,
+    prefix_bin_bits,
+)
 from .distributed import make_mesh
 
 
-def _ingest_shard(packed, mask, st_sig, st_words, st_counts, n_used, occ, skm,
-                  prev, *, s, k, sig_len, both_strands, n_devices, axis):
-    """Per-device fused extract+append (mirrors ops/store._ingest_packed,
+def _ingest_shard(packed, mask, cols, n_used, occ, skm, prev, *, s, k,
+                  sig_len, both_strands, prefix_bits, fuse, n_dead_bin,
+                  n_devices, axis):
+    """Per-device fused extract+bin+append (mirrors ops/store._ingest_prefix,
     without the leading device axis: shard_map strips it)."""
     c4, bad = _unpack_device(packed[0], mask[0])
     valid, sig_pos, p, q = position_sigs(c4, bad, s=s, k=k, sig_len=sig_len)
-    # exact super-k-mer stats: batches are dealt round-robin, so in stream
-    # order device d's batch follows device d-1's batch of the same group
-    # (and device 0's follows the previous group's last device).  A ppermute
-    # hands every device its predecessor's final signature; device 0 instead
-    # uses the carry saved from the previous group, and saves what it
-    # receives (this group's last device) as the next group's carry.
+    # exact super-k-mer stats: a ppermute hands every device its
+    # predecessor's final signature; device 0 instead uses the carry saved
+    # from the previous group, and saves what it receives (this group's last
+    # device) as the next group's carry.
     last_sig = sig_pos[-1:]
     recv = jax.lax.ppermute(
         last_sig, axis, [(i, (i + 1) % n_devices) for i in range(n_devices)]
@@ -56,19 +73,20 @@ def _ingest_shard(packed, mask, st_sig, st_words, st_counts, n_used, occ, skm,
     skm2 = _acc64_add(skm[0], jnp.sum(new_skm.astype(jnp.uint32)))
 
     wl = _kmer_words(p, q, k, s, both_strands)
-    words = jnp.stack(
-        [jnp.where(valid, w, jnp.uint32(0xFFFFFFFF)) for w in wl], axis=1
+    bins = _sig_to_bin(sig_pos, valid, sig_len=sig_len, map_mode="prefix",
+                       prefix_bits=prefix_bits, sig_map=None,
+                       n_dead_bin=n_dead_bin)
+    W = (k + 15) // 16
+    r0 = k - 16 * (W - 1)
+    new_cols = _key_cols_from(bins, wl, valid, fuse=fuse, r0=r0)
+
+    occ2 = _acc64_add(occ[0], jnp.sum(valid.astype(jnp.uint32)))
+    out_cols = tuple(
+        jax.lax.dynamic_update_slice(sc[0], c, (n_used[0],))[None]
+        for sc, c in zip(cols, new_cols)
     )
-    counts = valid.astype(jnp.uint32)
-    sig = sig_pos
-    st_sig = jax.lax.dynamic_update_slice(st_sig[0], sig, (n_used[0],))
-    st_words = jax.lax.dynamic_update_slice(st_words[0], words, (n_used[0], 0))
-    st_counts = jax.lax.dynamic_update_slice(st_counts[0], counts, (n_used[0],))
-    occ2 = _acc64_add(occ[0], jnp.sum(counts, dtype=jnp.uint32))
     return (
-        st_sig[None],
-        st_words[None],
-        st_counts[None],
+        out_cols,
         (n_used[0] + s)[None],
         occ2[None],
         skm2[None],
@@ -76,72 +94,69 @@ def _ingest_shard(packed, mask, st_sig, st_words, st_counts, n_used, occ, skm,
     )
 
 
-def _finalize_shard(st_sig, st_words, st_counts, n_used, sig_map, *,
-                    cutoff_min, cutoff_max, n_devices, capacity, axis,
-                    wide=False):
-    """Per-device: route rows to bin owners (one all_to_all), then local
-    group-reduce.  Returns per-device (bins, words, totals, n_groups,
-    stats, n_dropped)."""
+def _finalize_shard(cols, n_used, *, cutoff_min, cutoff_max, k, n_bins, fuse,
+                    n_devices, capacity, axis):
+    """Per-device: route rows to bin owners (one all_to_all of the key
+    columns only), then local group-reduce with liveness as the row weight.
+    Returns per-device (bins, words, totals, n_groups, stats, n_dropped)."""
     D = n_devices
-    me = jax.lax.axis_index(axis)
-    sig = st_sig[0]
-    words = st_words[0]
-    counts = st_counts[0]
-    X, W = words.shape
+    W = (k + 15) // 16
+    r0 = k - 16 * (W - 1)
+    key_cols = [c[0] for c in cols]
+    X = key_cols[0].shape[0]
     idx = jnp.arange(X, dtype=jnp.int32)
-    live = (idx < n_used[0]) & (sig != INVALID_SIG) & (counts > 0)
-    map_len = sig_map.shape[0]
-    sig_idx = jnp.minimum(sig, map_len - 1).astype(jnp.int32)
-    bins = jnp.where(live, sig_map[sig_idx].astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
+    live = (idx < n_used[0]) & (key_cols[0] != U32MAX)
+    if fuse:
+        bins = key_cols[0] >> (2 * r0)
+    else:
+        bins = key_cols[0]
     owner = jnp.where(live, (bins % D).astype(jnp.uint32), jnp.uint32(D))
 
     # slot rows into fixed-capacity per-owner segments (the ragged
     # all-to-all of SURVEY.md §2.6, sized like the reference's
     # n_plus_x_recs upper bound, kb_collector.h:66-116)
-    ops = jax.lax.sort(
-        [owner, bins] + [words[:, t] for t in range(W)] + [counts],
-        num_keys=2 + W,
-    )
-    owner_s, bins_s = ops[0], ops[1]
-    words_s = ops[2 : 2 + W]
-    counts_s = ops[2 + W]
+    ops = jax.lax.sort([owner] + key_cols, num_keys=1 + len(key_cols))
+    owner_s = ops[0]
+    cols_s = ops[1:]
     owner_start = jnp.searchsorted(owner_s, jnp.arange(D + 1, dtype=jnp.uint32))
     pos_in_owner = idx - owner_start[jnp.minimum(owner_s, D).astype(jnp.int32)]
     in_cap = (pos_in_owner < capacity) & (owner_s < D)
     n_dropped = jnp.sum(((owner_s < D) & ~in_cap).astype(jnp.int32))
 
-    def seg(col, fill):
-        out = jnp.full((D * capacity + 1,), fill, col.dtype)
+    def seg(col):
+        out = jnp.full((D * capacity + 1,), U32MAX, col.dtype)
         slot = jnp.where(in_cap, owner_s.astype(jnp.int32) * capacity + pos_in_owner,
                          D * capacity)
-        out = out.at[slot].set(jnp.where(in_cap, col, fill))
+        out = out.at[slot].set(jnp.where(in_cap, col, U32MAX))
         return out[: D * capacity].reshape(D, capacity)
 
-    send_bins = seg(bins_s, jnp.uint32(0xFFFFFFFF))
-    send_counts = seg(counts_s, jnp.uint32(0))
-    send_words = [seg(w, jnp.uint32(0xFFFFFFFF)) for w in words_s]
+    send_cols = [seg(c) for c in cols_s]
 
     # the ragged all-to-all over ICI (Pallas remote-DMA kernel on real
     # multi-chip slices; lax.all_to_all elsewhere — parallel/pallas_a2a.py)
     from .pallas_a2a import pallas_all_to_all
 
-    recv_bins = pallas_all_to_all(send_bins, axis=axis)
-    recv_counts = pallas_all_to_all(send_counts, axis=axis)
-    recv_words = [pallas_all_to_all(w, axis=axis) for w in send_words]
+    recv_cols = [pallas_all_to_all(c, axis=axis) for c in send_cols]
 
     P_ = D * capacity
-    rb = recv_bins.reshape(P_)
-    rc = recv_counts.reshape(P_)
-    rw = [w.reshape(P_) for w in recv_words]
-    keys_r, _, totals, n_groups = _group_reduce([rb] + rw, [], rc, wide=wide)
-    bins_r = keys_r[0]
+    rc_cols = [c.reshape(P_) for c in recv_cols]
+    # row weight = liveness: every ingested row is one occurrence, and the
+    # exchange pads with all-ones keys
+    weights = (rc_cols[0] != U32MAX).astype(jnp.uint32)
+    keys_r, _, totals, n_groups = _group_reduce(rc_cols, [], weights)
+    if fuse:
+        bins_r = keys_r[0] >> (2 * r0)
+        wr = [keys_r[0] & jnp.uint32((1 << (2 * r0)) - 1)] + list(keys_r[1:])
+    else:
+        bins_r = keys_r[0]
+        wr = list(keys_r[1:])
     gidx = jnp.arange(P_, dtype=jnp.int32)
-    group_valid = (gidx < n_groups) & (totals > 0) & (bins_r != jnp.uint32(0xFFFFFFFF))
+    group_valid = (gidx < n_groups) & (totals > 0) & (bins_r < jnp.uint32(n_bins))
     n_unique = jnp.sum(group_valid.astype(jnp.int32))
     n_below = jnp.sum((group_valid & (totals < cutoff_min)).astype(jnp.int32))
     n_above = jnp.sum((group_valid & (totals > cutoff_max)).astype(jnp.int32))
-    out_words = jnp.stack(keys_r[1:], axis=1)
-    out_bins = jnp.where(group_valid, bins_r, jnp.uint32(0xFFFFFFFF)).astype(jnp.int32)
+    out_words = jnp.stack(wr, axis=1)
+    out_bins = jnp.where(group_valid, bins_r, U32MAX).astype(jnp.int32)
     out_counts = jnp.where(group_valid, totals, 0)
     return (
         out_bins[None],
@@ -154,24 +169,32 @@ def _finalize_shard(st_sig, st_words, st_counts, n_used, sig_map, *,
 
 
 class ShardedKmerStore:
-    """Row-partitioned HBM store across a device mesh."""
+    """Row-partitioned HBM store across a device mesh (binned layout,
+    prefix signature->bin policy)."""
 
-    def __init__(self, mesh: Mesh, capacity_rows_per_device: int, kmer_words: int,
-                 axis: str = "d"):
+    def __init__(self, mesh: Mesh, capacity_rows_per_device: int, *,
+                 k: int, sig_len: int = 9, both_strands: bool = True,
+                 n_bins: int = 512, axis: str = "d"):
         self.mesh = mesh
         self.axis = axis
         self.D = mesh.devices.size
         self.cap = int(capacity_rows_per_device)
-        self.W = int(kmer_words)
+        self.k = int(k)
+        self.sig_len = int(sig_len)
+        self.both_strands = bool(both_strands)
+        self.W = (self.k + 15) // 16
+        self.r0 = self.k - 16 * (self.W - 1)
+        self.prefix_bits, self.fuse = prefix_bin_bits(k, sig_len, n_bins)
+        self.n_used_bins = (1 << self.prefix_bits) + 1
+        self.n_dead_bin = self.n_used_bins
+        self.n_cols = self.W if self.fuse else self.W + 1
         rows = NamedSharding(mesh, P(axis))
         rows2 = NamedSharding(mesh, P(axis, None))
         D, cap = self.D, self.cap
-        self.sig = jax.device_put(
-            jnp.full((D, cap), INVALID_SIG, jnp.uint32), rows2)
-        self.words = jax.device_put(
-            jnp.full((D, cap, self.W), 0xFFFFFFFF, jnp.uint32),
-            NamedSharding(mesh, P(axis, None, None)))
-        self.counts = jax.device_put(jnp.zeros((D, cap), jnp.uint32), rows2)
+        self.cols = tuple(
+            jax.device_put(jnp.full((D, cap), U32MAX, jnp.uint32), rows2)
+            for _ in range(self.n_cols)
+        )
         self.n_used = jax.device_put(jnp.zeros((D,), jnp.int32), rows)
         self.occ = jax.device_put(jnp.zeros((D, 2), jnp.uint32), rows2)
         self.skm = jax.device_put(jnp.zeros((D, 2), jnp.uint32), rows2)
@@ -180,41 +203,46 @@ class ShardedKmerStore:
         self._ingest = None
         self._rows_per_device = 0
 
-    def make_ingest(self, *, s, k, sig_len, both_strands):
+    def host_sig_map(self) -> np.ndarray:
+        msize = (1 << (2 * self.sig_len)) + 1
+        shift = 2 * self.sig_len - self.prefix_bits
+        return (np.arange(msize, dtype=np.int64) >> shift).astype(np.int32)
+
+    def make_ingest(self, *, s):
         body = functools.partial(
-            _ingest_shard, s=s, k=k, sig_len=sig_len, both_strands=both_strands,
+            _ingest_shard, s=s, k=self.k, sig_len=self.sig_len,
+            both_strands=self.both_strands, prefix_bits=self.prefix_bits,
+            fuse=self.fuse, n_dead_bin=self.n_dead_bin,
             n_devices=self.D, axis=self.axis,
         )
+        nc = self.n_cols
+        col_specs = tuple(P(self.axis, None) for _ in range(nc))
         sharded = jax.shard_map(
             body,
             mesh=self.mesh,
-            in_specs=(P(self.axis, None), P(self.axis, None),
-                      P(self.axis, None), P(self.axis, None, None),
-                      P(self.axis, None), P(self.axis), P(self.axis, None),
-                      P(self.axis, None), P(self.axis, None)),
-            out_specs=(P(self.axis, None), P(self.axis, None, None),
-                       P(self.axis, None), P(self.axis), P(self.axis, None),
+            in_specs=(P(self.axis, None), P(self.axis, None), col_specs,
+                      P(self.axis), P(self.axis, None), P(self.axis, None),
+                      P(self.axis, None)),
+            out_specs=(col_specs, P(self.axis), P(self.axis, None),
                        P(self.axis, None), P(self.axis, None)),
         )
-        jitted = jax.jit(sharded, donate_argnums=(2, 3, 4))
+        jitted = jax.jit(sharded, donate_argnums=(2,))
         return jitted
 
-    def ingest(self, packed_dm: np.ndarray, mask_dm: np.ndarray, *, s, k,
-               sig_len, both_strands):
+    def ingest(self, packed_dm: np.ndarray, mask_dm: np.ndarray, *, s,
+               k=None, sig_len=None, both_strands=None):
         """packed_dm/mask_dm: (D, L/4) and (D, L/8) — one batch per device."""
         if self._ingest is None:
-            self._ingest = self.make_ingest(
-                s=s, k=k, sig_len=sig_len, both_strands=both_strands)
+            self._ingest = self.make_ingest(s=s)
         if self._rows_per_device + s > self.cap:
             raise MemoryError("sharded store full; raise capacity_rows_per_device")
-        (self.sig, self.words, self.counts, self.n_used, self.occ, self.skm,
-         self.prev) = self._ingest(
-            packed_dm, mask_dm, self.sig, self.words, self.counts,
-            self.n_used, self.occ, self.skm, self.prev)
+        (self.cols, self.n_used, self.occ, self.skm, self.prev) = \
+            self._ingest(packed_dm, mask_dm, self.cols, self.n_used,
+                         self.occ, self.skm, self.prev)
         self._rows_per_device += s
 
-    def finalize(self, sig_map: np.ndarray, *, cutoff_min, cutoff_max,
-                 counter_max, capacity_per_owner: int | None = None):
+    def finalize(self, sig_map=None, *, cutoff_min, cutoff_max, counter_max,
+                 capacity_per_owner: int | None = None):
         """Exchange + group-reduce; returns host arrays (bins, words, counts)
         in global (bin, k-mer) order plus stats, reassembled across owners."""
         D = self.D
@@ -223,27 +251,27 @@ class ShardedKmerStore:
             _finalize_shard,
             cutoff_min=cutoff_min,
             cutoff_max=cutoff_max,
+            k=self.k,
+            n_bins=self.n_used_bins,
+            fuse=self.fuse,
             n_devices=D,
             capacity=cap,
             axis=self.axis,
-            # conservative: total occurrences <= total ingested positions
-            wide=self._rows_per_device * D >= (1 << 31),
         )
+        nc = self.n_cols
         sharded = jax.shard_map(
             body,
             mesh=self.mesh,
-            in_specs=(P(self.axis, None), P(self.axis, None, None),
-                      P(self.axis, None), P(self.axis), P()),
+            in_specs=(tuple(P(self.axis, None) for _ in range(nc)),
+                      P(self.axis)),
             out_specs=(P(self.axis, None), P(self.axis, None, None),
                        P(self.axis, None), P(self.axis), P(self.axis, None),
                        P(self.axis)),
         )
-        jitted = jax.jit(sharded, donate_argnums=(0, 1, 2))
-        sm = jnp.asarray(np.where(sig_map < 0, np.iinfo(np.int32).max,
-                                  sig_map).astype(np.int32))
+        jitted = jax.jit(sharded, donate_argnums=(0,))
         bins_d, words_d, counts_d, n_groups_d, stats_d, dropped_d = jitted(
-            self.sig, self.words, self.counts, self.n_used, sm)
-        self.sig = self.words = self.counts = None
+            self.cols, self.n_used)
+        self.cols = None
         n_groups = np.asarray(n_groups_d)
         stats = np.asarray(stats_d).sum(axis=0)
         if int(np.asarray(dropped_d).sum()):
@@ -254,11 +282,11 @@ class ShardedKmerStore:
         for d in range(D):
             n = int(n_groups[d])
             b = np.asarray(bins_d[d, :n])
-            keep = (b >= 0) & (np.asarray(counts_d[d, :n]) >= cutoff_min) \
-                & (np.asarray(counts_d[d, :n]) <= cutoff_max)
+            c = np.asarray(counts_d[d, :n])
+            keep = (b >= 0) & (c >= cutoff_min) & (c <= cutoff_max)
             parts_b.append(b[keep])
             parts_w.append(np.asarray(words_d[d, :n])[keep])
-            parts_c.append(np.asarray(counts_d[d, :n])[keep])
+            parts_c.append(c[keep])
         bins = np.concatenate(parts_b) if parts_b else np.zeros(0, np.int32)
         words = np.concatenate(parts_w) if parts_w else np.zeros((0, self.W), np.uint32)
         counts = np.concatenate(parts_c) if parts_c else np.zeros(0, np.uint32)
@@ -297,40 +325,25 @@ def distributed_count(
     input_file_type: str = "fastq",
 ):
     """End-to-end multi-chip counting: data-parallel ingest over the mesh,
-    owner-partitioned merge, KMC2 database out.  Returns stats dict."""
+    owner-partitioned merge, KMC2 database out.  Returns stats dict.
+
+    Uses the prefix signature->bin policy: no stage-0 sampling pass is
+    needed (the map is a shift; see ops/store.py)."""
     from ..defs import calc_counter_size
     from ..formats.kmc_db import DbInfo, Kmc2DbWriter, pick_lut_prefix_len
     from ..io.native import pack_codes
     from ..io.readers import BatchStream, ParseState, file_code_stream
-    from ..ops.extract import stage0_stats_batch_packed
     from ..runner import words_to_kmer_bytes
-    from ..signatures import build_signature_map, map_size
 
     mesh = mesh or make_mesh()
     D = mesh.devices.size
     s = batch_positions
-    W = (k + 15) // 16
 
-    # stage 0: sampled signature histogram (single-device is fine: sampled)
-    msize = map_size(sig_len)
-    hist = np.zeros(msize, dtype=np.uint64)
+    store = ShardedKmerStore(mesh, capacity_rows_per_device, k=k,
+                             sig_len=sig_len, both_strands=both_strands,
+                             n_bins=n_bins)
     state = ParseState()
     bs = BatchStream(s, k)
-    from ..defs import STATS_SAMPLE_BYTES
-
-    gen = file_code_stream(input_files, input_file_type, state,
-                           max_bytes=STATS_SAMPLE_BYTES)
-    for batch in bs.batches(gen):
-        packed, mask = pack_codes(batch)
-        h = stage0_stats_batch_packed(packed, mask, s=s, k=k, sig_len=sig_len,
-                                      map_len=msize)
-        hist += np.asarray(h, dtype=np.uint64)
-    sig_map = build_signature_map(hist, sig_len, n_bins)
-    n_used_bins = int(sig_map.max()) + 1
-
-    # stage 1: D batches per dispatch, one shard per device
-    store = ShardedKmerStore(mesh, capacity_rows_per_device, W)
-    state = ParseState()
     gen = file_code_stream(input_files, input_file_type, state)
     group_p, group_m = [], []
     L = bs.batch_bytes
@@ -341,8 +354,7 @@ def distributed_count(
             pp, mm = pack_codes(pad)
             group_p.append(pp)
             group_m.append(mm)
-        store.ingest(np.stack(group_p), np.stack(group_m), s=s, k=k,
-                     sig_len=sig_len, both_strands=both_strands)
+        store.ingest(np.stack(group_p), np.stack(group_m), s=s)
         group_p.clear()
         group_m.clear()
 
@@ -355,8 +367,10 @@ def distributed_count(
     if group_p:
         flush()
 
+    sig_map = store.host_sig_map()
+    n_used_bins = store.n_used_bins
     bins, words, counts, (n_unique, n_below, n_above), n_total, n_skm = (
-        store.finalize(sig_map, cutoff_min=cutoff_min, cutoff_max=cutoff_max,
+        store.finalize(cutoff_min=cutoff_min, cutoff_max=cutoff_max,
                        counter_max=counter_max)
     )
 

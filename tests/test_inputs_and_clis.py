@@ -194,3 +194,20 @@ def test_filter(tmp_path):
     assert rc == 0
     kept = oracle.read_sequences(out, "fastq")
     assert kept == genome_reads[:5]
+
+
+def test_develop_mode_dumps(tmp_path, monkeypatch):
+    """KMC_TPU_DEVELOP=1 writes the signature-map and per-bin-stats dumps
+    (reference DEVELOP_MODE, develop.cpp:9-60)."""
+    from kmc_tpu.cli import main as kmc_main
+
+    reads = random_reads(30, 60, seed=11)
+    inp = write_fastq(tmp_path / "in.fastq", reads)
+    out = str(tmp_path / "out_dev")
+    monkeypatch.setenv("KMC_TPU_DEVELOP", "1")
+    rc = kmc_main(["-k17", "-ci1", "-t1", inp, out, str(tmp_path)])
+    assert rc == 0
+    sig_lines = open(out + ".sig_map.develop").read().splitlines()
+    assert len(sig_lines) == (1 << 18) + 1  # 4^9 + special
+    stats = open(out + ".bin_stats.develop").read().splitlines()
+    assert stats[0] == "bin\tn_records\tbytes"
