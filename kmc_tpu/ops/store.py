@@ -484,6 +484,11 @@ def _finalize_rows_counted(key_cols, store_counts, n_used, **kw):
     return _finalize_rows_core(tuple(key_cols), store_counts, n_used, **kw)
 
 
+class _SpillOverflow(Exception):
+    """Merged unique set exceeds device capacity: finalize must fall back to
+    the host-side external merge of the sorted spill runs."""
+
+
 class DeviceKmerStore:
     """HBM store of ([bin,] k-mer lanes[, counts]) uint32 rows (see module
     docstring)."""
@@ -723,15 +728,21 @@ class DeviceKmerStore:
         if not self.spilled:
             return
         self._materialize_counts()
-        for cols, counts in self.spilled:
+        while self.spilled:
+            cols, counts = self.spilled[0]
             pos = 0
             while pos < len(counts):
                 room = self.capacity - max(self._base_rows(), int(self.n_used))
                 if room <= 0:
-                    raise MemoryError(
-                        "device store too small for unique k-mer set; "
-                        "use the host-staged pipeline (device_store=False)"
-                    )
+                    self.compact(blocking=True)
+                    room = self.capacity - self._base_rows()
+                if room <= 0:
+                    # trim the consumed prefix so the host-merge fallback
+                    # sees every remaining row exactly once (replayed rows
+                    # now live in the device store)
+                    self.spilled[0] = (
+                        tuple(c[pos:] for c in cols), counts[pos:])
+                    raise _SpillOverflow()
                 take = min(room, len(counts) - pos)
                 # occurrences were already accumulated at first append, and
                 # _occ_upper must not double-count replays
@@ -743,7 +754,62 @@ class DeviceKmerStore:
                 )
                 self._occ_upper = prev_upper
                 pos += take
+            self.spilled.pop(0)
+
+    # -- host external merge: the fallback when the merged unique set
+    # exceeds the device store (the reference's strict-memory big-bin
+    # pipeline analogue: sorted sub-bin runs k-way merged outside the
+    # working memory, bkb_merger.h:20-41) --
+    def _host_runs(self):
+        """Drain the store to host-side sorted (cols, counts) runs: the
+        spilled runs plus the compacted device residue."""
+        self.compact(blocking=True)
+        n = self._base
+        runs = list(self.spilled)
+        if n:
+            runs.append(
+                (tuple(np.asarray(c[:n]) for c in self.key_cols),
+                 np.asarray(self.counts[:n]))
+            )
         self.spilled = []
+        self.key_cols = self.counts = None
+        return runs
+
+    def _host_merge(self):
+        """Merge the runs by (bin, k-mer) on the host (125 GB RAM vs 16 GB
+        HBM).  Returns (bins u32, lanes (n, W) u32, totals u64) for valid
+        groups in key order."""
+        runs = self._host_runs()
+        if not runs:
+            return (np.zeros(0, np.uint32), np.zeros((0, self.W), np.uint32),
+                    np.zeros(0, np.uint64))
+        nc = self.n_cols
+        cols = [np.concatenate([r[0][j] for r in runs]) for j in range(nc)]
+        counts = np.concatenate([r[1] for r in runs]).astype(np.uint64)
+        order = np.lexsort(tuple(cols[::-1]))  # cols[0] is the primary key
+        cols = [c[order] for c in cols]
+        counts = counts[order]
+        n = len(counts)
+        if n == 0:
+            return (np.zeros(0, np.uint32), np.zeros((0, self.W), np.uint32),
+                    np.zeros(0, np.uint64))
+        new = np.zeros(n, bool)
+        new[0] = True
+        for c in cols:
+            new[1:] |= c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        totals = np.add.reduceat(counts, starts)
+        rep = [c[starts] for c in cols]
+        if self.fuse:
+            bins = rep[0] >> (2 * self.r0)
+            lanes = [rep[0] & np.uint32((1 << (2 * self.r0)) - 1)] + rep[1:]
+        else:
+            bins = rep[0]
+            lanes = rep[1:]
+        valid = (bins < self.n_used_bins) & (totals > 0)
+        return (bins[valid].astype(np.uint32),
+                np.stack([l[valid] for l in lanes], axis=1),
+                totals[valid])
 
     # -- checkpoint / resume (SURVEY.md §5.4: stage-1 state is the natural
     # checkpoint; the reference's analogue is its tmp bin files + CBinDesc) --
@@ -825,7 +891,13 @@ class DeviceKmerStore:
         stats tuple).  See _finalize_core."""
         import time as _time
 
-        self._replay_spills()
+        try:
+            self._replay_spills()
+        except _SpillOverflow:
+            return self._finalize_records_host(
+                cutoff_min=cutoff_min, cutoff_max=cutoff_max,
+                counter_max=counter_max, lut_prefix_len=lut_prefix_len,
+                counter_size=counter_size)
         kw = dict(
             cutoff_min=cutoff_min, cutoff_max=cutoff_max,
             counter_max=counter_max, k=self.k,
@@ -871,6 +943,56 @@ class DeviceKmerStore:
         self.key_cols = self.counts = None
         return np.ascontiguousarray(rec_h[keep_h]), lut_h, tuple(int(x) for x in stats)
 
+    def _finalize_records_host(self, *, cutoff_min, cutoff_max, counter_max,
+                               lut_prefix_len, counter_size):
+        """Host-side completer over the external merge (same contract as
+        finalize_records)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        bins, lanes, totals = self._host_merge()
+        n_unique = len(bins)
+        below = totals < cutoff_min
+        above = totals > cutoff_max
+        keep = ~below & ~above
+        stats = (n_unique, int(below.sum()), int(above.sum()))
+        bins_k = bins[keep]
+        lanes_k = lanes[keep]
+        cnt = np.minimum(totals[keep], np.uint64(counter_max)).astype(np.uint64)
+
+        k = self.k
+        W = self.W
+        kb = (k + 3) // 4
+        suffix_bytes = (k - lut_prefix_len) // 4 if lut_prefix_len else kb
+        record_bytes = suffix_bytes + counter_size
+        n = len(bins_k)
+        rec = np.empty((n, record_bytes), np.uint8)
+        all_bytes = np.ascontiguousarray(lanes_k).astype(">u4").view(
+            np.uint8).reshape(n, 4 * W)
+        rec[:, :suffix_bytes] = all_bytes[:, 4 * W - suffix_bytes:]
+        for j in range(counter_size):  # LE counter bytes
+            rec[:, suffix_bytes + j] = (
+                (cnt >> np.uint64(8 * j)) & np.uint64(0xFF)).astype(np.uint8)
+
+        r0 = self.r0
+        if lut_prefix_len:
+            if lut_prefix_len <= r0:
+                prefix = lanes_k[:, 0] >> (2 * (r0 - lut_prefix_len))
+            else:
+                need = lut_prefix_len - r0
+                prefix = ((lanes_k[:, 0].astype(np.uint64) << (2 * need))
+                          | (lanes_k[:, 1] >> (2 * (16 - need)))).astype(np.uint32)
+            prefix &= np.uint32((1 << (2 * lut_prefix_len)) - 1)
+        else:
+            prefix = np.zeros(n, np.uint32)
+        lut_size = self.n_used_bins << (2 * lut_prefix_len)
+        keys = (bins_k.astype(np.uint64) << (2 * lut_prefix_len)) | prefix
+        lut = np.bincount(keys.astype(np.int64), minlength=lut_size).astype(
+            np.uint64)
+        self.t_finalize_exec = _time.perf_counter() - t0
+        self.t_finalize_d2h = 0.0
+        return rec, lut, stats
+
     def finalize(self, sig_map: np.ndarray | None = None, cutoff_min: int = 1,
                  cutoff_max: int = 10**9, counter_max: int = 255, *,
                  k: int | None = None, sig_len: int | None = None):
@@ -878,7 +1000,19 @@ class DeviceKmerStore:
         record order (KFF / no-output paths)."""
         import time as _time
 
-        self._replay_spills()
+        try:
+            self._replay_spills()
+        except _SpillOverflow:
+            bins, lanes, totals = self._host_merge()
+            n_unique = len(bins)
+            below = totals < cutoff_min
+            above = totals > cutoff_max
+            stats = (n_unique, int(below.sum()), int(above.sum()))
+            keep = ~below & ~above
+            return (bins[keep].astype(np.int32), lanes[keep],
+                    np.minimum(totals[keep],
+                               np.uint64(counter_max)).astype(np.uint32),
+                    stats)
         kw = dict(cutoff_min=cutoff_min, cutoff_max=cutoff_max, k=self.k,
                   n_bins=self.n_used_bins, fuse=self.fuse)
         t0 = _time.perf_counter()

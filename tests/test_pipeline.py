@@ -200,3 +200,38 @@ def test_prefix_policy_random_access(tmp_path):
         ka.from_string(kmer)
         found, got = f.CheckKmer(ka)
         assert found and got == cnt, (kmer, found, got, cnt)
+
+
+def test_unique_set_exceeds_device_store(tmp_path):
+    """Unique k-mers >> device capacity: spills overflow the replay and
+    finalize falls back to the host external merge (the reference's
+    strict-memory big-bin pipeline analogue, bkb_merger.h)."""
+    reads = random_reads(120, 100, seed=41, genome_len=6000)
+    inp = write_fastq(tmp_path / "in.fastq", reads)
+    out = str(tmp_path / "out")
+    _, res2 = count([inp], out, k=21, cutoff_min=1, batch_positions=512,
+                    device_store_rows=2048)
+    counts = oracle.count_kmers(reads, 21)
+    records, stats = oracle.apply_cutoffs(counts, 1, 10**9, 255)
+    assert len(counts) > 4096  # actually overflowed the store
+    assert dump_db_file(out) == oracle.dump_text(records)
+    assert res2.n_unique_kmers == stats["n_unique"]
+    assert res2.n_total_kmers == stats["n_total"]
+
+
+def test_unique_set_exceeds_device_store_kff(tmp_path):
+    """Same overflow through the words-path finalize (KFF output)."""
+    from kmc_tpu.formats.kff import read_kff
+
+    reads = random_reads(120, 100, seed=42, genome_len=6000)
+    inp = write_fastq(tmp_path / "in.fastq", reads)
+    out = str(tmp_path / "out")
+    from kmc_tpu.runner import OutputFileType
+
+    count([inp], out, k=21, cutoff_min=1, batch_positions=512,
+          device_store_rows=2048, output_file_type=OutputFileType.KFF)
+    counts = oracle.count_kmers(reads, 21)
+    kff = read_kff(out + ".kff")
+    assert len(kff.counts) == len(counts)
+    assert int(kff.counts.sum()) == sum(counts.values())
+    assert len(np.unique(kff.kmers, axis=0)) == len(counts)
