@@ -259,10 +259,16 @@ def transform_set_counts(db: str, out: str, value: int):
 
 
 def transform_histogram(db: str, out_path: str, cutoff_min: int = 1,
-                        cutoff_max: int = 10000) -> None:
+                        cutoff_max: int | None = None) -> None:
     """Histogram of counter values (histogram_writer.h:20-84):
-    lines `value\\tnumber_of_kmers_with_that_counter` for the full range."""
-    _, _, counts = load_sorted(db)
+    lines `value\\tnumber_of_kmers_with_that_counter`.  The default upper
+    bound mirrors the reference (parameters_parser.cpp:882-884):
+    min(db max_count, 10000, largest value a counter byte can hold)."""
+    info, _, counts = load_sorted(db)
+    if cutoff_max is None:
+        cutoff_max = min(info.cutoff_max, 10000)
+        if info.counter_size:
+            cutoff_max = min(cutoff_max, (1 << (8 * info.counter_size)) - 1)
     hist = np.bincount(counts.astype(np.int64), minlength=cutoff_max + 1)
     with open(out_path, "w") as f:
         for v in range(cutoff_min, cutoff_max + 1):

@@ -73,7 +73,7 @@ def cmd_transform(args) -> int:
         elif op == "histogram":
             out = args[i]
             i += 1
-            lo, hi = 1, 10000
+            lo, hi = 1, None
             while i < len(args) and args[i].startswith("-"):
                 if args[i].startswith("-ci"):
                     lo = int(args[i][3:])

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Differential validation of the kmc_tools equivalents against the real
+reference kmc_tools binary.
+
+Both sides count the same two read sets into databases with their own `kmc`,
+then run the same database-algebra operations (simple set ops with counter
+modes, transform reduce/histogram/set_counts/compact, compare) and the
+sorted text dumps / histogram texts are byte-compared.  Set-op results are
+layout-independent (sorted k-mer + count lines), so this validates the
+operation semantics themselves.
+
+Builds the reference on first use (see tools/measure_reference.py).
+"""
+from __future__ import annotations
+
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.diff_vs_reference import make_input  # noqa: E402
+
+
+def run(cmd, **kw):
+    return subprocess.run([str(c) for c in cmd], check=True,
+                          capture_output=True, **kw)
+
+
+def ref_count(kmc, inp, db, tmp, k=25, ci=1):
+    run([kmc, f"-k{k}", f"-ci{ci}", "-fq", "-t1", "-hp", inp, db, tmp])
+
+
+def tpu_count(inp, db, k=25, ci=1):
+    from kmc_tpu.runner import count
+
+    count([str(inp)], str(db), k=k, cutoff_min=ci, batch_positions=1 << 14)
+
+
+def ref_dump(kmc_tools, db, workdir) -> str:
+    out = Path(workdir) / (Path(db).name + ".dump")
+    # simple/transform outputs are KMC1 databases (globally sorted): dump
+    # directly; KMC2 inputs need a sort first
+    try:
+        run([kmc_tools, "transform", db, "dump", "-s", out])
+    except subprocess.CalledProcessError:
+        run([kmc_tools, "transform", db, "sort", str(db) + ".s"])
+        run([kmc_tools, "transform", str(db) + ".s", "dump", out])
+    return out.read_text()
+
+
+def tpu_tools(args) -> int:
+    from kmc_tpu.tools_cli import main
+
+    return main([str(a) for a in args])
+
+
+def tpu_dump(db, workdir) -> str:
+    out = Path(workdir) / (Path(db).name + ".tdump")
+    assert tpu_tools(["transform", db, "dump", "-s", out]) == 0
+    return out.read_text()
+
+
+def main():
+    from tools.measure_reference import build_reference
+
+    workdir = Path(tempfile.mkdtemp(prefix="kmc_tools_diff_"))
+    kmc = build_reference(Path(tempfile.gettempdir()))
+    kmc_tools = kmc.parent / "kmc_tools"
+    tmp = workdir / "tmp"
+    tmp.mkdir()
+
+    # two read sets over ONE genome so the set operations have real
+    # intersections and the counter modes are exercised on shared k-mers
+    import numpy as np
+
+    rng = np.random.default_rng(33)
+    genome = rng.integers(0, 4, 60_000)
+    r1 = workdir / "r1.fastq"
+    r2 = workdir / "r2.fastq"
+    for path in (r1, r2):
+        with open(path, "w") as f:
+            for i in range(800):
+                start = rng.integers(0, len(genome) - 150)
+                seq = "".join("ACGT"[c] for c in genome[start : start + 150])
+                f.write(f"@r{i}\n{seq}\n+\n{'I' * 150}\n")
+
+    ref1, ref2 = workdir / "refdb1", workdir / "refdb2"
+    tpu1, tpu2 = workdir / "tpudb1", workdir / "tpudb2"
+    ref_count(kmc, r1, ref1, tmp)
+    ref_count(kmc, r2, ref2, tmp)
+    tpu_count(r1, tpu1)
+    tpu_count(r2, tpu2)
+
+    failures = 0
+
+    def check(tag, want, got):
+        nonlocal failures
+        ok = want == got
+        print(f"{tag}: {'MATCH' if ok else 'MISMATCH'} "
+              f"({want.count(chr(10))} lines)")
+        if not ok:
+            failures += 1
+            for a, b in zip(want.splitlines(), got.splitlines()):
+                if a != b:
+                    print(f"  first diff: ref={a!r} tpu={b!r}")
+                    break
+
+    simple_cases = [
+        ("union", None), ("intersect", None), ("kmers_subtract", None),
+        ("counters_subtract", None), ("union", "min"), ("intersect", "max"),
+        ("intersect", "sum"), ("union", "diff"),
+    ]
+    for op, mode in simple_cases:
+        tag = f"simple {op}" + (f" -oc{mode}" if mode else "")
+        rout = workdir / f"ref_{op}_{mode}"
+        tout = workdir / f"tpu_{op}_{mode}"
+        margs = [f"-oc{mode}"] if mode else []
+        # reference syntax: mode is an OUTPUT param (after the output name);
+        # ours accepts it before — both orders express the same operation
+        run([kmc_tools, "simple", ref1, ref2, op, rout, *margs])
+        assert tpu_tools(["simple", tpu1, tpu2, op, *margs, tout]) == 0
+        check(tag, ref_dump(kmc_tools, rout, workdir),
+              tpu_dump(tout, workdir))
+
+    # transform reduce (re-threshold)
+    rout, tout = workdir / "ref_red", workdir / "tpu_red"
+    run([kmc_tools, "transform", ref1, "reduce", rout, "-ci3"])
+    assert tpu_tools(["transform", tpu1, "reduce", tout, "-ci3"]) == 0
+    check("transform reduce -ci3", ref_dump(kmc_tools, rout, workdir),
+          tpu_dump(tout, workdir))
+
+    # transform set_counts
+    rout, tout = workdir / "ref_sc", workdir / "tpu_sc"
+    run([kmc_tools, "transform", ref1, "set_counts", "7", rout])
+    assert tpu_tools(["transform", tpu1, "set_counts", "7", tout]) == 0
+    check("transform set_counts 7", ref_dump(kmc_tools, rout, workdir),
+          tpu_dump(tout, workdir))
+
+    # transform histogram (text output)
+    rout, tout = workdir / "ref.hist", workdir / "tpu.hist"
+    run([kmc_tools, "transform", ref1, "histogram", rout])
+    assert tpu_tools(["transform", tpu1, "histogram", tout]) == 0
+    check("transform histogram", rout.read_text(), tout.read_text())
+
+    # compare: equal and unequal exit semantics on each side's own DBs
+    eq_ref = run([kmc_tools, "compare", ref1, ref1]).returncode
+    ne_ref = subprocess.run(
+        [str(kmc_tools), "compare", str(ref1), str(ref2)],
+        capture_output=True).returncode
+    eq_tpu = tpu_tools(["compare", tpu1, tpu1])
+    ne_tpu = tpu_tools(["compare", tpu1, tpu2])
+    ok = (eq_ref, bool(ne_ref)) == (eq_tpu, bool(ne_tpu))
+    print(f"compare exit codes: {'MATCH' if ok else 'MISMATCH'} "
+          f"(ref eq={eq_ref} ne={ne_ref}, tpu eq={eq_tpu} ne={ne_tpu})")
+    failures += 0 if ok else 1
+
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
