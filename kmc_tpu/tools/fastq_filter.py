@@ -1,16 +1,24 @@
 """kmc_tools `filter`: filter FASTQ/FASTA reads by k-mer presence in a DB.
 
-Reference: kmc_tools/fastq_filter.{h,cpp} + kmc_tools.cpp:226-345.  A read
-passes when the number of its k-mers present in the database (within the
-database's counter filter) falls inside [min, max]; bounds <= 1.0 are
-interpreted as fractions of the read's k-mer count, larger values as
-absolute counts.  `trim` keeps the longest prefix of consecutive present
-k-mers; `hard_mask` replaces bases of absent k-mers with 'N'.
+Reference: kmc_tools/fastq_filter.{h,cpp} + kmc_tools.cpp:226-345.
+
+Semantics (fastq_filter.cpp:106-174):
+  * remove mode: a read passes when its number of k-mers with counter > 0
+    lies in [min, max]; bounds given as floats are fractions of the read's
+    k-mer count, floored to integers (uint32 cast, :119-120); int bounds are
+    absolute counts.  Whether a bound is a fraction is decided by the
+    *syntax* the user typed (1 is absolute, 1.0 is 100%), so the API takes
+    int or float values.
+  * trim mode (-t, :134-152): drop the read if its first k-mer's counter is
+    below min_kmers (an absolute per-k-mer threshold here); otherwise keep
+    the longest prefix of k-mers with counter >= min_kmers, i.e.
+    run + k - 1 bases.
+  * hard-mask mode (-hm, :153-174): every base covered by a k-mer whose
+    counter is below min_kmers becomes 'N'.
 """
 from __future__ import annotations
 
 import gzip
-from pathlib import Path
 
 import numpy as np
 
@@ -27,15 +35,23 @@ def filter_fastq(
     db_path: str,
     input_path: str,
     output_path: str,
-    min_fraction: float = 0.0,
-    max_fraction: float = 1.0,
+    min_kmers: int | float = 2,
+    max_kmers: int | float = 10**9,
     trim: bool = False,
     hard_mask: bool = False,
+    min_fraction: float | None = None,  # deprecated aliases
+    max_fraction: float | None = None,
 ):
+    if min_fraction is not None:
+        min_kmers = float(min_fraction)
+    if max_fraction is not None:
+        max_kmers = float(max_fraction)
     db = KMCFile()
     if not db.OpenForRA(db_path):
         raise FileNotFoundError(f"cannot open database {db_path}")
     k = db.KmerLength()
+    # trim/hard-mask use min_kmers as an absolute per-k-mer counter bar
+    thr = int(min_kmers) if not isinstance(min_kmers, float) else max(int(min_kmers), 1)
 
     is_fasta = None
     n_kept = 0
@@ -49,9 +65,9 @@ def filter_fastq(
                 is_fasta = header.startswith(">")
             seq = fin.readline().rstrip("\n")
             if is_fasta:
-                plus = qual = None
+                qual = None
             else:
-                plus = fin.readline()
+                fin.readline()  # '+'
                 qual = fin.readline().rstrip("\n")
             n_total += 1
             _, counters = db.GetCountersForRead(seq)
@@ -59,27 +75,31 @@ def filter_fastq(
             n_kmers = len(counters)
             if n_kmers == 0:
                 continue
-            present = counters > 0
-            n_present = int(present.sum())
-            lo = min_fraction * n_kmers if min_fraction <= 1.0 else min_fraction
-            hi = max_fraction * n_kmers if max_fraction <= 1.0 else max_fraction
             if trim:
-                # longest prefix of consecutive present k-mers -> keep
-                # prefix_len + k - 1 bases (fastq_filter.h trim semantics)
-                if not present[0]:
+                # longest prefix of k-mers with counter >= thr -> keep
+                # run + k - 1 bases (FilterReadTrim, :134-152)
+                good = counters >= thr
+                if not good[0]:
                     continue
-                run = int(np.argmin(present)) if not present.all() else n_kmers
+                run = int(np.argmin(good)) if not good.all() else n_kmers
                 seq = seq[: run + k - 1]
                 if qual is not None:
                     qual = qual[: run + k - 1]
             elif hard_mask:
                 mask = np.ones(len(seq), dtype=bool)
-                absent = ~present
-                for i in np.flatnonzero(absent):
+                for i in np.flatnonzero(counters < thr):
                     mask[i : i + k] = False
                 seq = "".join(c if m else "N" for c, m in zip(seq, mask))
-            elif not (lo <= n_present <= hi):
-                continue
+            else:
+                n_present = int((counters > 0).sum())
+                # float bounds are fractions of the k-mer count, floored
+                # (uint32 casts at fastq_filter.cpp:119-120)
+                lo = (int(min_kmers * n_kmers) if isinstance(min_kmers, float)
+                      else min_kmers)
+                hi = (int(max_kmers * n_kmers) if isinstance(max_kmers, float)
+                      else max_kmers)
+                if not (lo <= n_present <= hi):
+                    continue
             n_kept += 1
             if is_fasta:
                 fout.write(f"{header.rstrip()}\n{seq}\n")

@@ -174,22 +174,28 @@ def cmd_filter(args) -> int:
         return 1
     db = args[0]
     inp = args[1]
-    ci, cx = 2, 10**9  # database-side filtering defaults off
-    fci: float = 0.0
-    fcx: float = 1.0
+    # reference read-side defaults: -ci2 -cx1e9 (absolute counts); a value
+    # written WITH a decimal point is a fraction of the read's k-mer count
+    # (fastq_filter help: "integer or floating number in range [0.0;1.0]")
+    fci: int | float = 2
+    fcx: int | float = 10**9
+
+    def _num(s):
+        return float(s) if "." in s else int(s)
+
     rest = []
     for a in args[2:]:
         if a.startswith("-ci"):
-            fci = float(a[3:])
+            fci = _num(a[3:])
         elif a.startswith("-cx"):
-            fcx = float(a[3:])
+            fcx = _num(a[3:])
         else:
             rest.append(a)
     if len(rest) != 1:
         print(USAGE)
         return 1
     out = rest[0]
-    filter_fastq(db, inp, out, min_fraction=fci, max_fraction=fcx, trim=trim,
+    filter_fastq(db, inp, out, min_kmers=fci, max_kmers=fcx, trim=trim,
                  hard_mask=hard_mask)
     return 0
 

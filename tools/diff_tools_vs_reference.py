@@ -144,6 +144,63 @@ def main():
     assert tpu_tools(["transform", tpu1, "histogram", tout]) == 0
     check("transform histogram", rout.read_text(), tout.read_text())
 
+    # complex expression (parenthesized algebra, counter modes)
+    defs_ref = workdir / "complex_ref.def"
+    defs_tpu = workdir / "complex_tpu.def"
+    for path, d1, d2, outdb in (
+        (defs_ref, ref1, ref2, workdir / "ref_cplx"),
+        (defs_tpu, tpu1, tpu2, workdir / "tpu_cplx"),
+    ):
+        path.write_text(
+            "INPUT:\n"
+            f"a={d1}\n"
+            f"b={d2} -ci2\n"
+            "OUTPUT:\n"
+            f"{outdb}=(a*max b)+(a-b)\n"
+            "OUTPUT_PARAMS:\n-ci2\n"
+        )
+    run([kmc_tools, "complex", defs_ref])
+    assert tpu_tools(["complex", defs_tpu]) == 0
+    check("complex (a*max b)+(a-b) -ci2",
+          ref_dump(kmc_tools, workdir / "ref_cplx", workdir),
+          tpu_dump(workdir / "tpu_cplx", workdir))
+
+    # filter: reads by k-mer content, remove/trim/hard-mask modes
+    q = workdir / "query.fastq"
+    with open(q, "w") as f:
+        qrng = np.random.default_rng(44)
+        for i in range(60):
+            if i % 3 == 0:  # genome read
+                start = qrng.integers(0, len(genome) - 120)
+                seq = "".join("ACGT"[c] for c in genome[start : start + 120])
+            elif i % 3 == 1:  # foreign read
+                seq = "".join("ACGT"[c] for c in qrng.integers(0, 4, 120))
+            else:  # half genome, half foreign (trim/mask interesting)
+                start = qrng.integers(0, len(genome) - 60)
+                seq = ("".join("ACGT"[c] for c in genome[start : start + 60])
+                       + "".join("ACGT"[c] for c in qrng.integers(0, 4, 60)))
+            f.write(f"@q{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+    filter_cases = [
+        ("default", []),
+        ("-ci0.5 -cx1.0", ["-ci0.5", "-cx1.0"]),
+        ("-ci30", ["-ci30"]),
+        ("trim", ["TRIM"]),
+        ("hard-mask", ["MASK"]),
+    ]
+    for tag, opts in filter_cases:
+        rout = workdir / f"ref_filt_{tag.replace(' ', '_').replace('/', '')}.fq"
+        tout = workdir / f"tpu_filt_{tag.replace(' ', '_').replace('/', '')}.fq"
+        if opts == ["TRIM"]:
+            run([kmc_tools, "filter", "-t", ref1, q, rout])
+            assert tpu_tools(["filter", "-t", tpu1, q, tout]) == 0
+        elif opts == ["MASK"]:
+            run([kmc_tools, "filter", "-hm", ref1, q, rout])
+            assert tpu_tools(["filter", "-hm", tpu1, q, tout]) == 0
+        else:
+            run([kmc_tools, "filter", ref1, q, *opts, rout])
+            assert tpu_tools(["filter", tpu1, q, *opts, tout]) == 0
+        check(f"filter {tag}", rout.read_text(), tout.read_text())
+
     # compare: equal and unequal exit semantics on each side's own DBs
     eq_ref = run([kmc_tools, "compare", ref1, ref1]).returncode
     ne_ref = subprocess.run(
