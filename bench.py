@@ -101,10 +101,10 @@ def main():
     )
     del st
 
-    # best of 2: the dev-tunnel link throughput swings >2x between runs,
-    # so a single sample badly misrepresents the pipeline
+    # best of 3: the dev-tunnel link and the single host core swing >2x
+    # between runs, so a single sample badly misrepresents the pipeline
     best = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         res1, res2 = count([str(fq)], out_db, k=K, cutoff_min=2, **tuned)
         elapsed = time.perf_counter() - t0

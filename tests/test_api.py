@@ -112,3 +112,46 @@ def test_kmer_api_roundtrip():
     kmer.reverse()
     assert kmer.to_string() == oracle.revcomp("ACGTACGTAC")
     assert not kmer.from_string("ACGTN")
+
+
+def test_reference_py_kmc_dump_script_runs_on_shim(tmp_path):
+    """The reference's own py_kmc_dump.py example must run unmodified against
+    our py_kmc_api shim (drop-in compatibility: OpenForListing / Info /
+    KmerAPI / Count / ReadNextKmer / SetMinCount surfaces)."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path("/root/reference/py_kmc_api/py_kmc_dump.py")
+    if not script.exists():
+        pytest.skip("reference checkout not available")
+
+    reads = random_reads(40, 80, seed=77)
+    inp = write_fastq(tmp_path / "in.fastq", reads)
+    db = str(tmp_path / "db")
+    count([inp], db, k=21, cutoff_min=1, batch_positions=1 << 12)
+
+    out = tmp_path / "pydump.txt"
+    repo_root = str(Path(__file__).resolve().parent.parent)
+    env = dict(os.environ, PYTHONPATH=repo_root, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, str(script), db, str(out)],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    got = sorted(out.read_text().splitlines())
+    counts = oracle.count_kmers(reads, 21)
+    expect = sorted(f"{km}\t{c}" for km, c in counts.items())
+    assert got == expect
+
+    # -ci filter path (SetMinCount)
+    out2 = tmp_path / "pydump2.txt"
+    r = subprocess.run(
+        [sys.executable, str(script), "-ci", "2", db, str(out2)],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    got2 = sorted(out2.read_text().splitlines())
+    expect2 = sorted(f"{km}\t{c}" for km, c in counts.items() if c >= 2)
+    assert got2 == expect2

@@ -16,6 +16,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import struct
+
 import numpy as np
 
 
@@ -36,11 +38,54 @@ def make_input(path: Path, *, n_reads=2000, read_len=150, seed=0, fmt="fastq",
                 f.write(f">r{i}\n{seq}\n")
 
 
+def bgzf_block(payload: bytes) -> bytes:
+    """One spec-compliant BGZF block (gzip member with the BC extra field
+    carrying the block size; SAM spec 4.1)."""
+    import zlib
+
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    comp = co.compress(payload) + co.flush()
+    bsize = len(comp) + 25 + 1  # header(12) + extra(6) + comp + crc/isize(8)
+    header = (b"\x1f\x8b\x08\x04" + b"\x00" * 6 + b"\x06\x00"
+              + b"BC\x02\x00" + struct.pack("<H", bsize - 1))
+    return (header + comp + struct.pack("<I", zlib.crc32(payload))
+            + struct.pack("<I", len(payload) & 0xFFFFFFFF))
+
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+
+def make_bam_bgzf(path, reads):
+    """Spec-compliant BGZF BAM with simple unmapped records."""
+    code = {"A": 1, "C": 2, "G": 4, "T": 8, "N": 15}
+    body = b"BAM\x01" + struct.pack("<i", 0) + struct.pack("<i", 1)
+    body += struct.pack("<i", 4) + b"ref\x00" + struct.pack("<i", 1000)
+    for i, r in enumerate(reads):
+        name = f"r{i}".encode() + b"\x00"
+        l_seq = len(r)
+        seq_bytes = bytearray()
+        for j in range(0, l_seq, 2):
+            hi = code[r[j]] << 4
+            lo = code[r[j + 1]] if j + 1 < l_seq else 0
+            seq_bytes.append(hi | lo)
+        qual = b"\xff" * l_seq
+        rec = struct.pack("<iiBBHHHiiii", 0, 0, len(name), 30, 0, 0, 0,
+                          l_seq, -1, -1, 0)
+        rec += name + bytes(seq_bytes) + qual
+        body += struct.pack("<i", len(rec)) + rec
+    with open(path, "wb") as f:
+        for lo in range(0, len(body), 60000):
+            f.write(bgzf_block(body[lo : lo + 60000]))
+        f.write(BGZF_EOF)
+    return str(path)
+
+
 def ref_dump(kmc, kmc_tools, inp, k, ci, cs, fmt, workdir) -> str:
     db = workdir / f"refdb_k{k}"
     tmp = workdir / "tmp"
     tmp.mkdir(exist_ok=True)
-    fflag = {"fastq": "-fq", "fasta": "-fa"}[fmt]
+    fflag = {"fastq": "-fq", "fasta": "-fa", "bam": "-fbam"}[fmt]
     subprocess.run(
         [str(kmc), f"-k{k}", f"-ci{ci}", f"-cs{cs}", fflag, "-t1", "-hp",
          str(inp), str(db), str(tmp)],
@@ -84,6 +129,11 @@ def main():
     fa = workdir / "reads.fasta"
     make_input(fq, fmt="fastq", seed=1)
     make_input(fa, fmt="fasta", seed=2)
+    rng = np.random.default_rng(3)
+    bam_reads = [
+        "".join("ACGT"[c] for c in rng.integers(0, 4, 151)) for _ in range(500)
+    ]
+    bam = make_bam_bgzf(workdir / "reads.bam", bam_reads)
 
     cases = [
         (fq, "fastq", 21, 1, 255),
@@ -92,6 +142,7 @@ def main():
         (fq, "fastq", 55, 1, 255),
         (fa, "fasta", 25, 1, 255),
         (fq, "fastq", 12, 1, 255),   # small-k KMC1 path
+        (bam, "bam", 25, 1, 255),    # BGZF BAM
     ]
     failures = 0
     for inp, fmt, k, ci, cs in cases:
