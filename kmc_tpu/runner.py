@@ -219,7 +219,14 @@ class Runner:
                 )  # mirrors kmc.h:779-785
             from .ops.nthash import NtCardEstimator
 
-            self._estimator = NtCardEstimator(k)
+            # sampling prefix width by predicted input size (kmc.h:1118-1121:
+            # s=7 under 50 GB, s=11 above — smaller s samples 16x more)
+            predicted = sum(
+                Path(p).stat().st_size for p in params.input_files
+                if Path(p).exists()
+            )
+            self._estimator = NtCardEstimator(
+                k, s=7 if predicted < 50_000_000_000 else 11)
         if params.estimate_histogram_cfg == EstimateHistogramCfg.ONLY_ESTIMATE:
             for chunk, _ in self._chunks(params):
                 self._estimator.process_codes(chunk)

@@ -144,7 +144,33 @@ def main():
         (fq, "fastq", 12, 1, 255),   # small-k KMC1 path
         (bam, "bam", 25, 1, 255),    # BGZF BAM
     ]
+    # -e estimated histogram: ntCard is a statistical estimator, so the
+    # comparison is loose — the abundance estimates of the common bins must
+    # agree within 15% (both sides implement the same ntHash sketch)
+    ref_hist = workdir / "ref.ehist"
+    subprocess.run([str(kmc), "-e", "-k27", "-fq", "-t1", str(fq),
+                    str(ref_hist), str(workdir)], check=True,
+                   capture_output=True)
+    from kmc_tpu.cli import main as kmc_cli_main
+
+    tpu_hist = workdir / "tpu.ehist"
+    assert kmc_cli_main(["-e", "-k27", "-hp", str(fq), str(tpu_hist),
+                         str(workdir)]) == 0
+    rh = {int(a): int(b) for a, b in
+          (l.split("\t") for l in ref_hist.read_text().splitlines())}
+    th = {int(a): int(b) for a, b in
+          (l.split("\t") for l in tpu_hist.read_text().splitlines())}
+    est_fail = 0
+    for i in range(1, 6):
+        r, t = rh.get(i, 0), th.get(i, 0)
+        if r + t > 1000 and abs(r - t) > 0.15 * max(r, t):
+            est_fail += 1
+            print(f"  estimate bin {i}: ref={r} tpu={t}")
+    print(f"-e estimated histogram (first 5 bins within 15%): "
+          f"{'MATCH' if not est_fail else 'MISMATCH'}")
+
     failures = 0
+    failures += est_fail
     for inp, fmt, k, ci, cs in cases:
         want = ref_dump(kmc, kmc_tools, inp, k, ci, cs, fmt, workdir)
         got = tpu_dump(inp, k, ci, cs, fmt, workdir)
