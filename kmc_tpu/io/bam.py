@@ -47,7 +47,37 @@ def bgzf_decompress(path: str) -> bytes:
 
 def bam_code_chunks(path: str, both_strands: bool = True,
                     chunk_reads: int = 65536) -> Iterator[tuple[np.ndarray, int]]:
-    """Yield (codes, n_reads) chunks; a CODE_INVALID separates reads."""
+    """Yield (codes, n_reads) chunks; a CODE_INVALID separates reads.
+
+    Streams through the native BGZF inflater + C record parser when
+    available (constant memory, no whole-file materialization); the
+    vectorized-NumPy path below is the fallback."""
+    try:
+        from .native import NativeBamParser, NativeGzReader
+
+        parser = NativeBamParser(both_strands)
+        reader = NativeGzReader(path)
+    except (RuntimeError, OSError, ImportError):
+        yield from _bam_code_chunks_py(path, both_strands, chunk_reads)
+        return
+    try:
+        buf = np.empty(8 << 20, dtype=np.uint8)
+        prev_reads = 0
+        while True:
+            n = reader.read_into(buf)
+            if not n:
+                break
+            codes = parser.parse(buf[:n])
+            if len(codes):
+                n_now = parser.n_reads
+                yield codes, n_now - prev_reads
+                prev_reads = n_now
+    finally:
+        reader.close()
+
+
+def _bam_code_chunks_py(path: str, both_strands: bool = True,
+                        chunk_reads: int = 65536) -> Iterator[tuple[np.ndarray, int]]:
     data = bgzf_decompress(path)
     if data[:4] != b"BAM\x01":
         raise ValueError("BAM magic missing")

@@ -70,6 +70,10 @@ def get_lib():
         lib.gz_close.argtypes = [ctypes.c_void_p]
         lib.pack_codes.restype = None
         lib.pack_codes.argtypes = [u8p, ctypes.c_int64, u8p, u8p]
+        lib.pack_codes_fused.restype = None
+        lib.pack_codes_fused.argtypes = [u8p, ctypes.c_int64, u8p]
+        lib.parse_bam.restype = ctypes.c_int64
+        lib.parse_bam.argtypes = [u8p, ctypes.c_int64, u8p, i64p, i64p]
         lib.pack_2bit_rows.restype = None
         lib.pack_2bit_rows.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, u8p]
         lib.unpack_2bit_rows.restype = None
@@ -169,6 +173,56 @@ def pack_codes(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     )
     mask = np.packbits(codes < 4)
     return packed, mask
+
+
+def pack_codes_fused(codes: np.ndarray) -> np.ndarray:
+    """codes u8[n] (n % 8 == 0) -> one u8[3n/8] buffer: packed 2-bit codes
+    followed by the validity bitmask (split on device; one H2D transfer)."""
+    n = len(codes)
+    assert n % 8 == 0
+    lib = get_lib()
+    if lib is not None:
+        if not codes.flags.c_contiguous:
+            codes = np.ascontiguousarray(codes)
+        out = np.empty(n // 4 + n // 8, dtype=np.uint8)
+        lib.pack_codes_fused(_u8ptr(codes), n, _u8ptr(out))
+        return out
+    packed, mask = pack_codes(codes)
+    return np.concatenate([packed, mask])
+
+
+class NativeBamParser:
+    """Resumable BAM record parser backed by the C library; feed inflated
+    BGZF bytes, get code chunks.  Unconsumed tail bytes (split records) are
+    carried internally."""
+
+    def __init__(self, both_strands: bool = True):
+        self.lib = get_lib()
+        if self.lib is None:
+            raise RuntimeError("native library unavailable")
+        self.state = np.zeros(5, dtype=np.int64)
+        self.state[4] = 1 if both_strands else 0
+        self._carry = np.zeros(0, dtype=np.uint8)
+
+    @property
+    def n_reads(self) -> int:
+        return int(self.state[3])
+
+    def parse(self, chunk: np.ndarray) -> np.ndarray:
+        if len(self._carry):
+            chunk = np.concatenate([self._carry, chunk])
+        n = len(chunk)
+        out = np.empty(2 * n + n // 16 + 64, dtype=np.uint8)
+        consumed = ctypes.c_int64(0)
+        m = self.lib.parse_bam(
+            _u8ptr(chunk), n, _u8ptr(out),
+            self.state.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.byref(consumed),
+        )
+        if m < 0:
+            raise ValueError("malformed BAM stream")
+        self._carry = chunk[consumed.value :].copy()
+        return out[:m]
 
 
 def native_homopolymer_compress(codes: np.ndarray, prev_last: np.ndarray) -> np.ndarray:

@@ -43,7 +43,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .extract import INVALID_SIG, _kmer_words, _unpack_device, position_sigs
+from .extract import (INVALID_SIG, _kmer_words, _unpack_device, batch_len,
+                      position_sigs)
 
 U32MAX = np.uint32(0xFFFFFFFF)
 
@@ -156,6 +157,31 @@ def _ingest_prefix(packed, mask, key_cols, n_used, occ_acc, skm_acc, prev_sig,
                    donate_argnums=(2, 4, 5))
 def _ingest_greedy(packed, mask, key_cols, n_used, occ_acc, skm_acc, prev_sig,
                    sig_map, **statics):
+    return _ingest_core(packed, mask, tuple(key_cols), n_used, occ_acc,
+                        skm_acc, prev_sig, sig_map, **statics)
+
+
+def _split_fused(buf, s, k):
+    L = batch_len(s, k)
+    return buf[: L // 4], buf[L // 4 :]
+
+
+@functools.partial(jax.jit, static_argnames=_ING_STATICS,
+                   donate_argnums=(1, 3, 4))
+def _ingest_prefix_fused(buf, key_cols, n_used, occ_acc, skm_acc, prev_sig,
+                         **statics):
+    """One-buffer variant: buf = packed codes ++ validity mask (a single
+    H2D transfer; split is a free static slice on device)."""
+    packed, mask = _split_fused(buf, statics["s"], statics["k"])
+    return _ingest_core(packed, mask, tuple(key_cols), n_used, occ_acc,
+                        skm_acc, prev_sig, None, **statics)
+
+
+@functools.partial(jax.jit, static_argnames=_ING_STATICS,
+                   donate_argnums=(1, 3, 4))
+def _ingest_greedy_fused(buf, key_cols, n_used, occ_acc, skm_acc, prev_sig,
+                         sig_map, **statics):
+    packed, mask = _split_fused(buf, statics["s"], statics["k"])
     return _ingest_core(packed, mask, tuple(key_cols), n_used, occ_acc,
                         skm_acc, prev_sig, sig_map, **statics)
 
@@ -658,6 +684,9 @@ class DeviceKmerStore:
                 packed, mask, self.key_cols, self.n_used, self.occ_acc,
                 self.skm_acc, self.prev_sig, self._sig_map_dev,
                 **self._ing_statics(s))
+        self._after_ingest(had_counts, s)
+
+    def _after_ingest(self, had_counts: bool, s: int):
         if had_counts:
             # rare: ingest after a compaction/resume materialized counts —
             # pad the new raw rows with unit counts
@@ -665,6 +694,26 @@ class DeviceKmerStore:
             start = self.n_used - s
             self.counts = jax.lax.dynamic_update_slice(self.counts, ones, (start,))
         self._since_compact += s
+
+    def ingest_fused(self, buf, *, s: int):
+        """ingest_packed on one fused (packed ++ mask) buffer — a single
+        H2D transfer per batch."""
+        self.total_appended_rows += s
+        self._occ_upper += s
+        self._make_room(s)
+        had_counts = self.counts is not None
+        if self.map_mode == "prefix":
+            (self.key_cols, self.n_used, self.occ_acc, self.skm_acc,
+             self.prev_sig) = _ingest_prefix_fused(
+                buf, self.key_cols, self.n_used, self.occ_acc,
+                self.skm_acc, self.prev_sig, **self._ing_statics(s))
+        else:
+            (self.key_cols, self.n_used, self.occ_acc, self.skm_acc,
+             self.prev_sig) = _ingest_greedy_fused(
+                buf, self.key_cols, self.n_used, self.occ_acc,
+                self.skm_acc, self.prev_sig, self._sig_map_dev,
+                **self._ing_statics(s))
+        self._after_ingest(had_counts, s)
 
     def append(self, cols, counts, count_occurrences: bool = True):
         """External append of merged (key columns, counts) rows."""

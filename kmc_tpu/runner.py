@@ -27,7 +27,7 @@ from .defs import calc_counter_size
 from .formats.kmc_db import DbInfo, Kmc2DbWriter, pick_lut_prefix_len, write_kmc1_db
 from .io.readers import BatchStream, ParseState, file_code_stream, homopolymer_compress_codes
 from .signatures import build_signature_map, map_size
-from .io.native import pack_codes
+from .io.native import pack_codes, pack_codes_fused
 from .ops.extract import INVALID_SIG, stage1_batch_packed
 from .ops.sortcount import merge_count_bin
 from .ops.smallk import smallk_batch_packed, smallk_histogram_shape
@@ -384,7 +384,7 @@ class Runner:
         if ppo is not None:
             ppo.set_label("Stage 1: ")
         state_ref = None
-        t_host = t_disp = 0.0
+        t_host = t_queue = 0.0
         t_prev = time.perf_counter()
         chunk_gen = self._chunks(params)
 
@@ -394,33 +394,56 @@ class Runner:
                 state_ref = st
                 yield c
 
+        # producer/consumer split: the main thread parses+packs (native C,
+        # GIL released) while a worker thread runs H2D + the ingest dispatch
+        # (network-bound over the dev tunnel, also GIL-released) — on a
+        # single host core the two genuinely interleave.  Each batch crosses
+        # as ONE fused (packed ++ mask) buffer: per-transfer setup is
+        # significant on the tunnel.
+        import queue as _queue
+        import threading
+
         import jax
 
-        pending = None  # (packed_dev, mask_dev): H2D in flight during parse
+        q: _queue.Queue = _queue.Queue(maxsize=3)
+        errors: list = []
+
+        def worker():
+            try:
+                while True:
+                    buf = q.get()
+                    if buf is None:
+                        return
+                    store.ingest_fused(jax.device_put(buf), s=s)
+            except BaseException as e:  # noqa: BLE001 - reraised on join
+                errors.append(e)
+                while q.get() is not None:  # unblock the producer
+                    pass
+
+        th = threading.Thread(target=worker, name="kmc-ingest", daemon=True)
+        th.start()
         for batch in bs.batches(gen()):
-            packed, mask = pack_codes(batch)
+            buf = pack_codes_fused(batch)
             t_now = time.perf_counter()
             t_host += t_now - t_prev
-            # explicit async device_put: the transfer of this batch overlaps
-            # with parsing the next one (passing numpy straight to the jitted
-            # ingest would serialize H2D with the host loop)
-            staged = (jax.device_put(packed), jax.device_put(mask))
-            if pending is not None:
-                store.ingest_packed(*pending, s=s)
-            pending = staged
-            t_prev = time.perf_counter()
-            t_disp += t_prev - t_now
-        if pending is not None:
-            store.ingest_packed(*pending, s=s)
+            if errors:
+                break
+            q.put(buf)
             if ppo is not None and total_bytes and state_ref is not None:
                 ppo.set_progress(
                     min(99, state_ref.consumed_bytes * 100 // total_bytes)
                 )
+            t_prev = time.perf_counter()
+            t_queue += t_prev - t_now
+        q.put(None)
+        th.join()
+        if errors:
+            raise errors[0]
         if ppo is not None:
             ppo.set_progress(100)
         if params.verbose:
             print(f"[stage1] host(parse+pack): {t_host:.2f}s "
-                  f"dispatch(ingest): {t_disp:.2f}s "
+                  f"queue-wait: {t_queue:.2f}s "
                   f"({store.total_appended_rows // max(s,1)} batches)")
         self._store = store
         self._sig_map = store.host_sig_map()

@@ -247,6 +247,117 @@ void pack_codes(const uint8_t* codes, int64_t n, uint8_t* packed,
 }
 
 // ---------------------------------------------------------------------------
+// BAM record parser: resumable over inflated BGZF bytes.
+//
+// The caller feeds inflated chunks; the parser consumes only COMPLETE
+// structures and reports how many input bytes it consumed — the caller
+// carries the unconsumed tail into the next call (records are ~100s of
+// bytes, so the carry stays tiny).  Mirrors the reference's semantics
+// (fastq_reader.cpp:203-310, splitter.cpp:329-420): secondary (flag bit 8)
+// and supplementary (bit 11) alignments are excluded; in single-strand mode
+// reverse-complemented alignments (bit 4) are undone; 4-bit codes 1/2/4/8
+// map to A/C/G/T, everything else breaks k-mers.
+//
+// state[0] = phase: 0 magic+l_text, 1 skip text, 2 n_ref, 3 ref l_name,
+//                   4 skip ref name+l_ref, 5 records
+// state[1] = bytes left to skip (phases 1/4)
+// state[2] = refs remaining (phases 3/4)
+// state[3] = n_reads emitted
+// state[4] = both_strands flag (set by caller before first call)
+// Returns the number of codes written to out (caller sizes out at
+// 2*n + n/16 + 64); *consumed gets the bytes eaten from buf; -1 = bad BAM.
+// ---------------------------------------------------------------------------
+static inline int64_t rd_i32(const uint8_t* p) {
+    uint32_t v = (uint32_t)p[0] | ((uint32_t)p[1] << 8) |
+                 ((uint32_t)p[2] << 16) | ((uint32_t)p[3] << 24);
+    return (int64_t)(int32_t)v;
+}
+
+int64_t parse_bam(const uint8_t* buf, int64_t n, uint8_t* out,
+                  int64_t* state, int64_t* consumed) {
+    static const uint8_t NIB[16] = {4, 0, 1, 4, 2, 4, 4, 4, 3, 4, 4, 4, 4, 4, 4, 4};
+    static const uint8_t NIB_RC[16] = {4, 3, 2, 4, 1, 4, 4, 4, 0, 4, 4, 4, 4, 4, 4, 4};
+    int64_t phase = state[0];
+    int64_t to_skip = state[1];
+    int64_t refs_left = state[2];
+    int64_t n_reads = state[3];
+    const int both_strands = (int)state[4];
+    int64_t i = 0, m = 0;
+    for (;;) {
+        if (phase == 0) {
+            if (n - i < 8) break;
+            if (memcmp(buf + i, "BAM\x01", 4) != 0) { *consumed = i; return -1; }
+            to_skip = rd_i32(buf + i + 4);
+            i += 8;
+            phase = 1;
+        } else if (phase == 1 || phase == 4) {
+            int64_t take = to_skip < (n - i) ? to_skip : (n - i);
+            i += take;
+            to_skip -= take;
+            if (to_skip > 0) break;
+            if (phase == 1) phase = 2;
+            else phase = (--refs_left > 0) ? 3 : 5;
+        } else if (phase == 2) {
+            if (n - i < 4) break;
+            refs_left = rd_i32(buf + i);
+            i += 4;
+            phase = refs_left > 0 ? 3 : 5;
+        } else if (phase == 3) {
+            if (n - i < 4) break;
+            to_skip = rd_i32(buf + i) + 4;  // name + l_ref
+            i += 4;
+            phase = 4;
+        } else {  // phase 5: records
+            if (n - i < 4) break;
+            int64_t block_size = rd_i32(buf + i);
+            if (block_size < 32) { *consumed = i; return -1; }
+            if (n - i < 4 + block_size) break;
+            const uint8_t* rec = buf + i + 4;
+            int64_t l_read_name = rec[8];
+            int64_t n_cigar_op = (int64_t)rec[12] | ((int64_t)rec[13] << 8);
+            int64_t flags = (int64_t)rec[14] | ((int64_t)rec[15] << 8);
+            int64_t l_seq = rd_i32(rec + 16);
+            int exclude = ((flags >> 8) & 1) || ((flags >> 11) & 1);
+            int64_t seq_off = 32 + l_read_name + 4 * n_cigar_op;
+            if (!exclude && l_seq > 0 && seq_off + (l_seq + 1) / 2 <= block_size) {
+                const uint8_t* sq = rec + seq_off;
+                int is_rc = (flags >> 4) & 1;
+                if (!both_strands && is_rc) {
+                    // undo the aligner's reverse complement
+                    for (int64_t j = l_seq - 1; j >= 0; --j) {
+                        uint8_t nib = (j & 1) ? (sq[j >> 1] & 15)
+                                              : (sq[j >> 1] >> 4);
+                        out[m++] = NIB_RC[nib];
+                    }
+                } else {
+                    for (int64_t j = 0; j < l_seq; ++j) {
+                        uint8_t nib = (j & 1) ? (sq[j >> 1] & 15)
+                                              : (sq[j >> 1] >> 4);
+                        out[m++] = NIB[nib];
+                    }
+                }
+                out[m++] = 4;  // read separator
+                n_reads++;
+            }
+            i += 4 + block_size;
+        }
+    }
+    state[0] = phase;
+    state[1] = to_skip;
+    state[2] = refs_left;
+    state[3] = n_reads;
+    *consumed = i;
+    return m;
+}
+
+// One fused device-feed buffer: packed codes followed by the validity mask
+// (out must hold n/4 + n/8 bytes).  One H2D transfer instead of two — the
+// per-transfer setup on the dev tunnel is significant.
+void pack_codes_fused(const uint8_t* codes, int64_t n, uint8_t* out) {
+    pack_codes(codes, n, out, out + (n >> 2));
+}
+
+// ---------------------------------------------------------------------------
 // 2-bit pack/unpack helpers (used by format writers for big arrays).
 // rows: (n, kb*4) codes right-aligned -> (n, kb) big-endian packed bytes.
 // ---------------------------------------------------------------------------

@@ -211,3 +211,23 @@ def test_develop_mode_dumps(tmp_path, monkeypatch):
     assert len(sig_lines) == (1 << 18) + 1  # 4^9 + special
     stats = open(out + ".bin_stats.develop").read().splitlines()
     assert stats[0] == "bin\tn_records\tbytes"
+
+
+@pytest.mark.parametrize("both", [True, False])
+def test_bam_native_matches_python_parser(tmp_path, both):
+    """The C BAM parser and the NumPy fallback produce identical code
+    streams (including rc-undo in single-strand mode and flag exclusion)."""
+    from kmc_tpu.io.bam import _bam_code_chunks_py, bam_code_chunks
+    from kmc_tpu.io.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    reads = random_reads(40, 95, seed=51)  # odd length exercises nibble tail
+    bam = make_bam(tmp_path / "x.bam", reads,
+                   flags={3: 0x100, 7: 0x800, 11: 0x10})
+    nat = np.concatenate([c for c, _ in bam_code_chunks(bam, both)])
+    py = np.concatenate([c for c, _ in _bam_code_chunks_py(bam, both)])
+    assert np.array_equal(nat, py)
+    n_nat = sum(n for _, n in bam_code_chunks(bam, both))
+    n_py = sum(n for _, n in _bam_code_chunks_py(bam, both))
+    assert n_nat == n_py == 38  # two excluded
