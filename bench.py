@@ -80,7 +80,7 @@ def main():
     # (capacity, k, lpl, n_bins) statics (the warm run's tiny input picks a
     # different lut_prefix_len, hence a different finalize executable)
     from kmc_tpu.formats.kmc_db import pick_lut_prefix_len
-    from kmc_tpu.io.native import pack_codes_fused
+    from kmc_tpu.io.native import pack_codes_boundaries
     from kmc_tpu.ops.extract import batch_len
     from kmc_tpu.ops.store import DeviceKmerStore
 
@@ -92,7 +92,9 @@ def main():
     )
     rng = np.random.default_rng(1)
     codes = rng.integers(0, 4, batch_len(s, K)).astype(np.uint8)
-    st.ingest_fused(pack_codes_fused(codes), s=s)
+    codes[150::151] = 4  # read separators so the boundary variant compiles
+    buf, ts = pack_codes_boundaries(codes)
+    st.ingest_boundaries(buf, ts, s=s)
     n_reads_est = GENOME_LEN * COVERAGE // READ_LEN
     lpl = pick_lut_prefix_len(K, st.n_used_bins, 4 * n_reads_est)
     st.finalize_records(

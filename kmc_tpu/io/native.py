@@ -74,6 +74,9 @@ def get_lib():
         lib.pack_codes_fused.argtypes = [u8p, ctypes.c_int64, u8p]
         lib.parse_bam.restype = ctypes.c_int64
         lib.parse_bam.argtypes = [u8p, ctypes.c_int64, u8p, i64p, i64p]
+        lib.pack_codes_boundaries.restype = ctypes.c_int64
+        lib.pack_codes_boundaries.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64, i64p]
         lib.pack_2bit_rows.restype = None
         lib.pack_2bit_rows.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, u8p]
         lib.unpack_2bit_rows.restype = None
@@ -223,6 +226,48 @@ class NativeBamParser:
             raise ValueError("malformed BAM stream")
         self._carry = chunk[consumed.value :].copy()
         return out[:m]
+
+
+def boundary_capacity(n: int) -> int:
+    """Delta slots reserved per n-code batch (one per <=64-code read)."""
+    return n // 64
+
+
+def pack_codes_boundaries(codes: np.ndarray):
+    """codes u8[n] -> (buf u8[n/4 + 2*boundary_capacity(n)], tail_start)
+    in the boundary-delta feed format (see native/kmc_host.cpp), or
+    (None, -1) when the batch is sentinel-dense and must use the masked
+    format.  Codes at [tail_start, n) are a trailing sentinel run (batch
+    padding), marked invalid on device from the scalar instead of listed."""
+    n = len(codes)
+    assert n % 8 == 0
+    lib = get_lib()
+    max_b = boundary_capacity(n)
+    if lib is None:
+        ts = n
+        while ts > 0 and codes[ts - 1] >= 4:
+            ts -= 1
+        sent = np.flatnonzero(codes[:ts] >= 4).astype(np.int64)
+        if len(sent) > max_b or (len(sent) and
+                                 np.diff(np.concatenate([[-1], sent])).max()
+                                 > 65535):
+            return None, -1
+        deltas = np.diff(np.concatenate([[-1], sent])).astype("<u2")
+        buf = np.zeros(n // 4 + 2 * max_b, np.uint8)
+        c4 = codes & 3
+        buf[: n // 4] = ((c4[0::4] << 6) | (c4[1::4] << 4) | (c4[2::4] << 2)
+                         | c4[3::4]).astype(np.uint8)
+        buf[n // 4 : n // 4 + 2 * len(deltas)] = deltas.view(np.uint8)
+        return buf, ts
+    if not codes.flags.c_contiguous:
+        codes = np.ascontiguousarray(codes)
+    buf = np.empty(n // 4 + 2 * max_b, np.uint8)
+    ts = ctypes.c_int64(0)
+    b = lib.pack_codes_boundaries(_u8ptr(codes), n, _u8ptr(buf), max_b,
+                                  ctypes.byref(ts))
+    if b < 0:
+        return None, -1
+    return buf, int(ts.value)
 
 
 def native_homopolymer_compress(codes: np.ndarray, prev_last: np.ndarray) -> np.ndarray:

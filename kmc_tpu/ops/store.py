@@ -116,6 +116,16 @@ def _ingest_core(packed, mask, key_cols, n_used, occ_acc, skm_acc, prev_sig,
                  sig_map, *, s, k, sig_len, both_strands, map_mode,
                  prefix_bits, fuse, n_dead_bin):
     c4, bad = _unpack_device(packed, mask)
+    return _ingest_from_codes(c4, bad, key_cols, n_used, occ_acc, skm_acc,
+                              prev_sig, sig_map, s=s, k=k, sig_len=sig_len,
+                              both_strands=both_strands, map_mode=map_mode,
+                              prefix_bits=prefix_bits, fuse=fuse,
+                              n_dead_bin=n_dead_bin)
+
+
+def _ingest_from_codes(c4, bad, key_cols, n_used, occ_acc, skm_acc, prev_sig,
+                       sig_map, *, s, k, sig_len, both_strands, map_mode,
+                       prefix_bits, fuse, n_dead_bin):
     valid, sig_pos, p, q = position_sigs(c4, bad, s=s, k=k, sig_len=sig_len)
 
     # exact super-k-mer count: a new super-k-mer starts at every valid
@@ -166,6 +176,28 @@ def _split_fused(buf, s, k):
     return buf[: L // 4], buf[L // 4 :]
 
 
+def _unpack_boundaries(buf, tail_start, *, s, k):
+    """Decode the boundary-delta feed format (io/native.py::
+    pack_codes_boundaries): 2-bit packed codes ++ LE u16 sentinel-position
+    deltas.  bad[i] = 1 iff i is a listed sentinel or batch-padding
+    (i >= tail_start).  The scatter touches only the ~L/64 boundary slots —
+    negligible next to an L-sized mask transfer."""
+    L = batch_len(s, k)
+    p = buf[: L // 4].astype(jnp.uint32)
+    c4 = jnp.stack(
+        [(p >> 6) & 3, (p >> 4) & 3, (p >> 2) & 3, p & 3], axis=1
+    ).reshape(-1)
+    d8 = buf[L // 4 :].astype(jnp.uint32).reshape(-1, 2)
+    deltas = d8[:, 0] | (d8[:, 1] << 8)  # little-endian u16
+    pos = jnp.cumsum(deltas, dtype=jnp.int32) - 1  # padding repeats the last
+    bad = jnp.zeros((L + 1,), jnp.int32).at[
+        jnp.where(pos >= 0, pos, jnp.int32(L))
+    ].set(1)[:L]
+    idx = jnp.arange(L, dtype=jnp.int32)
+    bad = bad | (idx >= tail_start).astype(jnp.int32)
+    return c4, bad
+
+
 @functools.partial(jax.jit, static_argnames=_ING_STATICS,
                    donate_argnums=(1, 3, 4))
 def _ingest_prefix_fused(buf, key_cols, n_used, occ_acc, skm_acc, prev_sig,
@@ -184,6 +216,27 @@ def _ingest_greedy_fused(buf, key_cols, n_used, occ_acc, skm_acc, prev_sig,
     packed, mask = _split_fused(buf, statics["s"], statics["k"])
     return _ingest_core(packed, mask, tuple(key_cols), n_used, occ_acc,
                         skm_acc, prev_sig, sig_map, **statics)
+
+
+@functools.partial(jax.jit, static_argnames=_ING_STATICS,
+                   donate_argnums=(2, 4, 5))
+def _ingest_prefix_bounds(buf, tail_start, key_cols, n_used, occ_acc,
+                          skm_acc, prev_sig, **statics):
+    """Boundary-delta variant (25% fewer H2D bytes than packed+mask)."""
+    c4, bad = _unpack_boundaries(buf, tail_start,
+                                 s=statics["s"], k=statics["k"])
+    return _ingest_from_codes(c4, bad, tuple(key_cols), n_used, occ_acc,
+                              skm_acc, prev_sig, None, **statics)
+
+
+@functools.partial(jax.jit, static_argnames=_ING_STATICS,
+                   donate_argnums=(2, 4, 5))
+def _ingest_greedy_bounds(buf, tail_start, key_cols, n_used, occ_acc,
+                          skm_acc, prev_sig, sig_map, **statics):
+    c4, bad = _unpack_boundaries(buf, tail_start,
+                                 s=statics["s"], k=statics["k"])
+    return _ingest_from_codes(c4, bad, tuple(key_cols), n_used, occ_acc,
+                              skm_acc, prev_sig, sig_map, **statics)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 5))
@@ -694,6 +747,27 @@ class DeviceKmerStore:
             start = self.n_used - s
             self.counts = jax.lax.dynamic_update_slice(self.counts, ones, (start,))
         self._since_compact += s
+
+    def ingest_boundaries(self, buf, tail_start: int, *, s: int):
+        """ingest on the boundary-delta feed format (see
+        io/native.py::pack_codes_boundaries)."""
+        self.total_appended_rows += s
+        self._occ_upper += s
+        self._make_room(s)
+        had_counts = self.counts is not None
+        ts = jnp.int32(tail_start)
+        if self.map_mode == "prefix":
+            (self.key_cols, self.n_used, self.occ_acc, self.skm_acc,
+             self.prev_sig) = _ingest_prefix_bounds(
+                buf, ts, self.key_cols, self.n_used, self.occ_acc,
+                self.skm_acc, self.prev_sig, **self._ing_statics(s))
+        else:
+            (self.key_cols, self.n_used, self.occ_acc, self.skm_acc,
+             self.prev_sig) = _ingest_greedy_bounds(
+                buf, ts, self.key_cols, self.n_used, self.occ_acc,
+                self.skm_acc, self.prev_sig, self._sig_map_dev,
+                **self._ing_statics(s))
+        self._after_ingest(had_counts, s)
 
     def ingest_fused(self, buf, *, s: int):
         """ingest_packed on one fused (packed ++ mask) buffer — a single

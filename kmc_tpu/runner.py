@@ -27,7 +27,7 @@ from .defs import calc_counter_size
 from .formats.kmc_db import DbInfo, Kmc2DbWriter, pick_lut_prefix_len, write_kmc1_db
 from .io.readers import BatchStream, ParseState, file_code_stream, homopolymer_compress_codes
 from .signatures import build_signature_map, map_size
-from .io.native import pack_codes, pack_codes_fused
+from .io.native import pack_codes, pack_codes_boundaries, pack_codes_fused
 from .ops.extract import INVALID_SIG, stage1_batch_packed
 from .ops.sortcount import merge_count_bin
 from .ops.smallk import smallk_batch_packed, smallk_histogram_shape
@@ -411,10 +411,14 @@ class Runner:
         def worker():
             try:
                 while True:
-                    buf = q.get()
-                    if buf is None:
+                    item = q.get()
+                    if item is None:
                         return
-                    store.ingest_fused(jax.device_put(buf), s=s)
+                    if item[0] == "b":
+                        store.ingest_boundaries(
+                            jax.device_put(item[1]), item[2], s=s)
+                    else:
+                        store.ingest_fused(jax.device_put(item[1]), s=s)
             except BaseException as e:  # noqa: BLE001 - reraised on join
                 errors.append(e)
                 while q.get() is not None:  # unblock the producer
@@ -423,12 +427,16 @@ class Runner:
         th = threading.Thread(target=worker, name="kmc-ingest", daemon=True)
         th.start()
         for batch in bs.batches(gen()):
-            buf = pack_codes_fused(batch)
+            # boundary-delta feed (0.28 B/code) when sentinels are sparse;
+            # packed+mask (0.375 B/code) for degenerate batches
+            buf, ts = pack_codes_boundaries(batch)
+            item = ("b", buf, ts) if buf is not None else (
+                "m", pack_codes_fused(batch))
             t_now = time.perf_counter()
             t_host += t_now - t_prev
             if errors:
                 break
-            q.put(buf)
+            q.put(item)
             if ppo is not None and total_bytes and state_ref is not None:
                 ppo.set_progress(
                     min(99, state_ref.consumed_bytes * 100 // total_bytes)

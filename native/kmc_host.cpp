@@ -357,6 +357,50 @@ void pack_codes_fused(const uint8_t* codes, int64_t n, uint8_t* out) {
     pack_codes(codes, n, out, out + (n >> 2));
 }
 
+// Boundary-delta device feed: 2-bit packed codes followed by little-endian
+// u16 deltas of the sentinel (code >= 4) positions in [0, tail_start)
+// (position = prefix-sum of deltas - 1; trailing zero deltas are padding).
+// 0.28 B/code instead of the 0.375 of packed+mask: sentinels are sparse in
+// read data (one per read + rare Ns), and the batch-padding suffix is
+// reconstructed on device from the tail_start scalar.  Returns the number
+// of boundaries, or -1 when the encoding doesn't fit (more than max_b
+// sentinels, or a gap over 65535 — degenerate inputs fall back to the
+// masked format).
+int64_t pack_codes_boundaries(const uint8_t* codes, int64_t n,
+                              uint8_t* out, int64_t max_b,
+                              int64_t* tail_start_out) {
+    // a trailing run of sentinels (batch padding, or genuinely trailing
+    // separators — same semantics) is reconstructed on device from this
+    // scalar instead of being listed
+    int64_t tail_start = n;
+    while (tail_start > 0 && codes[tail_start - 1] >= 4) tail_start--;
+    *tail_start_out = tail_start;
+    for (int64_t i = 0; i < n; i += 8) {
+        uint8_t c0 = codes[i], c1 = codes[i + 1], c2 = codes[i + 2],
+                c3 = codes[i + 3], c4 = codes[i + 4], c5 = codes[i + 5],
+                c6 = codes[i + 6], c7 = codes[i + 7];
+        out[i >> 2] = (uint8_t)(((c0 & 3) << 6) | ((c1 & 3) << 4) |
+                                ((c2 & 3) << 2) | (c3 & 3));
+        out[(i >> 2) + 1] = (uint8_t)(((c4 & 3) << 6) | ((c5 & 3) << 4) |
+                                      ((c6 & 3) << 2) | (c7 & 3));
+    }
+    uint8_t* deltas = out + (n >> 2);
+    int64_t b = 0;
+    int64_t prev = -1;
+    for (int64_t i = 0; i < tail_start; ++i) {
+        if (codes[i] >= 4) {
+            int64_t gap = i - prev;
+            if (b >= max_b || gap > 65535) return -1;
+            deltas[2 * b] = (uint8_t)(gap & 0xFF);
+            deltas[2 * b + 1] = (uint8_t)(gap >> 8);
+            prev = i;
+            b++;
+        }
+    }
+    memset(deltas + 2 * b, 0, (size_t)(2 * (max_b - b)));
+    return b;
+}
+
 // ---------------------------------------------------------------------------
 // 2-bit pack/unpack helpers (used by format writers for big arrays).
 // rows: (n, kb*4) codes right-aligned -> (n, kb) big-endian packed bytes.

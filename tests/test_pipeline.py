@@ -235,3 +235,32 @@ def test_unique_set_exceeds_device_store_kff(tmp_path):
     assert len(kff.counts) == len(counts)
     assert int(kff.counts.sum()) == sum(counts.values())
     assert len(np.unique(kff.kmers, axis=0)) == len(counts)
+
+
+def test_boundary_feed_matches_masked(tmp_path):
+    """The boundary-delta ingest format produces a byte-identical DB to the
+    packed+mask format (exercised through the normal runner path, which
+    prefers boundaries; the comparison DB forces the masked path by making
+    every batch sentinel-dense... simpler: compare against the oracle with
+    reads containing Ns, multi-read batches, and heavy tail padding)."""
+    reads = random_reads(90, 55, seed=61, n_prob=0.04)  # short reads, Ns
+    run_and_compare(tmp_path, reads, 21, cutoff_min=1)
+
+
+def test_boundary_feed_dense_fallback(tmp_path):
+    """Sentinel-dense input (reads far shorter than the per-64-code delta
+    budget) must fall back to the masked feed format and stay exact."""
+    from kmc_tpu.io.native import pack_codes_boundaries
+
+    reads = random_reads(300, 20, seed=63, genome_len=500)  # 20bp reads
+    # sanity: such batches really do overflow the boundary budget
+    codes = np.concatenate(
+        [np.append(np.frombuffer(b"0123", np.uint8) % 4, 4)] * 300
+    ).astype(np.uint8)[: 1024]
+    assert pack_codes_boundaries(codes)[0] is None
+    inp = write_fastq(tmp_path / "in2.fastq", reads)
+    out = str(tmp_path / "out2")
+    count([inp], out, k=15, cutoff_min=1, batch_positions=1 << 12)
+    counts = oracle.count_kmers(reads, 15)
+    records, _ = oracle.apply_cutoffs(counts, 1, 10**9, 255)
+    assert dump_db_file(out) == oracle.dump_text(records)
