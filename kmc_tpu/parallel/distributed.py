@@ -20,7 +20,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.extract import INVALID_SIG, stage1_batch
 
 
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> None:
+    """Initialize jax.distributed for a multi-host run (DCN control plane;
+    the data plane stays on ICI collectives).  Call once per host process
+    before building the mesh; single-process runs may skip it.  Arguments
+    default to cluster auto-detection (TPU pod environments set them)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
+    """1-D device mesh over all (global, when jax.distributed is live)
+    devices; n_devices truncates for tests on virtual CPU meshes."""
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
