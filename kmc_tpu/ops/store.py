@@ -72,6 +72,14 @@ def prefix_bin_bits(k: int, sig_len: int, n_bins: int) -> tuple[int, bool]:
     return b, False
 
 
+def prefix_sig_map(sig_len: int, prefix_bits: int) -> np.ndarray:
+    """The "prefix" policy's signature->bin map as an explicit array
+    (int32[4^sig_len + 1], for the .kmc_pre footer / develop dumps)."""
+    msize = (1 << (2 * sig_len)) + 1
+    shift = 2 * sig_len - prefix_bits
+    return (np.arange(msize, dtype=np.int64) >> shift).astype(np.int32)
+
+
 def greedy_fuse(k: int, n_used_bins: int) -> bool:
     W = (k + 15) // 16
     r0 = k - 16 * (W - 1)
@@ -243,6 +251,10 @@ def _ingest_greedy_bounds(buf, tail_start, key_cols, n_used, occ_acc,
 def _append(key_cols, store_counts, n_used, in_cols, counts, occ_acc):
     """External append (checkpoint resume / spill replay); counts column
     must already exist.  Rows with count 0 are written dead."""
+    if len(in_cols) != len(key_cols):
+        raise ValueError(
+            f"appending {len(in_cols)} key columns into a "
+            f"{len(key_cols)}-column store (k/n_bins/fuse mismatch?)")
     dead = counts == 0
     out_cols = tuple(
         jax.lax.dynamic_update_slice(sc, jnp.where(dead, U32MAX, c), (n_used,))
@@ -711,6 +723,35 @@ class DeviceKmerStore:
             n_dead_bin=self.n_dead_bin,
         )
 
+    # feed format -> (prefix-policy kernel, greedy-policy kernel)
+    _INGEST_KERNELS = {
+        "packed": (_ingest_prefix, _ingest_greedy),
+        "fused": (_ingest_prefix_fused, _ingest_greedy_fused),
+        "bounds": (_ingest_prefix_bounds, _ingest_greedy_bounds),
+    }
+
+    def _ingest(self, feed: str, feed_args: tuple, s: int):
+        """Shared ingest bookkeeping: one dispatch of the (feed, policy)
+        kernel plus room management and the occurrence upper bound."""
+        self.total_appended_rows += s
+        self._occ_upper += s
+        self._make_room(s)
+        had_counts = self.counts is not None
+        kern = self._INGEST_KERNELS[feed][0 if self.map_mode == "prefix" else 1]
+        map_args = () if self.map_mode == "prefix" else (self._sig_map_dev,)
+        (self.key_cols, self.n_used, self.occ_acc, self.skm_acc,
+         self.prev_sig) = kern(
+            *feed_args, self.key_cols, self.n_used, self.occ_acc,
+            self.skm_acc, self.prev_sig, *map_args, **self._ing_statics(s))
+        if had_counts:
+            # rare: ingest after a compaction/resume materialized counts —
+            # pad the new raw rows with unit counts
+            ones = jnp.ones((s,), jnp.uint32)
+            start = self.n_used - s
+            self.counts = jax.lax.dynamic_update_slice(
+                self.counts, ones, (start,))
+        self._since_compact += s
+
     def ingest_packed(self, packed, mask, *, s: int, k: int | None = None,
                       sig_len: int | None = None,
                       both_strands: bool | None = None):
@@ -722,72 +763,17 @@ class DeviceKmerStore:
                                 ("both_strands", both_strands, self.both_strands)):
             if val is not None and val != mine:
                 raise ValueError(f"{name}={val} differs from store's {mine}")
-        self.total_appended_rows += s
-        self._occ_upper += s
-        self._make_room(s)
-        had_counts = self.counts is not None
-        if self.map_mode == "prefix":
-            (self.key_cols, self.n_used, self.occ_acc, self.skm_acc,
-             self.prev_sig) = _ingest_prefix(
-                packed, mask, self.key_cols, self.n_used, self.occ_acc,
-                self.skm_acc, self.prev_sig, **self._ing_statics(s))
-        else:
-            (self.key_cols, self.n_used, self.occ_acc, self.skm_acc,
-             self.prev_sig) = _ingest_greedy(
-                packed, mask, self.key_cols, self.n_used, self.occ_acc,
-                self.skm_acc, self.prev_sig, self._sig_map_dev,
-                **self._ing_statics(s))
-        self._after_ingest(had_counts, s)
-
-    def _after_ingest(self, had_counts: bool, s: int):
-        if had_counts:
-            # rare: ingest after a compaction/resume materialized counts —
-            # pad the new raw rows with unit counts
-            ones = jnp.ones((s,), jnp.uint32)
-            start = self.n_used - s
-            self.counts = jax.lax.dynamic_update_slice(self.counts, ones, (start,))
-        self._since_compact += s
-
-    def ingest_boundaries(self, buf, tail_start: int, *, s: int):
-        """ingest on the boundary-delta feed format (see
-        io/native.py::pack_codes_boundaries)."""
-        self.total_appended_rows += s
-        self._occ_upper += s
-        self._make_room(s)
-        had_counts = self.counts is not None
-        ts = jnp.int32(tail_start)
-        if self.map_mode == "prefix":
-            (self.key_cols, self.n_used, self.occ_acc, self.skm_acc,
-             self.prev_sig) = _ingest_prefix_bounds(
-                buf, ts, self.key_cols, self.n_used, self.occ_acc,
-                self.skm_acc, self.prev_sig, **self._ing_statics(s))
-        else:
-            (self.key_cols, self.n_used, self.occ_acc, self.skm_acc,
-             self.prev_sig) = _ingest_greedy_bounds(
-                buf, ts, self.key_cols, self.n_used, self.occ_acc,
-                self.skm_acc, self.prev_sig, self._sig_map_dev,
-                **self._ing_statics(s))
-        self._after_ingest(had_counts, s)
+        self._ingest("packed", (packed, mask), s)
 
     def ingest_fused(self, buf, *, s: int):
         """ingest_packed on one fused (packed ++ mask) buffer — a single
         H2D transfer per batch."""
-        self.total_appended_rows += s
-        self._occ_upper += s
-        self._make_room(s)
-        had_counts = self.counts is not None
-        if self.map_mode == "prefix":
-            (self.key_cols, self.n_used, self.occ_acc, self.skm_acc,
-             self.prev_sig) = _ingest_prefix_fused(
-                buf, self.key_cols, self.n_used, self.occ_acc,
-                self.skm_acc, self.prev_sig, **self._ing_statics(s))
-        else:
-            (self.key_cols, self.n_used, self.occ_acc, self.skm_acc,
-             self.prev_sig) = _ingest_greedy_fused(
-                buf, self.key_cols, self.n_used, self.occ_acc,
-                self.skm_acc, self.prev_sig, self._sig_map_dev,
-                **self._ing_statics(s))
-        self._after_ingest(had_counts, s)
+        self._ingest("fused", (buf,), s)
+
+    def ingest_boundaries(self, buf, tail_start: int, *, s: int):
+        """ingest on the boundary-delta feed format (see
+        io/native.py::pack_codes_boundaries)."""
+        self._ingest("bounds", (buf, jnp.int32(tail_start)), s)
 
     def append(self, cols, counts, count_occurrences: bool = True):
         """External append of merged (key columns, counts) rows."""
@@ -953,7 +939,11 @@ class DeviceKmerStore:
             n_used_bins=np.asarray(self.n_used_bins),
             prefix_bits=np.asarray(self.prefix_bits),
             map_mode=np.asarray(self.map_mode),
-            sig_map=(np.asarray(self._sig_map_dev)
+            # store the original -1-for-disallowed form: __init__ rewrites
+            # -1 to the dead bin, so round-tripping the rewritten map would
+            # inflate n_used_bins by one per save/load cycle
+            sig_map=(np.where(np.asarray(self._sig_map_dev) == self.n_used_bins,
+                              -1, np.asarray(self._sig_map_dev)).astype(np.int32)
                      if self._sig_map_dev is not None else np.zeros(0, np.int32)),
             spilled=np.asarray(len(self.spilled)),
         )
@@ -992,9 +982,7 @@ class DeviceKmerStore:
         .kmc_pre footer and the develop dumps)."""
         if self.map_mode == "greedy":
             return np.asarray(self._sig_map_dev)
-        msize = (1 << (2 * self.sig_len)) + 1
-        shift = 2 * self.sig_len - self.prefix_bits
-        return (np.arange(msize, dtype=np.int64) >> shift).astype(np.int32)
+        return prefix_sig_map(self.sig_len, self.prefix_bits)
 
     def finalize_records(
         self,

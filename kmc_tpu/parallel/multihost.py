@@ -45,7 +45,9 @@ from ..ops.store import (
     _group_reduce,
     _key_cols_from,
     _sig_to_bin,
+    _split_bins,
     prefix_bin_bits,
+    prefix_sig_map,
 )
 from .distributed import make_mesh
 
@@ -144,12 +146,7 @@ def _finalize_shard(cols, n_used, *, cutoff_min, cutoff_max, k, n_bins, fuse,
     # exchange pads with all-ones keys
     weights = (rc_cols[0] != U32MAX).astype(jnp.uint32)
     keys_r, _, totals, n_groups = _group_reduce(rc_cols, [], weights)
-    if fuse:
-        bins_r = keys_r[0] >> (2 * r0)
-        wr = [keys_r[0] & jnp.uint32((1 << (2 * r0)) - 1)] + list(keys_r[1:])
-    else:
-        bins_r = keys_r[0]
-        wr = list(keys_r[1:])
+    bins_r, wr = _split_bins(keys_r, fuse=fuse, r0=r0)
     gidx = jnp.arange(P_, dtype=jnp.int32)
     group_valid = (gidx < n_groups) & (totals > 0) & (bins_r < jnp.uint32(n_bins))
     n_unique = jnp.sum(group_valid.astype(jnp.int32))
@@ -204,9 +201,7 @@ class ShardedKmerStore:
         self._rows_per_device = 0
 
     def host_sig_map(self) -> np.ndarray:
-        msize = (1 << (2 * self.sig_len)) + 1
-        shift = 2 * self.sig_len - self.prefix_bits
-        return (np.arange(msize, dtype=np.int64) >> shift).astype(np.int32)
+        return prefix_sig_map(self.sig_len, self.prefix_bits)
 
     def make_ingest(self, *, s):
         body = functools.partial(
@@ -336,6 +331,14 @@ def distributed_count(
     from ..runner import words_to_kmer_bytes
 
     mesh = mesh or make_mesh()
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "distributed_count is a single-controller driver: it addresses "
+            "every device shard and writes the DB from one process.  On a "
+            "multi-host pod, run one controller process (or shard inputs "
+            "per host with a host-local mesh and merge the per-host DBs "
+            "with kmc_tools union) — see docs/SCALING.md."
+        )
     D = mesh.devices.size
     s = batch_positions
 

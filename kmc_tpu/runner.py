@@ -426,25 +426,30 @@ class Runner:
 
         th = threading.Thread(target=worker, name="kmc-ingest", daemon=True)
         th.start()
-        for batch in bs.batches(gen()):
-            # boundary-delta feed (0.28 B/code) when sentinels are sparse;
-            # packed+mask (0.375 B/code) for degenerate batches
-            buf, ts = pack_codes_boundaries(batch)
-            item = ("b", buf, ts) if buf is not None else (
-                "m", pack_codes_fused(batch))
-            t_now = time.perf_counter()
-            t_host += t_now - t_prev
-            if errors:
-                break
-            q.put(item)
-            if ppo is not None and total_bytes and state_ref is not None:
-                ppo.set_progress(
-                    min(99, state_ref.consumed_bytes * 100 // total_bytes)
-                )
-            t_prev = time.perf_counter()
-            t_queue += t_prev - t_now
-        q.put(None)
-        th.join()
+        try:
+            for batch in bs.batches(gen()):
+                # boundary-delta feed (0.28 B/code) when sentinels are
+                # sparse; packed+mask (0.375 B/code) for degenerate batches
+                buf, ts = pack_codes_boundaries(batch)
+                item = ("b", buf, ts) if buf is not None else (
+                    "m", pack_codes_fused(batch))
+                t_now = time.perf_counter()
+                t_host += t_now - t_prev
+                if errors:
+                    break
+                q.put(item)
+                if ppo is not None and total_bytes and state_ref is not None:
+                    ppo.set_progress(
+                        min(99, state_ref.consumed_bytes * 100 // total_bytes)
+                    )
+                t_prev = time.perf_counter()
+                t_queue += t_prev - t_now
+        finally:
+            # always deliver the sentinel: a producer-side parse error must
+            # not leave the worker (and the HBM store it closes over)
+            # blocked on the queue forever
+            q.put(None)
+            th.join()
         if errors:
             raise errors[0]
         if ppo is not None:

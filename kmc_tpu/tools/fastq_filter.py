@@ -42,10 +42,12 @@ def filter_fastq(
     min_fraction: float | None = None,  # deprecated aliases
     max_fraction: float | None = None,
 ):
+    # deprecated aliases kept the old rule: values <= 1.0 are fractions,
+    # larger values are absolute counts
     if min_fraction is not None:
-        min_kmers = float(min_fraction)
+        min_kmers = float(min_fraction) if min_fraction <= 1.0 else int(min_fraction)
     if max_fraction is not None:
-        max_kmers = float(max_fraction)
+        max_kmers = float(max_fraction) if max_fraction <= 1.0 else int(max_fraction)
     db = KMCFile()
     if not db.OpenForRA(db_path):
         raise FileNotFoundError(f"cannot open database {db_path}")

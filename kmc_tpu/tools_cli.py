@@ -181,7 +181,9 @@ def cmd_filter(args) -> int:
     fcx: int | float = 10**9
 
     def _num(s):
-        return float(s) if "." in s else int(s)
+        # a decimal point marks a fraction (reference syntax rule); plain
+        # and scientific-notation integers (2, 1e9) are absolute counts
+        return float(s) if "." in s else int(float(s))
 
     rest = []
     for a in args[2:]:
