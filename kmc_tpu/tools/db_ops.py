@@ -304,18 +304,21 @@ def db_info_text(db_path: str) -> str:
             f"both strands      : {'yes' if kf.canonical else 'no'}\n"
             f"database format   : KFF\n"
         )
+    # byte-for-byte the reference's layout (kmc_tools.cpp:139-151) so
+    # scripts parsing `kmc_tools info` keep working
     info = read_db(db_path).info
     lines = [
-        f"k                 : {info.kmer_len}",
-        f"total k-mers      : {info.n_unique_stored}",
-        f"cutoff max        : {info.cutoff_max}",
-        f"cutoff min        : {info.cutoff_min}",
-        f"counter size      : {info.counter_size} bytes",
-        f"mode              : {'quality-aware counters' if info.mode else 'normal'}",
-        f"both strands      : {'yes' if info.both_strands else 'no'}",
-        f"database format   : {'KMC2' if info.version == 0x200 else 'KMC1'}",
-        f"signature length  : {info.signature_len}",
-        f"number of bins    : {info.n_bins}",
-        f"lut prefix length : {info.lut_prefix_len}",
+        f"k                 :  {info.kmer_len}",
+        f"total k-mers      :  {info.n_unique_stored}",
+        f"cutoff max        :  {info.cutoff_max}",
+        f"cutoff min        :  {info.cutoff_min}",
+        f"counter size      :  {info.counter_size} bytes",
+        "mode              :  "
+        + ("quality-aware counters" if info.mode else "occurrence counters"),
+        f"both strands      :  {'yes' if info.both_strands else 'no'}",
+        f"database format   :  {'KMC2.x' if info.version == 0x200 else 'KMC1.x'}",
+        f"signature length  :  {info.signature_len}",
+        f"number of bins    :  {info.n_bins}",
+        f"lut_prefix_len    :  {info.lut_prefix_len}",
     ]
     return "\n".join(lines) + "\n"

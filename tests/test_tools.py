@@ -162,7 +162,7 @@ def test_tools_cli(two_dbs, tmp_path, capsys):
     db1, db2, c1, c2 = two_dbs
     assert tools_cli.main(["info", db1]) == 0
     captured = capsys.readouterr()
-    assert "k                 : 21" in captured.out
+    assert "k                 :  21" in captured.out  # reference spacing
     # check a known k-mer
     km = next(iter(c1))
     assert tools_cli.main(["check", db1, km]) == 0

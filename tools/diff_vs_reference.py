@@ -118,6 +118,45 @@ def tpu_dump(inp, k, ci, cs, fmt, workdir) -> str:
     return dump_db_file(db)
 
 
+def sweep_main():
+    """--sweep: byte-compare dumps for a wide k matrix (k=1..256 sampled at
+    every lane-width boundary) on the CPU backend — fast compiles, identical
+    XLA semantics; the reference's own self-hosted CI runs k=1..256
+    (prepare_small_fastq_tests.py:66-67)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from tools.measure_reference import build_reference
+
+    workdir = Path(tempfile.mkdtemp(prefix="kmc_sweep_"))
+    kmc = build_reference(Path(tempfile.gettempdir()))
+    kmc_tools = kmc.parent / "kmc_tools"
+    fq = workdir / "reads.fastq"
+    make_input(fq, fmt="fastq", seed=4, n_reads=600, read_len=300)
+
+    ks = sorted(set(
+        list(range(1, 18)) + [24, 25, 31, 32, 33, 47, 48, 49, 63, 64, 65,
+                              95, 96, 97, 127, 128, 129, 160, 191, 192, 193,
+                              224, 255, 256]
+    ))
+    failures = 0
+    for k in ks:
+        want = ref_dump(kmc, kmc_tools, fq, k, 1, 255, "fastq", workdir)
+        got = tpu_dump(fq, k, 1, 255, "fastq", workdir)
+        ok = want == got
+        if not ok:
+            failures += 1
+            print(f"k={k:3d}: MISMATCH")
+            for a, b in zip(want.splitlines(), got.splitlines()):
+                if a != b:
+                    print(f"  first diff: ref={a!r} tpu={b!r}")
+                    break
+        else:
+            print(f"k={k:3d}: MATCH ({want.count(chr(10))} kmers)", flush=True)
+    print(f"sweep: {len(ks) - failures}/{len(ks)} MATCH")
+    sys.exit(1 if failures else 0)
+
+
 def main():
     from tools.measure_reference import build_reference
 
@@ -187,4 +226,6 @@ def main():
 
 
 if __name__ == "__main__":
+    if "--sweep" in sys.argv:
+        sweep_main()
     main()
