@@ -56,6 +56,51 @@ class KmerAPI:
         """In-place reverse complement (kmer_api.h reverse())."""
         self.codes = (3 - self.codes)[::-1]
 
+    def to_long(self) -> list[int]:
+        """The k-mer as left-aligned uint64 words (kmer_api.h to_long:
+        first base in the TOP bits of word 0, zero-padded at the right)."""
+        n_words = (self.kmer_len + 31) // 32
+        padded = np.concatenate(
+            [self.codes.astype(np.uint64),
+             np.zeros(n_words * 32 - self.kmer_len, np.uint64)]
+        )
+        out = []
+        for w in range(n_words):
+            v = np.uint64(0)
+            for c in padded[w * 32 : (w + 1) * 32]:
+                v = (v << np.uint64(2)) | np.uint64(c)
+            out.append(int(v))
+        return out
+
+    def get_signature(self, sig_len: int) -> int:
+        """The k-mer's minimizer signature (kmer_api.h get_signature;
+        used by CheckKmer-style bin routing)."""
+        sig = kmer_signatures_numpy(self.codes, self.kmer_len, sig_len)
+        return int(sig[0])
+
+    def get_asci_symbol(self, pos: int) -> str:
+        return "ACGT"[int(self.codes[pos])]
+
+    def get_num_symbol(self, pos: int) -> int:
+        return int(self.codes[pos])
+
+    def assign(self, other: "KmerAPI"):
+        self.kmer_len = other.kmer_len
+        self.codes = other.codes.copy()
+
+    def __eq__(self, other):
+        return (isinstance(other, KmerAPI)
+                and self.kmer_len == other.kmer_len
+                and bool(np.array_equal(self.codes, other.codes)))
+
+    def __lt__(self, other):
+        a, b = self.codes.tobytes(), other.codes.tobytes()
+        return a < b if self.kmer_len == other.kmer_len else \
+            self.kmer_len < other.kmer_len
+
+    def __hash__(self):
+        return hash((self.kmer_len, self.codes.tobytes()))
+
     def __str__(self):
         return self.to_string()
 
@@ -140,9 +185,24 @@ class KMCFile:
     def GetMaxCount(self) -> int:
         return self._max_count
 
+    def GetBothStrands(self) -> bool:
+        return bool(self._db.info.both_strands)
+
+    def ResetMinMaxCounts(self) -> bool:
+        """Back to the database's own cutoff bounds (kmc_file.h)."""
+        self._min_count = self._db.info.cutoff_min
+        self._max_count = self._db.info.cutoff_max
+        return True
+
+    def IsKMC2(self) -> bool:
+        return self._db.info.version == 0x200
+
     def RestartListing(self) -> bool:
         self._pos = 0
         return True
+
+    def Eof(self) -> bool:
+        return self._pos >= len(self._kmers)
 
     # -- listing -----------------------------------------------------------
     def ReadNextKmer(self, kmer: KmerAPI):

@@ -6,7 +6,8 @@ out-params; scripts written against it (`import py_kmc_api as pka`) work
 unchanged against kmc_tpu.  Out-params are optional here — without them the
 methods return values directly (the kmc_tpu.api style).
 """
-from kmc_tpu.api import KMCFileInfo, KmerAPI  # noqa: F401
+from kmc_tpu.api import KMCFileInfo  # noqa: F401
+from kmc_tpu.api import KmerAPI as _KmerAPI
 from kmc_tpu.api import KMCFile as _KMCFile
 
 
@@ -31,6 +32,18 @@ class CountVec:
 class LongKmerRepresentation:
     def __init__(self):
         self.value = []
+
+
+class KmerAPI(_KmerAPI):
+    """py_kmc_api-compatible k-mer object: out-param to_long variant
+    (py_kmc_api.cpp:65)."""
+
+    def to_long(self, res: LongKmerRepresentation | None = None):
+        words = super().to_long()
+        if res is not None:
+            res.value = words
+            return None
+        return words
 
 
 class KMCFile(_KMCFile):

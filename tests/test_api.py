@@ -155,3 +155,57 @@ def test_reference_py_kmc_dump_script_runs_on_shim(tmp_path):
     got2 = sorted(out2.read_text().splitlines())
     expect2 = sorted(f"{km}\t{c}" for km, c in counts.items() if c >= 2)
     assert got2 == expect2
+
+
+def test_api_full_pybind_surface(tmp_path):
+    """Every method the reference pybind module exposes exists and behaves
+    (py_kmc_api.cpp:27-98): Eof / GetBothStrands / ResetMinMaxCounts /
+    IsKMC2 on KMCFile; to_long / get_signature / symbols / compare on
+    KmerAPI."""
+    reads = random_reads(20, 60, seed=80)
+    inp = write_fastq(tmp_path / "in.fastq", reads)
+    db = str(tmp_path / "db")
+    count([inp], db, k=21, cutoff_min=1, batch_positions=1 << 12)
+
+    f = KMCFile()
+    assert f.OpenForListing(db)
+    assert f.GetBothStrands() is True
+    assert f.IsKMC2() is True
+    assert not f.Eof()
+    f.SetMinCount(5)
+    assert f.GetMinCount() == 5
+    f.ResetMinMaxCounts()
+    assert f.GetMinCount() == 1
+    n = 0
+    km = KmerAPI(21)
+    while f.ReadNextKmer(km)[0]:
+        n += 1
+    assert f.Eof()
+    assert n == f.KmerCount()
+
+    ka = KmerAPI(8)
+    assert ka.from_string("ACGTACGT")
+    assert ka.get_asci_symbol(1) == "C" and ka.get_num_symbol(3) == 3
+    # to_long: left-aligned 2-bit packing (kmer_api.h to_long)
+    (w,) = ka.to_long()
+    assert w == (0b0001101100011011 << 48)
+    kb = KmerAPI(8)
+    kb.assign(ka)
+    assert kb == ka and not (kb < ka)
+    kb.reverse()
+    assert kb.to_string() == "ACGTACGT"  # palindromic k-mer
+    # signature of the canonical k-mer matches the signatures module
+    from kmc_tpu.signatures import kmer_signatures_numpy
+
+    sig = ka.get_signature(5)
+    assert sig == int(kmer_signatures_numpy(ka.codes, 8, 5)[0])
+
+
+def test_py_kmc_api_shim_to_long():
+    import py_kmc_api as pka
+
+    ka = pka.KmerAPI(4)
+    assert ka.from_string("ACGT")
+    res = pka.LongKmerRepresentation()
+    ka.to_long(res)
+    assert res.value == [0b00011011 << 56]
