@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .formats.kmc_db import KmcDb, kmers_bytes_to_strings, read_db, sorted_records
+from .formats.kmc_db import KmcDb, read_db, sorted_records
 from .io.readers import CODE_LUT
 from .signatures import kmer_signatures_numpy
 

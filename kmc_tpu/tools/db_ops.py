@@ -14,7 +14,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..defs import calc_counter_size
-from ..formats.kmc_db import DbInfo, KmcDb, read_db, sorted_records, write_kmc1_db
+from ..formats.kmc_db import DbInfo, read_db, sorted_records, write_kmc1_db
 
 
 def load_sorted(path_prefix: str):

@@ -5,10 +5,8 @@ Modes: transform, simple, complex, compare, info, check, filter.
 """
 from __future__ import annotations
 
-import re
 import sys
 
-import numpy as np
 
 from .tools import db_ops
 from .tools.db_ops import OutputParams
