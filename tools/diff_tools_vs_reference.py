@@ -109,8 +109,10 @@ def main():
 
     simple_cases = [
         ("union", None), ("intersect", None), ("kmers_subtract", None),
-        ("counters_subtract", None), ("union", "min"), ("intersect", "max"),
-        ("intersect", "sum"), ("union", "diff"),
+        ("counters_subtract", None), ("reverse_kmers_subtract", None),
+        ("reverse_counters_subtract", None), ("union", "min"),
+        ("intersect", "max"), ("intersect", "sum"), ("union", "diff"),
+        ("intersect", "left"), ("intersect", "right"),
     ]
     for op, mode in simple_cases:
         tag = f"simple {op}" + (f" -oc{mode}" if mode else "")
@@ -136,6 +138,13 @@ def main():
     run([kmc_tools, "transform", ref1, "set_counts", "7", rout])
     assert tpu_tools(["transform", tpu1, "set_counts", "7", tout]) == 0
     check("transform set_counts 7", ref_dump(kmc_tools, rout, workdir),
+          tpu_dump(tout, workdir))
+
+    # transform compact (drop counters -> all 1s)
+    rout, tout = workdir / "ref_cp", workdir / "tpu_cp"
+    run([kmc_tools, "transform", ref1, "compact", rout])
+    assert tpu_tools(["transform", tpu1, "compact", tout]) == 0
+    check("transform compact", ref_dump(kmc_tools, rout, workdir),
           tpu_dump(tout, workdir))
 
     # transform histogram (text output)
