@@ -310,7 +310,12 @@ int64_t parse_bam(const uint8_t* buf, int64_t n, uint8_t* out,
         } else {  // phase 5: records
             if (n - i < 4) break;
             int64_t block_size = rd_i32(buf + i);
-            if (block_size < 32) { *consumed = i; return -1; }
+            // sanity cap: a corrupt length would otherwise make the caller
+            // accumulate carry bytes forever waiting for the "record"
+            if (block_size < 32 || block_size > (1 << 28)) {
+                *consumed = i;
+                return -1;
+            }
             if (n - i < 4 + block_size) break;
             const uint8_t* rec = buf + i + 4;
             int64_t l_read_name = rec[8];

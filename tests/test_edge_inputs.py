@@ -123,3 +123,18 @@ def test_fuzz_random_degenerate_fastq(tmp_path):
     expect, stats = _expect(reads, 17)
     assert dump_db_file(out) == expect
     assert res2.n_total_kmers == stats["n_total"]
+
+
+def test_malformed_bam_raises(tmp_path):
+    """A corrupt BAM block length must raise, not hang or eat memory."""
+    import gzip
+    import struct
+
+    body = (b"BAM\x01" + struct.pack("<i", 0) + struct.pack("<i", 0)
+            + struct.pack("<i", 1 << 30))  # absurd block_size
+    bam = tmp_path / "bad.bam"
+    bam.write_bytes(gzip.compress(body))
+    from kmc_tpu.io.bam import bam_code_chunks
+
+    with pytest.raises(ValueError):
+        list(bam_code_chunks(str(bam)))
