@@ -57,20 +57,16 @@ class KmerAPI:
         self.codes = (3 - self.codes)[::-1]
 
     def to_long(self) -> list[int]:
-        """The k-mer as left-aligned uint64 words (kmer_api.h to_long:
-        first base in the TOP bits of word 0, zero-padded at the right)."""
+        """The k-mer as its right-aligned 2k-bit big integer in MSW-first
+        uint64 words (kmer_api.h:452-470: the left-aligned internal rows are
+        shifted down so the last base lands in the LSB of the last word) —
+        e.g. 'ACGT' -> [0b00011011] == [27]."""
         n_words = (self.kmer_len + 31) // 32
-        padded = np.concatenate(
-            [self.codes.astype(np.uint64),
-             np.zeros(n_words * 32 - self.kmer_len, np.uint64)]
-        )
-        out = []
-        for w in range(n_words):
-            v = np.uint64(0)
-            for c in padded[w * 32 : (w + 1) * 32]:
-                v = (v << np.uint64(2)) | np.uint64(c)
-            out.append(int(v))
-        return out
+        value = 0
+        for c in self.codes:
+            value = (value << 2) | int(c)
+        return [(value >> (64 * (n_words - 1 - i))) & ((1 << 64) - 1)
+                for i in range(n_words)]
 
     def get_signature(self, sig_len: int) -> int:
         """The k-mer's minimizer signature (kmer_api.h get_signature;
@@ -94,9 +90,11 @@ class KmerAPI:
                 and bool(np.array_equal(self.codes, other.codes)))
 
     def __lt__(self, other):
-        a, b = self.codes.tobytes(), other.codes.tobytes()
-        return a < b if self.kmer_len == other.kmer_len else \
-            self.kmer_len < other.kmer_len
+        # reference operator< (kmer_api.h:374-386): k-mers of different
+        # lengths are incomparable (always False), not length-ordered
+        if self.kmer_len != other.kmer_len:
+            return False
+        return self.codes.tobytes() < other.codes.tobytes()
 
     def __hash__(self):
         return hash((self.kmer_len, self.codes.tobytes()))

@@ -92,7 +92,13 @@ def _bam_code_chunks_py(path: str, both_strands: bool = True,
     buf = []
     n_reads = 0
     while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError("malformed BAM stream (truncated record length)")
         (block_size,) = struct.unpack_from("<i", data, pos)
+        # same sanity cap as the native parser (native/kmc_host.cpp)
+        if block_size < 32 or block_size > (1 << 28) \
+                or pos + 4 + block_size > len(data):
+            raise ValueError("malformed BAM stream (bad block size)")
         pos += 4
         rec_end = pos + block_size
         bin_mq_nl, flag_nc, l_seq = struct.unpack_from("<III", data, pos + 8)

@@ -186,12 +186,14 @@ def test_api_full_pybind_surface(tmp_path):
     ka = KmerAPI(8)
     assert ka.from_string("ACGTACGT")
     assert ka.get_asci_symbol(1) == "C" and ka.get_num_symbol(3) == 3
-    # to_long: left-aligned 2-bit packing (kmer_api.h to_long)
+    # to_long: the right-aligned big-integer value (kmer_api.h:452-470)
     (w,) = ka.to_long()
-    assert w == (0b0001101100011011 << 48)
+    assert w == 0b0001101100011011  # ACGTACGT == 0x1B1B
     kb = KmerAPI(8)
     kb.assign(ka)
     assert kb == ka and not (kb < ka)
+    # different lengths are incomparable, like the reference operator<
+    assert not (KmerAPI(4) < ka) and not (ka < KmerAPI(4))
     kb.reverse()
     assert kb.to_string() == "ACGTACGT"  # palindromic k-mer
     # signature of the canonical k-mer matches the signatures module
@@ -208,4 +210,4 @@ def test_py_kmc_api_shim_to_long():
     assert ka.from_string("ACGT")
     res = pka.LongKmerRepresentation()
     ka.to_long(res)
-    assert res.value == [0b00011011 << 56]
+    assert res.value == [0b00011011]  # ACGT == 27, right-aligned

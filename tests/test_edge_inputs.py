@@ -134,7 +134,10 @@ def test_malformed_bam_raises(tmp_path):
             + struct.pack("<i", 1 << 30))  # absurd block_size
     bam = tmp_path / "bad.bam"
     bam.write_bytes(gzip.compress(body))
-    from kmc_tpu.io.bam import bam_code_chunks
+    from kmc_tpu.io.bam import _bam_code_chunks_py, bam_code_chunks
 
     with pytest.raises(ValueError):
         list(bam_code_chunks(str(bam)))
+    # the pure-NumPy fallback must reject it identically (no-native installs)
+    with pytest.raises(ValueError):
+        list(_bam_code_chunks_py(str(bam)))
