@@ -7,6 +7,7 @@ readers.py, so the package works even without a toolchain.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -33,8 +34,22 @@ def _build(src: Path, out: Path) -> bool:
         return False
 
 
+def _cache_dir() -> Path:
+    d = os.environ.get("KMC_TPU_NATIVE_CACHE")
+    if d:
+        return Path(d)
+    base = os.environ.get("XDG_CACHE_HOME") or str(Path.home() / ".cache")
+    return Path(base) / "kmc_tpu" / "native"
+
+
 def get_lib():
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building if needed) the native library; None if unavailable.
+
+    The build cache is keyed on a content hash of the source (git does not
+    preserve mtimes, so an mtime check would let a stale — or foreign-
+    microarch, since we build -march=native — binary mask source changes)
+    and lives in a user cache dir so read-only installs work.
+    """
     global _lib, _lib_tried
     if _lib is not None or _lib_tried:
         return _lib
@@ -44,8 +59,13 @@ def get_lib():
         _lib_tried = True
         if not _SRC.exists():
             return None
-        so = _SRC.parent / "libkmc_host.so"
-        if not so.exists() or so.stat().st_mtime < _SRC.stat().st_mtime:
+        digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+        so = _cache_dir() / f"libkmc_host-{digest}.so"
+        if not so.exists():
+            try:
+                so.parent.mkdir(parents=True, exist_ok=True)
+            except OSError:
+                return None
             tmp = so.with_suffix(".so.tmp%d" % os.getpid())
             if not _build(_SRC, tmp):
                 return None

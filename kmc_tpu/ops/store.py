@@ -828,7 +828,7 @@ class DeviceKmerStore:
             (tuple(np.asarray(c[:n]) for c in self.key_cols),
              np.asarray(self.counts[:n]))
         )
-        self._alloc(self.capacity, with_counts=True)
+        self._alloc(self.capacity + self._slack, with_counts=True)
         self.n_used = jnp.int32(0)
         self._base = 0
         self._since_compact = 0

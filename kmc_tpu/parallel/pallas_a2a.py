@@ -30,74 +30,94 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _a2a_kernel(x_ref, out_ref, send_sem, recv_sem, *, axis: str, n_dev: int):
+def _a2a_kernel(x_ref, out_ref, send_sem, recv_sem, local_sem, *, axis: str,
+                n_dev: int):
     """One-shot all-to-all: device d pushes segment j straight into peer
     j's receive slot d; every transfer is independent and rides ICI
-    concurrently."""
+    concurrently.
+
+    Semaphore slots: the sender at offset `step` (peer me+step) signals the
+    receiver's recv_sem[step-1]; since the receiver's sender at offset step
+    is me-step and each (receiver, slot) pair has exactly one incoming
+    transfer, waiting on every slot drains every receive."""
     me = jax.lax.axis_index(axis)
 
-    # local segment: plain VMEM copy
-    out_ref[me] = x_ref[me]
+    # local segment: async copy (refs live in ANY/HBM space)
+    local = pltpu.make_async_copy(x_ref.at[me], out_ref.at[me], local_sem)
+    local.start()
 
     # global barrier: everyone's buffers must exist before remote writes
     barrier = pltpu.get_barrier_semaphore()
     for p in range(n_dev):
         pltpu.semaphore_signal(
-            barrier, inc=1, device_id=(jnp.int32(p),),
+            barrier, inc=1, device_id=jnp.int32(p),
             device_id_type=pltpu.DeviceIdType.LOGICAL,
         )
     pltpu.semaphore_wait(barrier, n_dev)
 
     # push each remote segment to its owner
+    def _vary(c):
+        # constants must carry the same varying-manual-axes set as me
+        try:
+            return jax.lax.pvary(jnp.int32(c), (axis,))
+        except Exception:
+            return jnp.int32(c)
+
+    rdmas = []
     for step in range(1, n_dev):
-        dst = jax.lax.rem(me + step, n_dev)
+        dst = jax.lax.rem(me + _vary(step), _vary(n_dev))
         rdma = pltpu.make_async_remote_copy(
             src_ref=x_ref.at[dst],
             dst_ref=out_ref.at[me],
             send_sem=send_sem.at[step - 1],
             recv_sem=recv_sem.at[step - 1],
-            device_id=(dst,),
+            device_id=dst,
             device_id_type=pltpu.DeviceIdType.LOGICAL,
         )
         rdma.start()
-    for step in range(1, n_dev):
-        src = jax.lax.rem(me - step + n_dev, n_dev)
-        rdma_wait = pltpu.make_async_remote_copy(
-            src_ref=x_ref.at[jax.lax.rem(me + step, n_dev)],
-            dst_ref=out_ref.at[me],
-            send_sem=send_sem.at[step - 1],
-            recv_sem=recv_sem.at[step - 1],
-            device_id=(jax.lax.rem(me + step, n_dev),),
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
-        )
-        rdma_wait.wait()
+        rdmas.append(rdma)
+    local.wait()
+    for rdma in rdmas:
+        rdma.wait()
 
 
-def pallas_all_to_all(x: jax.Array, *, axis: str, transport: str = "auto"):
+def pallas_all_to_all(x: jax.Array, *, axis: str, transport: str = "auto",
+                      interpret=False):
     """All-to-all of fixed-capacity segments inside shard_map.
 
     transport: "pallas" (remote-DMA kernel), "xla" (lax.all_to_all), or
-    "auto" (pallas on real TPU backends with >1 device, else xla)."""
+    "auto" (pallas on TPU with >1 device, else xla — the pltpu remote-copy
+    primitives only lower on the TPU backend).  interpret: passed through
+    to pallas_call; pltpu.InterpretParams() simulates the inter-chip DMAs
+    on CPU (how tests/test_pallas_a2a.py exercises this kernel)."""
     n_dev = jax.lax.axis_size(axis)
     if transport == "auto":
         transport = (
             "pallas"
-            if jax.default_backend() not in ("cpu",) and n_dev > 1
+            if jax.default_backend() == "tpu" and n_dev > 1
             else "xla"
         )
     if transport == "xla" or n_dev == 1:
         return jax.lax.all_to_all(x, axis, 0, 0, tiled=True)
 
+    try:
+        vma = jax.typeof(x).vma
+    except AttributeError:  # older jax: no vma tracking
+        vma = None
+    out_shape = (jax.ShapeDtypeStruct(x.shape, x.dtype, vma=vma)
+                 if vma is not None else jax.ShapeDtypeStruct(x.shape, x.dtype))
     return pl.pallas_call(
         functools.partial(_a2a_kernel, axis=axis, n_dev=n_dev),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.SemaphoreType.DMA((n_dev - 1,)),
             pltpu.SemaphoreType.DMA((n_dev - 1,)),
+            pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, collective_id=7
         ),
+        interpret=interpret,
     )(x)

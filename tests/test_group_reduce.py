@@ -74,3 +74,33 @@ def test_group_reduce_wide_payloads():
     # each group's payload is one of its members' payloads
     got_pay = np.asarray(pays_r[0][:n]).tolist()
     assert got_pay[0] in (10, 11) and got_pay[1] in (50, 51) and got_pay[2] == 90
+
+
+def test_spill_realloc_includes_slack_region(monkeypatch):
+    """Regression (ADVICE round 1): spill() must reallocate capacity+slack
+    rows.  With KMC_TPU_STORE_SLACK_DIV set, a post-spill deferred
+    compaction keeps appending into the slack region [capacity,
+    capacity+slack); a short allocation makes dynamic_update_slice clamp
+    those appends over the store's tail rows — silent count corruption."""
+    monkeypatch.setenv("KMC_TPU_STORE_SLACK_DIV", "2")
+    from kmc_tpu.ops.store import DeviceKmerStore
+
+    st = DeviceKmerStore(64, k=21, sig_len=7, both_strands=True, n_bins=64,
+                         initial_rows=64)
+    assert st._slack == 32
+
+    def put(lo, n):
+        keys = np.arange(lo, lo + n, dtype=np.uint32)
+        st.append((keys, keys), np.ones(n, np.uint32))
+
+    put(0, 48)
+    st.spill()  # buggy spill() reallocates only 64 rows, not 96
+    put(1000, 64)   # fill to capacity
+    put(2000, 16)   # grow fails -> compact -> append lands in slack rows
+    st.compact(blocking=True)
+    runs = st._host_runs()
+    # each compacted run may carry a trailing dead (U32MAX, count 0) row
+    total = sum(int(c[c > 0].sum()) for _, c in runs)
+    uniq = sum(int((c > 0).sum()) for _, c in runs)
+    assert total == 48 + 64 + 16
+    assert uniq == 48 + 64 + 16

@@ -219,6 +219,24 @@ def test_unique_set_exceeds_device_store(tmp_path):
     assert res2.n_total_kmers == stats["n_total"]
 
 
+def test_spill_with_slack_region(tmp_path, monkeypatch):
+    """Regression (ADVICE round 1): spill() must reallocate capacity+slack
+    rows — with KMC_TPU_STORE_SLACK_DIV set, deferred-compaction appends
+    after a spill target the slack region, and a short allocation would
+    make dynamic_update_slice clamp them over the store's tail rows
+    (silent count corruption)."""
+    monkeypatch.setenv("KMC_TPU_STORE_SLACK_DIV", "4")
+    reads = random_reads(120, 100, seed=43, genome_len=6000)
+    inp = write_fastq(tmp_path / "in.fastq", reads)
+    out = str(tmp_path / "out")
+    _, res2 = count([inp], out, k=21, cutoff_min=1, batch_positions=512,
+                    device_store_rows=2048)
+    counts = oracle.count_kmers(reads, 21)
+    records, stats = oracle.apply_cutoffs(counts, 1, 10**9, 255)
+    assert dump_db_file(out) == oracle.dump_text(records)
+    assert res2.n_unique_kmers == stats["n_unique"]
+
+
 def test_unique_set_exceeds_device_store_kff(tmp_path):
     """Same overflow through the words-path finalize (KFF output)."""
     from kmc_tpu.formats.kff import read_kff
