@@ -1,4 +1,4 @@
-"""Multi-chip counting pipeline over a jax.sharding.Mesh.
+"""Multi-chip / multi-host counting pipeline over a jax.sharding.Mesh.
 
 The single-chip design (ops/store.py) scaled out: every device ingests its
 own input shard into its own row-partition of the HBM store, and at finalize
@@ -11,10 +11,12 @@ the owners' per-bin runs.
 
 Rows use the binned-store layout (ops/store.py): (bin | k-mer) fused uint32
 key columns, bin = prefix-of-signature (one shift, no table — see the
-ops/store.py docstring for why any signature-consistent map is valid), and
-NO counts column — every ingested row weighs 1 and a received row's weight
-is simply its liveness, so the ICI exchange moves exactly the key columns
-(8 B/row for k<=27) and nothing else.
+ops/store.py docstring for why any signature-consistent map is valid).  A
+counts column does not exist until the first mid-run compaction
+materializes it: before that every ingested row weighs 1 and a received
+row's weight is its liveness, so the ICI exchange moves exactly the key
+columns (8 B/row for k<=27); after a compaction the counts ride along as
+one more uint32 column and are the row weights.
 
 Stages (all shard_map'd over one 'd' mesh axis):
   ingest   codes batches uint8[D, L] -> per-device key-column rows appended
@@ -22,12 +24,24 @@ Stages (all shard_map'd over one 'd' mesh axis):
            super-k-mer stats via a ppermute carry of the previous batch's
            final signature (batches are dealt round-robin, so device d's
            stream predecessor is device d-1's batch of the same group)
+  compact  per-device group-reduce when the partition fills (the sharded
+           analogue of DeviceKmerStore.compact); if the unique set still
+           exceeds the partition, the compacted run spills to host RAM
+           (the strict-memory analogue, kmc.h:1611-1692)
   finalize per device: owner = bin % D, sort rows by owner into
-           fixed-capacity segments, all_to_all, then _group_reduce by
-           (bin, k-mer) and cutoff stats
+           fixed-capacity segments (capacity measured EXACTLY by a
+           pre-pass owner histogram — the n_plus_x_recs-style bound of
+           kb_collector.h:66-116 made tight), all_to_all over ICI, then
+           _group_reduce by (bin, k-mer); spilled runs merge on the host
 
-The host driver (distributed_count) feeds D batches per step (data
-parallelism over the code stream) and writes a byte-identical KMC2 database.
+Multi-host (jax.process_count() > 1): the same single program runs on every
+process (multi-controller SPMD).  Each process parses the input stream (the
+full stream — input parsing is duplicated per host; shard input FILES per
+host at scale) and uploads only the batch rows owned by its local devices;
+global arrays are assembled with jax.make_array_from_single_device_arrays,
+host-side reads go through process_allgather, and only process 0 writes the
+database.  Wire up with parallel.distributed.init_multihost() before
+building the mesh.
 """
 from __future__ import annotations
 
@@ -42,6 +56,7 @@ from ..ops.extract import INVALID_SIG, _kmer_words, _unpack_device, position_sig
 from ..ops.store import (
     U32MAX,
     _acc64_add,
+    _compact_core,
     _group_reduce,
     _key_cols_from,
     _sig_to_bin,
@@ -52,9 +67,9 @@ from ..ops.store import (
 from .distributed import make_mesh
 
 
-def _ingest_shard(packed, mask, cols, n_used, occ, skm, prev, *, s, k,
+def _ingest_shard(packed, mask, cols, counts, n_used, occ, skm, prev, *, s, k,
                   sig_len, both_strands, prefix_bits, fuse, n_dead_bin,
-                  n_devices, axis):
+                  n_devices, axis, has_counts):
     """Per-device fused extract+bin+append (mirrors ops/store._ingest_prefix,
     without the leading device axis: shard_map strips it)."""
     c4, bad = _unpack_device(packed[0], mask[0])
@@ -87,8 +102,16 @@ def _ingest_shard(packed, mask, cols, n_used, occ, skm, prev, *, s, k,
         jax.lax.dynamic_update_slice(sc[0], c, (n_used[0],))[None]
         for sc, c in zip(cols, new_cols)
     )
+    if has_counts:
+        # fresh rows weigh 1 (dead appended rows stay dead by their U32MAX
+        # key, see _live_mask in ops/store.py)
+        out_counts = jax.lax.dynamic_update_slice(
+            counts[0], jnp.ones((s,), jnp.uint32), (n_used[0],))[None]
+    else:
+        out_counts = counts
     return (
         out_cols,
+        out_counts,
         (n_used[0] + s)[None],
         occ2[None],
         skm2[None],
@@ -96,11 +119,40 @@ def _ingest_shard(packed, mask, cols, n_used, occ, skm, prev, *, s, k,
     )
 
 
-def _finalize_shard(cols, n_used, *, cutoff_min, cutoff_max, k, n_bins, fuse,
-                    n_devices, capacity, axis):
+def _compact_shard(cols, counts, n_used, *, has_counts, wide):
+    """Per-device duplicate merge (the sharded DeviceKmerStore.compact):
+    materializes/refreshes the counts column."""
+    cols_l = tuple(c[0] for c in cols)
+    cnts = counts[0] if has_counts else None
+    out_cols, out_counts, n_groups = _compact_core(cols_l, cnts, n_used[0],
+                                                   wide=wide)
+    return (tuple(c[None] for c in out_cols), out_counts[None],
+            n_groups[None])
+
+
+def _owner_hist_shard(cols, counts, n_used, *, fuse, r0, n_devices,
+                      has_counts):
+    """Per-device histogram of live rows per owner — sizes the all_to_all
+    segments exactly (the tight version of the reference's n_plus_x_recs
+    pre-reservation, kb_collector.h:66-116)."""
+    key0 = cols[0][0]
+    X = key0.shape[0]
+    idx = jnp.arange(X, dtype=jnp.int32)
+    live = (idx < n_used[0]) & (key0 != U32MAX)
+    if has_counts:
+        live = live & (counts[0] > 0)
+    bins = (key0 >> (2 * r0)) if fuse else key0
+    owner = jnp.where(live, (bins % n_devices).astype(jnp.int32), n_devices)
+    hist = jnp.zeros((n_devices + 1,), jnp.int32).at[owner].add(1)
+    return hist[:n_devices][None]
+
+
+def _finalize_shard(cols, counts, n_used, *, k, n_bins, fuse, n_devices,
+                    capacity, axis, has_counts):
     """Per-device: route rows to bin owners (one all_to_all of the key
-    columns only), then local group-reduce with liveness as the row weight.
-    Returns per-device (bins, words, totals, n_groups, stats, n_dropped)."""
+    columns, plus the counts column once it exists), then local group-reduce
+    weighted by real counts (liveness only while counts are implicit 1).
+    Returns per-device (bins, words, totals, n_groups, n_dropped)."""
     D = n_devices
     W = (k + 15) // 16
     r0 = k - 16 * (W - 1)
@@ -108,6 +160,9 @@ def _finalize_shard(cols, n_used, *, cutoff_min, cutoff_max, k, n_bins, fuse,
     X = key_cols[0].shape[0]
     idx = jnp.arange(X, dtype=jnp.int32)
     live = (idx < n_used[0]) & (key_cols[0] != U32MAX)
+    if has_counts:
+        cnts = jnp.where(live, counts[0], 0)
+        live = live & (cnts > 0)
     if fuse:
         bins = key_cols[0] >> (2 * r0)
     else:
@@ -115,9 +170,10 @@ def _finalize_shard(cols, n_used, *, cutoff_min, cutoff_max, k, n_bins, fuse,
     owner = jnp.where(live, (bins % D).astype(jnp.uint32), jnp.uint32(D))
 
     # slot rows into fixed-capacity per-owner segments (the ragged
-    # all-to-all of SURVEY.md §2.6, sized like the reference's
-    # n_plus_x_recs upper bound, kb_collector.h:66-116)
-    ops = jax.lax.sort([owner] + key_cols, num_keys=1 + len(key_cols))
+    # all-to-all of SURVEY.md §2.6, segment size measured exactly by
+    # _owner_hist_shard)
+    pay = [cnts] if has_counts else []
+    ops = jax.lax.sort([owner] + key_cols + pay, num_keys=1 + len(key_cols))
     owner_s = ops[0]
     cols_s = ops[1:]
     owner_start = jnp.searchsorted(owner_s, jnp.arange(D + 1, dtype=jnp.uint32))
@@ -125,14 +181,16 @@ def _finalize_shard(cols, n_used, *, cutoff_min, cutoff_max, k, n_bins, fuse,
     in_cap = (pos_in_owner < capacity) & (owner_s < D)
     n_dropped = jnp.sum(((owner_s < D) & ~in_cap).astype(jnp.int32))
 
-    def seg(col):
-        out = jnp.full((D * capacity + 1,), U32MAX, col.dtype)
+    def seg(col, fill):
+        out = jnp.full((D * capacity + 1,), fill, col.dtype)
         slot = jnp.where(in_cap, owner_s.astype(jnp.int32) * capacity + pos_in_owner,
                          D * capacity)
-        out = out.at[slot].set(jnp.where(in_cap, col, U32MAX))
+        out = out.at[slot].set(jnp.where(in_cap, col, fill))
         return out[: D * capacity].reshape(D, capacity)
 
-    send_cols = [seg(c) for c in cols_s]
+    send_cols = [seg(c, U32MAX) for c in cols_s[: len(key_cols)]]
+    if has_counts:
+        send_cols.append(seg(cols_s[-1], jnp.uint32(0)))
 
     # the ragged all-to-all over ICI (Pallas remote-DMA kernel on real
     # multi-chip slices; lax.all_to_all elsewhere — parallel/pallas_a2a.py)
@@ -142,16 +200,19 @@ def _finalize_shard(cols, n_used, *, cutoff_min, cutoff_max, k, n_bins, fuse,
 
     P_ = D * capacity
     rc_cols = [c.reshape(P_) for c in recv_cols]
-    # row weight = liveness: every ingested row is one occurrence, and the
-    # exchange pads with all-ones keys
-    weights = (rc_cols[0] != U32MAX).astype(jnp.uint32)
-    keys_r, _, totals, n_groups = _group_reduce(rc_cols, [], weights)
+    if has_counts:
+        weights = rc_cols[-1]
+        rc_keys = rc_cols[:-1]
+        keys_r, _, totals, n_groups = _group_reduce(rc_keys, [], weights)
+    else:
+        # row weight = liveness: every ingested row is one occurrence, and
+        # the exchange pads with all-ones keys
+        rc_keys = rc_cols
+        weights = (rc_cols[0] != U32MAX).astype(jnp.uint32)
+        keys_r, _, totals, n_groups = _group_reduce(rc_keys, [], weights)
     bins_r, wr = _split_bins(keys_r, fuse=fuse, r0=r0)
     gidx = jnp.arange(P_, dtype=jnp.int32)
     group_valid = (gidx < n_groups) & (totals > 0) & (bins_r < jnp.uint32(n_bins))
-    n_unique = jnp.sum(group_valid.astype(jnp.int32))
-    n_below = jnp.sum((group_valid & (totals < cutoff_min)).astype(jnp.int32))
-    n_above = jnp.sum((group_valid & (totals > cutoff_max)).astype(jnp.int32))
     out_words = jnp.stack(wr, axis=1)
     out_bins = jnp.where(group_valid, bins_r, U32MAX).astype(jnp.int32)
     out_counts = jnp.where(group_valid, totals, 0)
@@ -160,14 +221,27 @@ def _finalize_shard(cols, n_used, *, cutoff_min, cutoff_max, k, n_bins, fuse,
         out_words[None],
         out_counts[None],
         n_groups[None],
-        jnp.stack([n_unique, n_below, n_above])[None],
         n_dropped[None],
     )
 
 
+def _round_pow2(x: int, lo: int = 64) -> int:
+    n = lo
+    while n < x:
+        n *= 2
+    return n
+
+
 class ShardedKmerStore:
     """Row-partitioned HBM store across a device mesh (binned layout,
-    prefix signature->bin policy)."""
+    prefix signature->bin policy), multi-host aware.
+
+    Survival tools mirror the single-chip DeviceKmerStore: when a device
+    partition fills, `compact()` merges duplicates in place (materializing
+    the counts column); if the merged unique set still fills the partition,
+    the run spills to host RAM and is merged back at finalize — the
+    analogue of the reference's strict-memory big-bin pipeline
+    (kmc.h:1611-1692)."""
 
     def __init__(self, mesh: Mesh, capacity_rows_per_device: int, *,
                  k: int, sig_len: int = 9, both_strands: bool = True,
@@ -185,118 +259,315 @@ class ShardedKmerStore:
         self.n_used_bins = (1 << self.prefix_bits) + 1
         self.n_dead_bin = self.n_used_bins
         self.n_cols = self.W if self.fuse else self.W + 1
-        rows = NamedSharding(mesh, P(axis))
-        rows2 = NamedSharding(mesh, P(axis, None))
-        D, cap = self.D, self.cap
-        self.cols = tuple(
-            jax.device_put(jnp.full((D, cap), U32MAX, jnp.uint32), rows2)
-            for _ in range(self.n_cols)
-        )
-        self.n_used = jax.device_put(jnp.zeros((D,), jnp.int32), rows)
-        self.occ = jax.device_put(jnp.zeros((D, 2), jnp.uint32), rows2)
-        self.skm = jax.device_put(jnp.zeros((D, 2), jnp.uint32), rows2)
-        self.prev = jax.device_put(
-            jnp.full((D, 1), INVALID_SIG, jnp.uint32), rows2)
-        self._ingest = None
+        self._rows = NamedSharding(mesh, P(axis))
+        self._rows2 = NamedSharding(mesh, P(axis, None))
+        self._init_state()
+        self._ingest_fn = None
+        self._ingest_has_counts = None
         self._rows_per_device = 0
+        self._base_rows = 0  # compacted prefix length (max over devices)
+        self.has_counts = False
+        self.spilled = []  # [(bins, words, counts) numpy triples], global
+        self._multi = jax.process_count() > 1
+
+    # -- multi-host plumbing --
+
+    def _host(self, x) -> np.ndarray:
+        """Global device array -> host numpy on every process."""
+        if not self._multi:
+            return np.asarray(x)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+    def to_global(self, host_rows: np.ndarray, leading_dim_sharded=True):
+        """uint8[D, ...] host batch -> global array row-sharded over the
+        mesh.  Single-process: a plain device_put.  Multi-process: each
+        process uploads only its local devices' rows."""
+        sh = NamedSharding(
+            self.mesh, P(self.axis, *([None] * (host_rows.ndim - 1))))
+        if not self._multi:
+            return jax.device_put(host_rows, sh)
+        pid = jax.process_index()
+        shards = [
+            jax.device_put(host_rows[i : i + 1], dev)
+            for i, dev in enumerate(self.mesh.devices.flat)
+            if dev.process_index == pid
+        ]
+        return jax.make_array_from_single_device_arrays(
+            host_rows.shape, sh, shards)
+
+    # -- state --
+
+    def _init_state(self):
+        D, cap, nc = self.D, self.cap, self.n_cols
+
+        def init():
+            cols = tuple(jnp.full((D, cap), U32MAX, jnp.uint32)
+                         for _ in range(nc))
+            n_used = jnp.zeros((D,), jnp.int32)
+            occ = jnp.zeros((D, 2), jnp.uint32)
+            skm = jnp.zeros((D, 2), jnp.uint32)
+            prev = jnp.full((D, 1), INVALID_SIG, jnp.uint32)
+            return cols, n_used, occ, skm, prev
+
+        shardings = (tuple(self._rows2 for _ in range(nc)), self._rows,
+                     self._rows2, self._rows2, self._rows2)
+        (self.cols, self.n_used, self.occ, self.skm, self.prev) = jax.jit(
+            init, out_shardings=shardings)()
+        self.counts = None
+
+    def _reset_rows(self):
+        D, cap, nc = self.D, self.cap, self.n_cols
+
+        def init():
+            cols = tuple(jnp.full((D, cap), U32MAX, jnp.uint32)
+                         for _ in range(nc))
+            counts = jnp.zeros((D, cap), jnp.uint32)
+            n_used = jnp.zeros((D,), jnp.int32)
+            return cols, counts, n_used
+
+        shardings = (tuple(self._rows2 for _ in range(nc)), self._rows2,
+                     self._rows)
+        self.cols, self.counts, self.n_used = jax.jit(
+            init, out_shardings=shardings)()
 
     def host_sig_map(self) -> np.ndarray:
         return prefix_sig_map(self.sig_len, self.prefix_bits)
 
-    def make_ingest(self, *, s):
+    # -- ingest --
+
+    def make_ingest(self, *, s, has_counts):
         body = functools.partial(
             _ingest_shard, s=s, k=self.k, sig_len=self.sig_len,
             both_strands=self.both_strands, prefix_bits=self.prefix_bits,
             fuse=self.fuse, n_dead_bin=self.n_dead_bin,
-            n_devices=self.D, axis=self.axis,
+            n_devices=self.D, axis=self.axis, has_counts=has_counts,
         )
         nc = self.n_cols
         col_specs = tuple(P(self.axis, None) for _ in range(nc))
+        cnt_spec = P(self.axis, None) if has_counts else P()
         sharded = jax.shard_map(
             body,
             mesh=self.mesh,
             in_specs=(P(self.axis, None), P(self.axis, None), col_specs,
-                      P(self.axis), P(self.axis, None), P(self.axis, None),
-                      P(self.axis, None)),
-            out_specs=(col_specs, P(self.axis), P(self.axis, None),
+                      cnt_spec, P(self.axis), P(self.axis, None),
+                      P(self.axis, None), P(self.axis, None)),
+            out_specs=(col_specs, cnt_spec, P(self.axis), P(self.axis, None),
                        P(self.axis, None), P(self.axis, None)),
         )
-        jitted = jax.jit(sharded, donate_argnums=(2,))
-        return jitted
+        donate = (2, 3) if has_counts else (2,)
+        return jax.jit(sharded, donate_argnums=donate)
 
     def ingest(self, packed_dm: np.ndarray, mask_dm: np.ndarray, *, s,
                k=None, sig_len=None, both_strands=None):
         """packed_dm/mask_dm: (D, L/4) and (D, L/8) — one batch per device."""
-        if self._ingest is None:
-            self._ingest = self.make_ingest(s=s)
         if self._rows_per_device + s > self.cap:
-            raise MemoryError("sharded store full; raise capacity_rows_per_device")
-        (self.cols, self.n_used, self.occ, self.skm, self.prev) = \
-            self._ingest(packed_dm, mask_dm, self.cols, self.n_used,
-                         self.occ, self.skm, self.prev)
+            self._make_room(s)
+        if self._ingest_fn is None or self._ingest_has_counts != self.has_counts:
+            self._ingest_fn = self.make_ingest(s=s, has_counts=self.has_counts)
+            self._ingest_has_counts = self.has_counts
+        counts_in = self.counts if self.has_counts else jnp.zeros((), jnp.uint32)
+        (self.cols, counts_out, self.n_used, self.occ, self.skm,
+         self.prev) = self._ingest_fn(
+            self.to_global(packed_dm), self.to_global(mask_dm), self.cols,
+            counts_in, self.n_used, self.occ, self.skm, self.prev)
+        if self.has_counts:
+            self.counts = counts_out
         self._rows_per_device += s
+
+    def _make_room(self, s: int):
+        self.compact()
+        if self._base_rows + s > self.cap:
+            self.spill()
+            if s > self.cap:
+                raise MemoryError(
+                    "batch larger than per-device store capacity")
+
+    # -- compaction / spill --
+
+    def compact(self):
+        """Per-device duplicate merge; materializes the counts column."""
+        nc = self.n_cols
+        col_specs = tuple(P(self.axis, None) for _ in range(nc))
+        has = self.has_counts
+        body = functools.partial(_compact_shard, has_counts=has, wide=False)
+        sharded = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(col_specs, P(self.axis, None) if has else P(),
+                      P(self.axis)),
+            out_specs=(col_specs, P(self.axis, None), P(self.axis)),
+        )
+        donate = (0, 1) if has else (0,)
+        jitted = jax.jit(sharded, donate_argnums=donate)
+        counts_in = self.counts if has else jnp.zeros((), jnp.uint32)
+        self.cols, self.counts, n_groups = jitted(self.cols, counts_in,
+                                                  self.n_used)
+        self.has_counts = True
+        n_groups = self._host(n_groups)
+        self._base_rows = int(n_groups.max())
+        self._rows_per_device = self._base_rows
+        # n_used must cover every device's groups for the next appends;
+        # appending at a uniform offset keeps shapes static, so take the max
+        self.n_used = jax.jit(
+            lambda: jnp.full((self.D,), self._base_rows, jnp.int32),
+            out_shardings=self._rows)()
+
+    def spill(self):
+        """Move the compacted per-device runs to host RAM and reset the
+        device partitions.  Every process keeps the full spilled set (the
+        runs are re-merged identically everywhere at finalize)."""
+        bins_np, words_np, counts_np = self._pull_rows()
+        self.spilled.append((bins_np, words_np, counts_np))
+        self._reset_rows()
+        self.has_counts = True
+        self._rows_per_device = 0
+        self._base_rows = 0
+
+    def _pull_rows(self):
+        """Host copy of the live (bins, words, counts) rows of the store."""
+        cols = self._host(jnp.concatenate(
+            [c.reshape(self.D * self.cap)[None] for c in self.cols], axis=0))
+        counts = (self._host(self.counts).reshape(-1)
+                  if self.has_counts else None)
+        key0 = cols[0]
+        live = key0 != U32MAX
+        if counts is not None:
+            live &= counts > 0
+        if self.fuse:
+            bins = (key0 >> (2 * self.r0)).astype(np.int64)
+            w0 = key0 & np.uint32((1 << (2 * self.r0)) - 1)
+            words = np.stack([w0] + [cols[i] for i in range(1, self.n_cols)],
+                             axis=1)
+        else:
+            bins = key0.astype(np.int64)
+            words = np.stack([cols[i] for i in range(1, self.n_cols)], axis=1)
+        cnt = counts[live] if counts is not None else np.ones(
+            int(live.sum()), np.uint32)
+        return bins[live], words[live], cnt
+
+    # -- finalize --
+
+    def _owner_capacity(self) -> int:
+        """Exact per-(sender, owner) segment size for the exchange, rounded
+        to a power of two to bound recompiles."""
+        nc = self.n_cols
+        col_specs = tuple(P(self.axis, None) for _ in range(nc))
+        has = self.has_counts
+        body = functools.partial(
+            _owner_hist_shard, fuse=self.fuse, r0=self.r0, n_devices=self.D,
+            has_counts=has)
+        sharded = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(col_specs, P(self.axis, None) if has else P(),
+                      P(self.axis)),
+            out_specs=P(self.axis, None),
+        )
+        counts_in = self.counts if has else jnp.zeros((), jnp.uint32)
+        hist = self._host(jax.jit(sharded)(self.cols, counts_in, self.n_used))
+        return _round_pow2(int(hist.max()))
 
     def finalize(self, sig_map=None, *, cutoff_min, cutoff_max, counter_max,
                  capacity_per_owner: int | None = None):
         """Exchange + group-reduce; returns host arrays (bins, words, counts)
-        in global (bin, k-mer) order plus stats, reassembled across owners."""
+        in global (bin, k-mer) order plus stats, reassembled across owners
+        and spilled runs.  Cutoffs apply to the MERGED totals (spilled rows
+        included), exactly like the single-chip host merge."""
         D = self.D
-        cap = capacity_per_owner or self.cap
+        cap = capacity_per_owner or self._owner_capacity()
+        has = self.has_counts
         body = functools.partial(
             _finalize_shard,
-            cutoff_min=cutoff_min,
-            cutoff_max=cutoff_max,
             k=self.k,
             n_bins=self.n_used_bins,
             fuse=self.fuse,
             n_devices=D,
             capacity=cap,
             axis=self.axis,
+            has_counts=has,
         )
         nc = self.n_cols
+        col_specs = tuple(P(self.axis, None) for _ in range(nc))
         sharded = jax.shard_map(
             body,
             mesh=self.mesh,
-            in_specs=(tuple(P(self.axis, None) for _ in range(nc)),
+            in_specs=(col_specs, P(self.axis, None) if has else P(),
                       P(self.axis)),
             out_specs=(P(self.axis, None), P(self.axis, None, None),
-                       P(self.axis, None), P(self.axis), P(self.axis, None),
-                       P(self.axis)),
+                       P(self.axis, None), P(self.axis), P(self.axis)),
         )
         jitted = jax.jit(sharded, donate_argnums=(0,))
-        bins_d, words_d, counts_d, n_groups_d, stats_d, dropped_d = jitted(
-            self.cols, self.n_used)
+        counts_in = self.counts if has else jnp.zeros((), jnp.uint32)
+        bins_d, words_d, counts_d, n_groups_d, dropped_d = jitted(
+            self.cols, counts_in, self.n_used)
         self.cols = None
-        n_groups = np.asarray(n_groups_d)
-        stats = np.asarray(stats_d).sum(axis=0)
-        if int(np.asarray(dropped_d).sum()):
-            raise MemoryError("all_to_all capacity exceeded; raise capacity")
+        self.counts = None
+        n_groups = self._host(n_groups_d)
+        if int(self._host(dropped_d).sum()):
+            # cannot happen with the measured capacity; only a manual
+            # capacity_per_owner override can get here
+            raise MemoryError("all_to_all capacity exceeded; raise "
+                              "capacity_per_owner or leave it automatic")
+        bins_h = self._host(bins_d)
+        words_h = self._host(words_d)
+        counts_h = self._host(counts_d)
         # host reassembly: owners hold disjoint bins; concat then stable
         # sort by bin only (rows within a bin are already k-mer sorted)
         parts_b, parts_w, parts_c = [], [], []
         for d in range(D):
             n = int(n_groups[d])
-            b = np.asarray(bins_d[d, :n])
-            c = np.asarray(counts_d[d, :n])
-            keep = (b >= 0) & (c >= cutoff_min) & (c <= cutoff_max)
-            parts_b.append(b[keep])
-            parts_w.append(np.asarray(words_d[d, :n])[keep])
+            b = bins_h[d, :n]
+            c = counts_h[d, :n]
+            keep = (b >= 0) & (c > 0)
+            parts_b.append(b[keep].astype(np.int64))
+            parts_w.append(words_h[d, :n][keep])
             parts_c.append(c[keep])
-        bins = np.concatenate(parts_b) if parts_b else np.zeros(0, np.int32)
-        words = np.concatenate(parts_w) if parts_w else np.zeros((0, self.W), np.uint32)
-        counts = np.concatenate(parts_c) if parts_c else np.zeros(0, np.uint32)
-        order = np.argsort(bins, kind="stable")
+        for sb, sw, sc in self.spilled:
+            parts_b.append(sb)
+            parts_w.append(sw)
+            parts_c.append(sc)
+        bins = np.concatenate(parts_b) if parts_b else np.zeros(0, np.int64)
+        words = (np.concatenate(parts_w) if parts_w
+                 else np.zeros((0, self.W), np.uint32))
+        counts = (np.concatenate(parts_c) if parts_c
+                  else np.zeros(0, np.uint32))
+        if self.spilled:
+            # spilled rows may duplicate exchanged rows: re-reduce on host
+            order = np.lexsort(
+                tuple(words[:, t] for t in range(self.W - 1, -1, -1))
+                + (bins,))
+            bins, words, counts = bins[order], words[order], counts[order]
+            if len(bins):
+                newg = np.ones(len(bins), bool)
+                same = bins[1:] == bins[:-1]
+                for t in range(self.W):
+                    same &= words[1:, t] == words[:-1, t]
+                newg[1:] = ~same
+                gid = np.cumsum(newg) - 1
+                tot = np.zeros(gid[-1] + 1, np.uint64)
+                np.add.at(tot, gid, counts.astype(np.uint64))
+                bins = bins[newg]
+                words = words[newg]
+                counts = np.minimum(tot, 0xFFFFFFFF).astype(np.uint32)
+            self.spilled = []
+        else:
+            order = np.argsort(bins, kind="stable")
+            bins, words, counts = bins[order], words[order], counts[order]
+        n_unique = int(len(bins))
+        n_below = int((counts < cutoff_min).sum())
+        n_above = int((counts > cutoff_max).sum())
+        keep = (counts >= cutoff_min) & (counts <= cutoff_max)
         return (
-            bins[order],
-            words[order],
-            np.minimum(counts[order], counter_max).astype(np.uint32),
-            tuple(int(x) for x in stats),
+            bins[keep].astype(np.int32),
+            words[keep],
+            np.minimum(counts[keep], counter_max).astype(np.uint32),
+            (n_unique, n_below, n_above),
             self._total64(self.occ_host()),
-            self._total64(np.asarray(self.skm)),
+            self._total64(self._host(self.skm)),
         )
 
     def occ_host(self):
-        return np.asarray(self.occ)
+        return self._host(self.occ)
 
     @staticmethod
     def _total64(acc2: np.ndarray) -> int:
@@ -322,6 +593,10 @@ def distributed_count(
     """End-to-end multi-chip counting: data-parallel ingest over the mesh,
     owner-partitioned merge, KMC2 database out.  Returns stats dict.
 
+    Multi-host: runs as the same program on every process (call
+    init_multihost first); every process parses the input stream and feeds
+    its local devices' batch rows; process 0 writes the database.
+
     Uses the prefix signature->bin policy: no stage-0 sampling pass is
     needed (the map is a shift; see ops/store.py)."""
     from ..defs import calc_counter_size
@@ -331,14 +606,6 @@ def distributed_count(
     from ..runner import words_to_kmer_bytes
 
     mesh = mesh or make_mesh()
-    if jax.process_count() > 1:
-        raise NotImplementedError(
-            "distributed_count is a single-controller driver: it addresses "
-            "every device shard and writes the DB from one process.  On a "
-            "multi-host pod, run one controller process (or shard inputs "
-            "per host with a host-local mesh and merge the per-host DBs "
-            "with kmc_tools union) — see docs/SCALING.md."
-        )
     D = mesh.devices.size
     s = batch_positions
 
@@ -389,13 +656,14 @@ def distributed_count(
         both_strands=both_strands,
         n_bins=n_used_bins,
     )
-    writer = Kmc2DbWriter(output_file_name, info, sig_map)
-    writer.n_unique = n_unique
-    writer.n_below_min = n_below
-    writer.n_above_max = n_above
-    writer.n_total = n_total
-    writer.write_all(bins, words_to_kmer_bytes(words, k), counts)
-    writer.close()
+    if jax.process_index() == 0:
+        writer = Kmc2DbWriter(output_file_name, info, sig_map)
+        writer.n_unique = n_unique
+        writer.n_below_min = n_below
+        writer.n_above_max = n_above
+        writer.n_total = n_total
+        writer.write_all(bins, words_to_kmer_bytes(words, k), counts)
+        writer.close()
     return {
         "n_unique": n_unique,
         "n_below": n_below,
@@ -404,4 +672,5 @@ def distributed_count(
         "n_super_kmers": n_skm,
         "n_reads": state.n_reads,
         "n_devices": D,
+        "n_processes": jax.process_count(),
     }

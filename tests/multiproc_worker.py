@@ -1,0 +1,47 @@
+"""Worker process for the multi-host distributed_count test: one of N
+jax.distributed processes, each owning 4 virtual CPU devices.  Invoked by
+tests/test_multiprocess.py as
+
+    python multiproc_worker.py <coordinator> <n_procs> <pid> <reads> <out>
+
+Process 0 writes the KMC2 database; every process writes <out>.stats.<pid>
+(JSON) so the launcher can check agreement."""
+import json
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    coordinator, n_procs, pid, reads, out = sys.argv[1:6]
+    from kmc_tpu.parallel.distributed import init_multihost, make_mesh
+    from kmc_tpu.parallel.multihost import distributed_count
+
+    init_multihost(coordinator_address=coordinator,
+                   num_processes=int(n_procs), process_id=int(pid))
+    assert jax.process_count() == int(n_procs), jax.process_count()
+    assert len(jax.devices()) == 4 * int(n_procs)
+
+    mesh = make_mesh()
+    stats = distributed_count(
+        [reads], out, k=25, mesh=mesh, batch_positions=1 << 10,
+        cutoff_min=1, capacity_rows_per_device=1 << 12,
+    )
+    with open(f"{out}.stats.{pid}", "w") as f:
+        json.dump(stats, f)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""True multi-host execution: 2 jax.distributed processes x 4 virtual CPU
+devices each, one global 8-device mesh — the CPU stand-in for a multi-host
+TPU pod (SURVEY.md §2.6 / §4).  The DB written by process 0 must be
+byte-identical to the single-process result and match the oracle."""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(__file__)
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def reads_file(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    path = tmp_path_factory.mktemp("mp") / "reads.fastq"
+    genome = rng.integers(0, 4, 30000)
+    with open(path, "w") as f:
+        for i in range(500):
+            start = rng.integers(0, len(genome) - 130)
+            seq = "".join("ACGT"[c] for c in genome[start : start + 130])
+            if i % 40 == 3:
+                seq = seq[:60] + "N" + seq[61:]
+            f.write(f"@r{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+    return str(path)
+
+
+def _run_workers(n_procs, reads, out, timeout=600):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "multiproc_worker.py"),
+             f"localhost:{port}", str(n_procs), str(pid), reads, out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(n_procs)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(stdout.decode(errors="replace"))
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o[-4000:]}"
+    return outs
+
+
+def test_two_process_count_matches_single(reads_file, tmp_path):
+    from kmc_tpu import oracle
+    from kmc_tpu.formats import dump_db_file
+
+    out = str(tmp_path / "mp_db")
+    _run_workers(2, reads_file, out)
+
+    # both processes agree on the stats
+    with open(out + ".stats.0") as f:
+        s0 = json.load(f)
+    with open(out + ".stats.1") as f:
+        s1 = json.load(f)
+    assert s0 == s1
+    assert s0["n_processes"] == 2
+    assert s0["n_devices"] == 8
+
+    # dump matches the oracle
+    records, ostats = oracle.oracle_count_file(reads_file, 25, "fastq",
+                                               cutoff_min=1)
+    assert dump_db_file(out) == oracle.dump_text(records)
+    assert s0["n_unique"] == ostats["n_unique"]
+    assert s0["n_total"] == ostats["n_total"]
+
+    # byte-identical to the single-process multi-chip DB on the same mesh
+    # size (8 devices)
+    from kmc_tpu.parallel.distributed import make_mesh
+    from kmc_tpu.parallel.multihost import distributed_count
+
+    ref_out = str(tmp_path / "sp_db")
+    distributed_count([reads_file], ref_out, k=25, mesh=make_mesh(8),
+                      batch_positions=1 << 10, cutoff_min=1,
+                      capacity_rows_per_device=1 << 12)
+    for suf in (".kmc_pre", ".kmc_suf"):
+        with open(out + suf, "rb") as a, open(ref_out + suf, "rb") as b:
+            assert a.read() == b.read(), suf
