@@ -32,14 +32,20 @@ def _enable_compilation_cache():
         pass
 
 
-_enable_compilation_cache()
+if _os.environ.get("KMC_TPU_NO_JAX"):
+    # host-only mode: formats/ and the streaming tools are pure NumPy;
+    # skipping the runner import keeps jax (and its memory) out of
+    # kmc_tools-style processes on machines without accelerators
+    pass
+else:
+    _enable_compilation_cache()
 
-from .runner import (  # noqa: E402
-    Runner,
-    Stage1Params,
-    Stage2Params,
-    Stage1Results,
-    Stage2Results,
-    InputFileType,
-    OutputFileType,
-)
+    from .runner import (  # noqa: E402
+        Runner,
+        Stage1Params,
+        Stage2Params,
+        Stage1Results,
+        Stage2Results,
+        InputFileType,
+        OutputFileType,
+    )

@@ -121,52 +121,111 @@ class KMCFileInfo:
 class KMCFile:
     """KMC database reader (reference CKMCFile).
 
-    Both open modes load the (small) prefix structures and expose the same
-    query surface; listing streams in sorted order.
+    OpenForRA materializes the sorted records for random access
+    (CheckKmer / GetCountersForRead).  OpenForListing streams in bounded
+    memory: records come through formats/streaming.py block cursors and
+    the prefix LUTs stay demand-paged — the analogue of the reference's
+    buffered listing mode (CPrefixFileBufferForListingMode,
+    kmc_api/kmc_file.h:36-96).  Like the reference, random-access queries
+    require RA mode.
     """
 
     def __init__(self):
         self._db: KmcDb | None = None
-        self._kmers = None  # (N, KB) sorted
+        self._info = None
+        self._kmers = None  # (N, KB) sorted (RA mode)
         self._counts = None
         self._pos = 0
         self._min_count = 1
         self._max_count = (1 << 32) - 1
+        self._reader = None  # listing mode
+        self._path = None
+        self._it = None
+        self._buf_k = None
+        self._buf_c = None
+        self._buf_i = 0
 
     # -- opening ----------------------------------------------------------
     def OpenForRA(self, path: str) -> bool:
-        return self._open(path)
+        return self._open(path, ra=True)
 
     def OpenForListing(self, path: str) -> bool:
-        return self._open(path)
+        return self._open(path, ra=False)
 
-    def _open(self, path: str) -> bool:
-        try:
-            self._db = read_db(path)
-        except (OSError, ValueError):
-            return False
-        self._kmers, self._counts = sorted_records(self._db)
-        self._pos = 0
-        self._min_count = self._db.info.cutoff_min
-        self._max_count = self._db.info.cutoff_max
+    def _open(self, path: str, ra: bool = True) -> bool:
+        if ra:
+            try:
+                self._db = read_db(path)
+            except (OSError, ValueError):
+                return False
+            self._info = self._db.info
+            self._kmers, self._counts = sorted_records(self._db)
+            self._pos = 0
+        else:
+            from .formats.streaming import DbStreamReader
+
+            try:
+                self._reader = DbStreamReader(path)
+            except (OSError, ValueError):
+                return False
+            self._path = path
+            self._info = self._reader.info
+            self._restart_stream()
+        self._min_count = self._info.cutoff_min
+        self._max_count = self._info.cutoff_max
         return True
 
+    def _restart_stream(self):
+        self._it = self._reader.blocks()
+        self._buf_k = None
+        self._buf_c = None
+        self._buf_i = 0
+
+    def _fill(self) -> bool:
+        """Advance to the next filtered record; False at end of stream."""
+        while True:
+            if self._buf_k is not None and self._buf_i < len(self._buf_c):
+                return True
+            try:
+                k, c = next(self._it)
+            except StopIteration:
+                return False
+            keep = (c >= self._min_count) & (c <= self._max_count)
+            self._buf_k, self._buf_c, self._buf_i = k[keep], c[keep], 0
+
     def Close(self) -> bool:
-        ok = self._db is not None
+        ok = self._db is not None or self._reader is not None
         self._db = None
         self._kmers = self._counts = None
+        if self._reader is not None:
+            self._reader.close()
+            self._reader = None
+        self._it = self._buf_k = self._buf_c = None
         return ok
 
     # -- info -------------------------------------------------------------
     def Info(self) -> KMCFileInfo:
-        return KMCFileInfo(self._db.info, len(self._kmers))
+        total = (len(self._kmers) if self._kmers is not None
+                 else self._info.n_unique_stored)
+        return KMCFileInfo(self._info, total)
 
     def KmerLength(self) -> int:
-        return self._db.info.kmer_len
+        return self._info.kmer_len
 
     def KmerCount(self) -> int:
-        mask = (self._counts >= self._min_count) & (self._counts <= self._max_count)
-        return int(mask.sum())
+        if self._kmers is not None:
+            mask = (self._counts >= self._min_count) & (self._counts <= self._max_count)
+            return int(mask.sum())
+        # listing mode: one bounded-memory counting pass over a fresh
+        # stream (does not disturb the listing position)
+        from .formats.streaming import DbStreamReader
+
+        n = 0
+        with DbStreamReader(self._path, cutoff_min=self._min_count,
+                            cutoff_max=self._max_count) as r:
+            for _, c in r.key_blocks():
+                n += len(c)
+        return n
 
     # -- counter filtering (kmc_file.h SetMinCount/SetMaxCount) -----------
     def SetMinCount(self, c: int) -> bool:
@@ -184,34 +243,47 @@ class KMCFile:
         return self._max_count
 
     def GetBothStrands(self) -> bool:
-        return bool(self._db.info.both_strands)
+        return bool(self._info.both_strands)
 
     def ResetMinMaxCounts(self) -> bool:
         """Back to the database's own cutoff bounds (kmc_file.h)."""
-        self._min_count = self._db.info.cutoff_min
-        self._max_count = self._db.info.cutoff_max
+        self._min_count = self._info.cutoff_min
+        self._max_count = self._info.cutoff_max
         return True
 
     def IsKMC2(self) -> bool:
-        return self._db.info.version == 0x200
+        return self._info.version == 0x200
 
     def RestartListing(self) -> bool:
-        self._pos = 0
+        if self._reader is not None:
+            self._restart_stream()
+        else:
+            self._pos = 0
         return True
 
     def Eof(self) -> bool:
+        if self._reader is not None:
+            return not self._fill()
         return self._pos >= len(self._kmers)
 
     # -- listing -----------------------------------------------------------
     def ReadNextKmer(self, kmer: KmerAPI):
         """Returns (ok, count); advances the listing cursor (skipping k-mers
         outside [min_count, max_count] like the reference)."""
+        if self._reader is not None:
+            if not self._fill():
+                return False, 0
+            i = self._buf_i
+            self._buf_i += 1
+            kmer.kmer_len = self._info.kmer_len
+            kmer.codes = _bytes_to_codes(self._buf_k[i], kmer.kmer_len)
+            return True, int(self._buf_c[i])
         while self._pos < len(self._kmers):
             i = self._pos
             self._pos += 1
             c = int(self._counts[i])
             if self._min_count <= c <= self._max_count:
-                kmer.kmer_len = self._db.info.kmer_len
+                kmer.kmer_len = self._info.kmer_len
                 kmer.codes = _bytes_to_codes(self._kmers[i], kmer.kmer_len)
                 return True, c
         return False, 0
@@ -222,8 +294,11 @@ class KMCFile:
 
         The reference routes through signature -> bin -> prefix LUT -> binary
         search (kmc_file.cpp:1321); over the in-memory sorted array one
-        searchsorted is equivalent.
+        searchsorted is equivalent.  RA mode only, like the reference
+        (listing mode returns not-found).
         """
+        if self._db is None:
+            return False, 0
         if isinstance(kmer, KmerAPI):
             codes = kmer.codes
         else:
@@ -245,7 +320,9 @@ class KMCFile:
 
     def GetCountersForRead(self, read: str) -> tuple[bool, list]:
         """Counters for every k-mer of a read, 0 where absent or broken by
-        non-ACGT symbols (reference kmc_file.cpp:1193)."""
+        non-ACGT symbols (reference kmc_file.cpp:1193).  RA mode only."""
+        if self._db is None:
+            return False, []
         k = self._db.info.kmer_len
         codes = CODE_LUT[np.frombuffer(read.upper().encode(), dtype=np.uint8)]
         n = len(codes) - k + 1

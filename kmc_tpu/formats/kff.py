@@ -107,6 +107,76 @@ class KffData:
     counts: np.ndarray = None
 
 
+@dataclass
+class KffMeta:
+    """KFF header + section table, no record data — lets records stream in
+    bounded memory (formats/streaming.py) and supports random access
+    (the reference's kff_random_access.h reads the same index)."""
+
+    k: int
+    counter_size: int
+    canonical: bool
+    encoding: int
+    min_count: int = 1
+    max_count: int = 1 << 32
+    sections: list = None  # [(byte offset of first record, n_records)]
+
+
+def read_kff_meta(path: str) -> KffMeta:
+    """Walk a KFF file's section headers (variables + 'r' section table)
+    without loading record payloads."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+        if head[:3] != b"KFF":
+            raise ValueError("bad KFF marker")
+        encoding = head[5]
+        canonical = bool(head[7])
+        (free_size,) = struct.unpack(">I", f.read(4))
+        f.seek(free_size, 1)
+        variables = {"max": 1, "data_size": 0, "k": 0}
+        sections = []
+        import os
+
+        end = os.path.getsize(path) - 3
+        while f.tell() < end:
+            sec = f.read(1)
+            if sec == b"v":
+                (nb,) = struct.unpack(">Q", f.read(8))
+                for _ in range(nb):
+                    name = b""
+                    while True:
+                        ch = f.read(1)
+                        if ch == b"\x00":
+                            break
+                        name += ch
+                    (val,) = struct.unpack(">Q", f.read(8))
+                    variables[name.decode()] = val
+            elif sec == b"r":
+                (nb,) = struct.unpack(">Q", f.read(8))
+                if variables.get("max", 1) != 1:
+                    raise NotImplementedError("KFF max>1 blocks")
+                kb = (variables["k"] + 3) // 4
+                rec = kb + variables["data_size"]
+                sections.append((f.tell(), nb))
+                f.seek(nb * rec, 1)
+            elif sec == b"i":
+                (nb,) = struct.unpack(">Q", f.read(8))
+                f.seek(nb * 9 + 8, 1)
+            elif sec == b"m":
+                raise NotImplementedError("KFF minimizer sections")
+            else:
+                raise ValueError(f"unknown KFF section {sec!r}")
+    return KffMeta(
+        k=variables["k"],
+        counter_size=variables["data_size"],
+        canonical=canonical,
+        encoding=encoding,
+        min_count=variables.get("min_count", 1),
+        max_count=variables.get("max_count", 1 << 32),
+        sections=sections,
+    )
+
+
 def read_kff(path: str) -> KffData:
     """Read a KFF file with max=1 records (the shape the reference and this
     framework produce; kmc_tools' KFF reader supports the same subset)."""

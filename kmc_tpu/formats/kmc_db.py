@@ -348,42 +348,67 @@ class KmcDb:
         return (lut_idx >> np.uint64(2 * self.info.lut_prefix_len)).astype(np.int64)
 
 
-def read_db(path_prefix: str) -> KmcDb:
-    """Read an entire KMC1/KMC2 database into memory."""
-    pre_raw = Path(path_prefix + ".kmc_pre").read_bytes()
-    suf_raw = Path(path_prefix + ".kmc_suf").read_bytes()
-    if pre_raw[:4] != PRE_MARKER or pre_raw[-4:] != PRE_MARKER:
-        raise ValueError("bad .kmc_pre markers")
-    if suf_raw[:4] != SUF_MARKER or suf_raw[-4:] != SUF_MARKER:
-        raise ValueError("bad .kmc_suf markers")
-    version = struct.unpack_from("<I", pre_raw, len(pre_raw) - 12)[0]
-    header_offset = struct.unpack_from("<I", pre_raw, len(pre_raw) - 8)[0]
-    hstart = len(pre_raw) - 8 - header_offset
-    if version == KMC2_VER:
-        (kmer_len, mode, counter_size, lut_prefix_len, signature_len,
-         cutoff_min, cutoff_max, n_unique_stored) = struct.unpack_from("<IIIIIIIQ", pre_raw, hstart)
-        both_flag = pre_raw[hstart + 36]
-        sig_map_size = (1 << (2 * signature_len)) + 1
-        sig_map_start = hstart - sig_map_size * 4
-        sig_map = np.frombuffer(pre_raw, dtype="<u4", count=sig_map_size, offset=sig_map_start).copy()
-        lut_area_end = sig_map_start  # includes trailing n_recs uint64
-        luts = np.frombuffer(pre_raw, dtype="<u8", count=(lut_area_end - 4) // 8, offset=4).copy()
-        n_luts = (len(luts) - 1) >> (2 * lut_prefix_len)
-    elif version == KMC1_VER:
-        (kmer_len, mode, counter_size, lut_prefix_len,
-         cutoff_min, cutoff_max_lo, n_unique_stored) = struct.unpack_from("<IIIIIIQ", pre_raw, hstart)
-        both_flag = pre_raw[hstart + 32]
-        cutoff_max_hi = struct.unpack_from("<I", pre_raw, hstart + 36)[0]
-        cutoff_max = cutoff_max_lo | (cutoff_max_hi << 32)
-        signature_len = 0
-        sig_map = None
-        lut_size = 1 << (2 * lut_prefix_len)
-        luts = np.empty(lut_size + 1, dtype=np.uint64)
-        luts[:lut_size] = np.frombuffer(pre_raw, dtype="<u8", count=lut_size, offset=4)
-        luts[lut_size] = n_unique_stored
-        n_luts = 1
-    else:
-        raise ValueError(f"unsupported KMC database version 0x{version:x}")
+def read_pre_meta(path_prefix: str, mmap_luts: bool = False):
+    """Parse a .kmc_pre file: (info, luts, sig_map) — no .kmc_suf access.
+    By default the LUTs load into RAM like the reference's CKMC2DbReader
+    (kmc_tools/kmc2_db_reader.h:523); with mmap_luts=True they stay a
+    np.memmap view so LUT memory is demand-paged (the listing-mode
+    analogue of CPrefixFileBufferForListingMode, kmc_api/kmc_file.h:36-96);
+    records can then stream in bounded memory (formats/streaming.py)."""
+    p = Path(path_prefix + ".kmc_pre")
+    size = p.stat().st_size
+    with open(p, "rb") as f:
+        if f.read(4) != PRE_MARKER:
+            raise ValueError("bad .kmc_pre markers")
+        f.seek(size - 12)
+        version, header_offset, marker = struct.unpack("<II4s", f.read(12))
+        if marker != PRE_MARKER:
+            raise ValueError("bad .kmc_pre markers")
+        hstart = size - 8 - header_offset
+        f.seek(hstart)
+        hdr = f.read(header_offset)
+
+        def _lut_at(offset, count):
+            if mmap_luts:
+                return np.memmap(p, dtype="<u8", mode="r", offset=offset,
+                                 shape=(count,))
+            f.seek(offset)
+            return np.frombuffer(f.read(count * 8), dtype="<u8").copy()
+
+        if version == KMC2_VER:
+            (kmer_len, mode, counter_size, lut_prefix_len, signature_len,
+             cutoff_min, cutoff_max, n_unique_stored) = struct.unpack_from(
+                "<IIIIIIIQ", hdr, 0)
+            both_flag = hdr[36]
+            sig_map_size = (1 << (2 * signature_len)) + 1
+            sig_map_start = hstart - sig_map_size * 4
+            f.seek(sig_map_start)
+            sig_map = np.frombuffer(f.read(sig_map_size * 4), dtype="<u4").copy()
+            # lut area includes the trailing n_recs uint64
+            luts = _lut_at(4, (sig_map_start - 4) // 8)
+            n_luts = (len(luts) - 1) >> (2 * lut_prefix_len)
+        elif version == KMC1_VER:
+            (kmer_len, mode, counter_size, lut_prefix_len,
+             cutoff_min, cutoff_max_lo, n_unique_stored) = struct.unpack_from(
+                "<IIIIIIQ", hdr, 0)
+            both_flag = hdr[32]
+            cutoff_max_hi = struct.unpack_from("<I", hdr, 36)[0]
+            cutoff_max = cutoff_max_lo | (cutoff_max_hi << 32)
+            signature_len = 0
+            sig_map = None
+            lut_size = 1 << (2 * lut_prefix_len)
+            if mmap_luts:
+                # no appended n_recs sentinel (would force materializing);
+                # consumers take the record count from info.n_unique_stored
+                luts = _lut_at(4, lut_size)
+            else:
+                luts = np.empty(lut_size + 1, dtype=np.uint64)
+                luts[:lut_size] = _lut_at(4, lut_size)
+                luts[lut_size] = n_unique_stored
+            n_luts = 1
+        else:
+            raise ValueError(
+                f"unsupported KMC database version 0x{version:x}")
 
     info = DbInfo(
         kmer_len=kmer_len,
@@ -398,10 +423,19 @@ def read_db(path_prefix: str) -> KmcDb:
         version=version,
         n_bins=n_luts,
     )
+    return info, luts, sig_map
+
+
+def read_db(path_prefix: str) -> KmcDb:
+    """Read an entire KMC1/KMC2 database into memory."""
+    info, luts, sig_map = read_pre_meta(path_prefix)
+    suf_raw = Path(path_prefix + ".kmc_suf").read_bytes()
+    if suf_raw[:4] != SUF_MARKER or suf_raw[-4:] != SUF_MARKER:
+        raise ValueError("bad .kmc_suf markers")
     rec_size = info.record_bytes
     body = suf_raw[4:-4]
     if rec_size == 0:
-        records = np.zeros((n_unique_stored, 0), dtype=np.uint8)
+        records = np.zeros((info.n_unique_stored, 0), dtype=np.uint8)
     else:
         n_recs = len(body) // rec_size
         records = np.frombuffer(body, dtype=np.uint8, count=n_recs * rec_size).reshape(n_recs, rec_size).copy()

@@ -1,0 +1,515 @@
+"""Bounded-memory sorted streaming over KMC databases.
+
+The reference's kmc_tools never materializes a database: CKMC2DbReader
+merges the 512 per-bin sections of a KMC2 DB back into one sorted stream in
+constant memory (kmc_tools/kmc2_db_reader.h:400-560), CKMC1DbReader streams
+the already-sorted records (kmc1_db_reader.h), and CBundle batches them
+through operation trees (bundle.h:18-245).  This module is the kmc_tpu
+equivalent: per-bin cursors over the .kmc_suf file + a windowed vectorized
+k-way merge.  Only the prefix LUTs live in RAM (same policy as the
+reference's readers); record traffic is block-sized.
+
+Key representation: a block of (N, KB) right-aligned big-endian k-mer bytes
+is viewed as a NumPy 'S{KB}' array — lexicographic byte order equals
+numeric k-mer order, so searchsorted/argsort on the S-array implement the
+merge without per-record Python.
+
+Pure NumPy — no jax import — so host-only tools runs stay light.
+"""
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+
+from .kmc_db import (
+    KMC1_VER,
+    KMC2_VER,
+    SUF_MARKER,
+    DbInfo,
+    PRE_MARKER,
+    read_pre_meta,
+)
+
+DEFAULT_BLOCK = 1 << 16
+
+
+def _keys_of(kmers: np.ndarray) -> np.ndarray:
+    """(N, KB) uint8 -> (N,) 'S{KB}' lexicographic keys (zero-copy-ish)."""
+    n, kb = kmers.shape
+    if kb == 0:
+        return np.zeros(n, dtype="S1")
+    return np.ascontiguousarray(kmers).view(f"S{kb}").reshape(n)
+
+
+def _kmers_of(keys: np.ndarray, kb: int) -> np.ndarray:
+    """(N,) 'S{KB}' -> (N, KB) uint8."""
+    if kb == 0:
+        return np.zeros((len(keys), 0), np.uint8)
+    return np.frombuffer(keys.tobytes(), dtype=np.uint8).reshape(-1, kb)
+
+
+class _SectionCursor:
+    """Sorted records of one contiguous .kmc_suf section (one KMC2 bin, or
+    the whole of a KMC1 DB), streamed in blocks.
+
+    Produces (keys 'S', counts u32) blocks; prefixes are reconstructed from
+    the bin's LUT slice with a windowed searchsorted."""
+
+    def __init__(self, f, info: DbInfo, luts: np.ndarray, lut_base: int,
+                 rec_lo: int, rec_hi: int, block: int):
+        self.f = f
+        self.info = info
+        self.luts = luts
+        self.lut_base = lut_base  # first lut index of this section
+        self.lut_size = 1 << (2 * info.lut_prefix_len)
+        self.pos = rec_lo
+        self.hi = rec_hi
+        self.block = block
+        self.buf_keys: np.ndarray | None = None
+        self.buf_counts: np.ndarray | None = None
+
+    def exhausted(self) -> bool:
+        return self.pos >= self.hi and (
+            self.buf_keys is None or len(self.buf_keys) == 0)
+
+    def file_done(self) -> bool:
+        return self.pos >= self.hi
+
+    def _load(self):
+        info = self.info
+        n = min(self.block, self.hi - self.pos)
+        rb = info.record_bytes
+        if rb:
+            self.f.seek(4 + self.pos * rb)
+            raw = self.f.read(n * rb)
+            rec = np.frombuffer(raw, np.uint8, count=n * rb).reshape(n, rb)
+        else:
+            rec = np.zeros((n, 0), np.uint8)
+        sb = info.suffix_bytes
+        kb = info.kmer_bytes
+        kmers = np.zeros((n, kb), np.uint8)
+        if sb:
+            kmers[:, kb - sb :] = rec[:, :sb]
+        # prefix of record i = lut slot whose cumulative range contains i
+        lo = self.lut_base
+        hi = min(lo + self.lut_size + 1, len(self.luts))
+        rel = np.searchsorted(
+            self.luts[lo:hi],
+            np.arange(self.pos, self.pos + n, dtype=np.uint64),
+            side="right") - 1
+        prefix = rel.astype(np.uint64)
+        for j in range(kb - sb - 1, -1, -1):
+            kmers[:, j] = (prefix & np.uint64(0xFF)).astype(np.uint8)
+            prefix >>= np.uint64(8)
+        cs = info.counter_size
+        if cs == 0:
+            counts = np.ones(n, np.uint32)
+        else:
+            c = np.zeros(n, np.uint64)
+            for j in range(cs - 1, -1, -1):
+                c = (c << np.uint64(8)) | rec[:, sb + j].astype(np.uint64)
+            counts = c.astype(np.uint32)
+        self.pos += n
+        keys = _keys_of(kmers)
+        if self.buf_keys is not None and len(self.buf_keys):
+            self.buf_keys = np.concatenate([self.buf_keys, keys])
+            self.buf_counts = np.concatenate([self.buf_counts, counts])
+        else:
+            self.buf_keys, self.buf_counts = keys, counts
+
+    def ensure(self):
+        if (self.buf_keys is None or len(self.buf_keys) == 0) and \
+                self.pos < self.hi:
+            self._load()
+
+    def take_upto(self, bound: bytes):
+        """Pop every buffered record with key <= bound."""
+        i = int(np.searchsorted(self.buf_keys, bound, side="right"))
+        out = (self.buf_keys[:i], self.buf_counts[:i])
+        self.buf_keys = self.buf_keys[i:]
+        self.buf_counts = self.buf_counts[i:]
+        return out
+
+
+class DbStreamReader:
+    """Globally-sorted bounded-memory (kmers, counts) block stream over a
+    KMC1/KMC2 database or KFF file — the CKMC*DbReader/CBundle analogue."""
+
+    def __init__(self, path: str, block_records: int = DEFAULT_BLOCK,
+                 cutoff_min: int | None = None, cutoff_max: int | None = None):
+        self.path = str(path)
+        self.block = int(block_records)
+        self.cutoff_min = cutoff_min
+        self.cutoff_max = cutoff_max
+        if self.path.endswith(".kff"):
+            self._init_kff()
+        else:
+            # LUTs stay demand-paged (np.memmap): bounded resident memory
+            # even for databases whose LUT area rivals the suffix area
+            self.info, self.luts, self.sig_map = read_pre_meta(
+                self.path, mmap_luts=True)
+            self._f = open(self.path + ".kmc_suf", "rb")
+            if self._f.read(4) != SUF_MARKER:
+                raise ValueError("bad .kmc_suf marker")
+
+    # -- kff --
+
+    def _init_kff(self):
+        from .kff import read_kff_meta
+
+        self._kff = read_kff_meta(self.path)
+        self.info = DbInfo(
+            kmer_len=self._kff.k,
+            counter_size=self._kff.counter_size,
+            lut_prefix_len=0,
+            cutoff_min=self._kff.min_count,
+            cutoff_max=self._kff.max_count,
+            both_strands=self._kff.canonical,
+            n_unique_stored=sum(n for _, n in self._kff.sections),
+            version=KMC2_VER,
+        )
+        self.luts = None
+        self.sig_map = None
+        self._f = open(self.path, "rb")
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _cursors(self) -> list:
+        info = self.info
+        if self.luts is None:  # KFF
+            return [
+                _KffSectionCursor(self._f, self._kff, off, n, self.block)
+                for off, n in self._kff.sections
+            ]
+        lut_size = 1 << (2 * info.lut_prefix_len)
+        if info.version == KMC1_VER or info.n_bins <= 1:
+            # record count from the header (mmap'd KMC1 LUTs carry no
+            # trailing n_recs sentinel)
+            n_recs = (info.n_unique_stored if info.version == KMC1_VER
+                      else int(self.luts[-1]))
+            return [_SectionCursor(self._f, info, self.luts, 0, 0,
+                                   n_recs, self.block)]
+        cursors = []
+        for b in range(info.n_bins):
+            lo = int(self.luts[b * lut_size])
+            hi = int(self.luts[min((b + 1) * lut_size, len(self.luts) - 1)])
+            if hi > lo:
+                cursors.append(_SectionCursor(
+                    self._f, info, self.luts, b * lut_size, lo, hi,
+                    max(self.block // max(info.n_bins // 8, 1), 1024)))
+        return cursors
+
+    def blocks(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Yield (kmers (B, KB) uint8, counts (B,) uint32) blocks in global
+        ascending k-mer order, min/max filtered."""
+        kb = self.info.kmer_bytes
+        for keys, counts in self.key_blocks():
+            yield _kmers_of(keys, kb), counts
+
+    def key_blocks(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """blocks(), but keys stay in 'S{KB}' form (cheap to compare)."""
+        cursors = self._cursors()
+        cmin, cmax = self.cutoff_min, self.cutoff_max
+        while cursors:
+            for c in cursors:
+                c.ensure()
+            cursors = [c for c in cursors if not c.exhausted()]
+            if not cursors:
+                break
+            # safe merge bound: the smallest "last loaded key" among
+            # cursors that still have file data (their unseen records may
+            # be anywhere above it); fully-loaded cursors are complete
+            bounds = [c.buf_keys[-1] for c in cursors if not c.file_done()]
+            bound = min(bounds) if bounds else max(
+                c.buf_keys[-1] for c in cursors)
+            parts = [c.take_upto(bound) for c in cursors]
+            keys = np.concatenate([p[0] for p in parts])
+            counts = np.concatenate([p[1] for p in parts])
+            if len(keys) == 0:
+                continue
+            if len(parts) > 1:
+                order = np.argsort(keys, kind="stable")
+                keys, counts = keys[order], counts[order]
+            if cmin is not None or cmax is not None:
+                keep = np.ones(len(counts), bool)
+                if cmin is not None:
+                    keep &= counts >= cmin
+                if cmax is not None:
+                    keep &= counts <= cmax
+                keys, counts = keys[keep], counts[keep]
+            if len(keys):
+                yield keys, counts
+
+
+class _KffSectionCursor:
+    """Sorted records of one KFF 'r' section (big-endian k-mer + counter)."""
+
+    def __init__(self, f, meta, offset: int, n_recs: int, block: int):
+        self.f = f
+        self.meta = meta
+        self.kb = (meta.k + 3) // 4
+        self.rec_bytes = self.kb + meta.counter_size
+        self.off = offset
+        self.pos = 0
+        self.hi = n_recs
+        self.block = block
+        self.buf_keys = None
+        self.buf_counts = None
+
+    def exhausted(self):
+        return self.pos >= self.hi and (
+            self.buf_keys is None or len(self.buf_keys) == 0)
+
+    def file_done(self):
+        return self.pos >= self.hi
+
+    def ensure(self):
+        if (self.buf_keys is None or len(self.buf_keys) == 0) and \
+                self.pos < self.hi:
+            n = min(self.block, self.hi - self.pos)
+            self.f.seek(self.off + self.pos * self.rec_bytes)
+            raw = np.frombuffer(self.f.read(n * self.rec_bytes), np.uint8)
+            rec = raw.reshape(n, self.rec_bytes)
+            kmers = rec[:, : self.kb]
+            cs = self.meta.counter_size
+            c = np.zeros(n, np.uint64)
+            for j in range(cs):  # KFF counters are big-endian
+                c = (c << np.uint64(8)) | rec[:, self.kb + j].astype(np.uint64)
+            self.buf_keys = _keys_of(np.ascontiguousarray(kmers))
+            self.buf_counts = c.astype(np.uint32) if cs else np.ones(
+                n, np.uint32)
+            self.pos += n
+
+    take_upto = _SectionCursor.take_upto
+
+
+class StreamingKmc1Writer:
+    """Incremental KMC1 (version 0) database writer: records stream to
+    .kmc_suf while the prefix histogram accumulates; close() writes the
+    LUT + header.  The kmc_tools output side (CKMC1DbWriter,
+    kmc_tools/kmc1_db_writer.h:55) in bounded memory."""
+
+    def __init__(self, path_prefix: str, info: DbInfo):
+        self.path = path_prefix
+        self.info = info
+        self.lut_size = 1 << (2 * info.lut_prefix_len)
+        self.hist = np.zeros(self.lut_size, np.uint64)
+        self.n = 0
+        self._suf = open(path_prefix + ".kmc_suf", "wb")
+        self._suf.write(SUF_MARKER)
+
+    def put_block(self, kmers: np.ndarray, counts: np.ndarray):
+        info = self.info
+        n = len(kmers)
+        if n == 0:
+            return
+        sb = info.suffix_bytes
+        rec = np.empty((n, sb + info.counter_size), np.uint8)
+        if sb:
+            rec[:, :sb] = kmers[:, kmers.shape[1] - sb :]
+        c = np.asarray(counts, np.uint64)
+        for j in range(info.counter_size):
+            rec[:, sb + j] = ((c >> np.uint64(8 * j)) & np.uint64(0xFF)
+                              ).astype(np.uint8)
+        rec.tofile(self._suf)
+        from .kmc_db import kmer_bytes_to_prefix_ids
+
+        pids = kmer_bytes_to_prefix_ids(kmers, info.kmer_len,
+                                        info.lut_prefix_len)
+        self.hist += np.bincount(pids.astype(np.int64),
+                                 minlength=self.lut_size).astype(np.uint64)
+        self.n += n
+
+    def close(self):
+        info = self.info
+        self._suf.write(SUF_MARKER)
+        self._suf.close()
+        with open(self.path + ".kmc_pre", "wb") as pre:
+            pre.write(PRE_MARKER)
+            lut = np.zeros(self.lut_size, np.uint64)
+            np.cumsum(self.hist[:-1], out=lut[1:])
+            lut.astype("<u8").tofile(pre)
+            header = struct.pack(
+                "<IIIIIIQB",
+                info.kmer_len, info.mode, info.counter_size,
+                info.lut_prefix_len, info.cutoff_min,
+                info.cutoff_max & 0xFFFFFFFF, self.n,
+                0 if info.both_strands else 1,
+            )
+            header += b"\x00" * 3
+            header += struct.pack("<I", (info.cutoff_max >> 32) & 0xFFFFFFFF)
+            header += b"\x00" * 20
+            header += struct.pack("<I", KMC1_VER)
+            pre.write(header)
+            pre.write(struct.pack("<I", len(header)))
+            pre.write(PRE_MARKER)
+
+
+# -- windowed two-stream merge ops (the streaming CUnion/CIntersection/...,
+#    operations.h:85-258) --
+
+
+class _Peekable:
+    def __init__(self, it):
+        self.it = iter(it)
+        self.keys = np.zeros(0, "S1")
+        self.counts = np.zeros(0, np.uint32)
+        self.done = False
+
+    def ensure(self):
+        while not self.done and len(self.keys) == 0:
+            try:
+                self.keys, self.counts = next(self.it)
+            except StopIteration:
+                self.done = True
+
+    def take_upto(self, bound: bytes):
+        i = int(np.searchsorted(self.keys, bound, side="right"))
+        out = (self.keys[:i], self.counts[:i])
+        self.keys, self.counts = self.keys[i:], self.counts[i:]
+        return out
+
+
+def merge_key_streams(s1, s2, op: str, mode: str) -> Iterator[
+        tuple[np.ndarray, np.ndarray]]:
+    """Merge two sorted-unique (keys 'S', counts) block streams under a set
+    operation.  op: union|intersect|kmers_subtract|counters_subtract (use
+    swapped streams for the reverse_* variants); mode: the counter
+    combination (db_ops._combine / reference CounterOpType semantics).
+    Yields windows whose results are identical to the in-memory
+    db_ops.SIMPLE_OPS applied to the concatenation."""
+    a, b = _Peekable(s1), _Peekable(s2)
+    while True:
+        a.ensure()
+        b.ensure()
+        if a.done and len(a.keys) == 0 and b.done and len(b.keys) == 0:
+            return
+        # safe merge bound: every key <= bound has been fully seen on both
+        # sides (a side with buffered data bounds at its tail; an exhausted
+        # side imposes no bound)
+        bounds = [side.keys[-1] for side in (a, b)
+                  if len(side.keys) and not side.done]
+        if not bounds:
+            bounds = [side.keys[-1] for side in (a, b) if len(side.keys)]
+        bound = min(bounds)
+        k1, c1 = a.take_upto(bound)
+        k2, c2 = b.take_upto(bound)
+        keys, counts = _merge_window(k1, c1, k2, c2, op, mode)
+        if len(keys):
+            yield keys, counts
+
+
+def _merge_window(k1, c1, k2, c2, op, mode):
+    """One aligned window (both sides complete for every key <= bound);
+    exactly db_ops' op_* semantics on 'S'-key arrays, counters in uint64."""
+    from ..tools.db_ops import _combine
+
+    a1 = c1.astype(np.uint64)
+    a2 = c2.astype(np.uint64)
+    in2 = np.isin(k1, k2, assume_unique=True)
+    in1 = np.isin(k2, k1, assume_unique=True)
+    # counts of k2 aligned to k1's matched keys (both sorted unique)
+    m2on1 = a2[in1] if in2.any() else a2[:0]
+
+    if op == "intersect":
+        keys = k1[in2]
+        counts = _combine(a1[in2], m2on1, mode)
+        keep = counts > 0
+        return keys[keep], counts[keep]
+    if op == "kmers_subtract":
+        return k1[~in2], a1[~in2]
+    if op == "counters_subtract":
+        counts = a1.copy()
+        counts[in2] = _combine(a1[in2], m2on1, mode)
+        keep = counts > 0
+        return k1[keep], counts[keep]
+    if op == "union":
+        keys = np.concatenate([k1, k2[~in1]])
+        counts = np.concatenate([a1, a2[~in1]])
+        if in2.any():
+            counts[: len(k1)][in2] = _combine(a1[in2], m2on1, mode)
+        order = np.argsort(keys, kind="stable")
+        keys, counts = keys[order], counts[order]
+        keep = counts > 0
+        return keys[keep], counts[keep]
+    raise ValueError(op)
+
+
+_STREAM_OPS = {
+    "union", "intersect", "kmers_subtract", "counters_subtract",
+    "reverse_kmers_subtract", "reverse_counters_subtract",
+}
+
+
+def stream_simple_op(op: str, db1: str, db2: str, out: str,
+                     mode: str | None = None, out_params=None,
+                     block_records: int = DEFAULT_BLOCK) -> int:
+    """Bounded-memory two-database set operation -> KMC1-format DB (what
+    kmc_tools writes for simple ops).  Returns output record count."""
+    from ..tools.db_ops import DEFAULT_COUNTER_MODE, OutputParams
+
+    if op not in _STREAM_OPS:
+        raise ValueError(op)
+    if op.startswith("reverse_"):
+        return stream_simple_op(op[len("reverse_"):], db2, db1, out,
+                                mode=mode, out_params=out_params,
+                                block_records=block_records)
+    r1 = DbStreamReader(db1, block_records)
+    r2 = DbStreamReader(db2, block_records)
+    if r1.info.kmer_len != r2.info.kmer_len:
+        raise ValueError("k-mer length mismatch")
+    mode = mode or DEFAULT_COUNTER_MODE.get(op, "sum")
+    op_params = out_params or OutputParams()
+    kb = r1.info.kmer_bytes
+
+    from ..defs import calc_counter_size
+    from ..tools.db_ops import tools_lut_prefix_len
+
+    # the reference sizes the output LUT from the INPUT headers (it
+    # streams, so the output count is unknown upfront) — same here
+    k = r1.info.kmer_len
+    info = DbInfo(
+        kmer_len=k,
+        counter_size=calc_counter_size(op_params.cutoff_max,
+                                       op_params.counter_max),
+        lut_prefix_len=tools_lut_prefix_len(
+            k, [r1.info.n_unique_stored, r2.info.n_unique_stored]),
+        cutoff_min=op_params.cutoff_min,
+        cutoff_max=op_params.cutoff_max,
+        both_strands=r1.info.both_strands,
+        version=KMC1_VER,
+    )
+    w = StreamingKmc1Writer(out, info)
+    with r1, r2:
+        for keys, counts in merge_key_streams(
+                r1.key_blocks(), r2.key_blocks(), op, mode):
+            keep = ((counts >= op_params.cutoff_min)
+                    & (counts <= op_params.cutoff_max))
+            w.put_block(
+                _kmers_of(keys[keep], kb),
+                np.minimum(counts[keep], op_params.counter_max))
+    w.close()
+    return w.n
+
+
+def stream_dump(db: str, out_path: str,
+                block_records: int = DEFAULT_BLOCK) -> int:
+    """Bounded-memory sorted text dump (kmc_tools transform db dump -s)."""
+    from .dump import dump_records
+
+    r = DbStreamReader(db, block_records)
+    n = 0
+    with r, open(out_path, "w") as f:
+        for kmers, counts in r.blocks():
+            f.write(dump_records(kmers, counts, r.info.kmer_len))
+            n += len(counts)
+    return n

@@ -192,6 +192,214 @@ def _native_code_stream(paths, fmt: str, state: ParseState | None,
             break
 
 
+def _scan_record_start(win: bytes, fmt: str) -> int | None:
+    """Offset of the first record start strictly inside `win` (which begins
+    mid-record), or None if the window shows none / is too short to verify.
+
+    FASTA: unambiguous ('\\n>').  FASTQ: candidate '\\n@' verified
+    structurally over TWO records (the '+' separator line and the
+    quality/sequence length equality disambiguate '@' inside quality
+    strings — same approach as the reference's part splitter,
+    fastq_reader.cpp:577-770)."""
+    if fmt in ("fasta", "multifasta"):
+        i = win.find(b"\n>")
+        return i + 1 if i != -1 else None
+
+    def _is_record_at(pos: int, depth: int = 2) -> bool:
+        if pos >= len(win):
+            return False
+        if win[pos : pos + 1] != b"@":
+            return False
+        e0 = win.find(b"\n", pos)
+        if e0 == -1:
+            return False
+        e1 = win.find(b"\n", e0 + 1)
+        e2 = win.find(b"\n", e1 + 1) if e1 != -1 else -1
+        e3 = win.find(b"\n", e2 + 1) if e2 != -1 else -1
+        if e2 == -1:
+            return False
+        if win[e1 + 1 : e1 + 2] != b"+":
+            return False
+        if e3 == -1:
+            # can't see the full quality line: accept only at true EOF
+            return len(win) - (e2 + 1) <= (e1 - (e0 + 1))
+        if (e3 - (e2 + 1)) != (e1 - (e0 + 1)):
+            return False
+        if depth > 1 and e3 + 1 < len(win):
+            return _is_record_at(e3 + 1, depth - 1)
+        return True
+
+    i = 0
+    while True:
+        i = win.find(b"\n@", i)
+        if i == -1:
+            return None
+        if _is_record_at(i + 1):
+            return i + 1
+        i += 1
+
+
+def _file_shards(path: str, fmt: str, n_threads: int,
+                 min_shard_bytes: int = 32 << 20) -> list[tuple[int, int]]:
+    """[(start, end)] byte ranges of `path` aligned to record starts.
+    Gz files (serial inflate) and unverifiable splits collapse to one
+    range."""
+    import os as _os
+
+    p = Path(path)
+    if p.suffix == ".gz":
+        return [(0, -1)]
+    size = _os.path.getsize(path)
+    n = min(n_threads * 2, max(1, size // min_shard_bytes))
+    if n <= 1:
+        return [(0, -1)]
+    bounds = [0]
+    with open(path, "rb") as f:
+        for j in range(1, n):
+            target = size * j // n
+            if target <= bounds[-1]:
+                continue
+            f.seek(target)
+            win = f.read(4 << 20)
+            off = _scan_record_start(win, fmt)
+            if off is None:
+                continue  # merge into the previous shard
+            start = target + off
+            if start > bounds[-1]:
+                bounds.append(start)
+    bounds.append(size)
+    return [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
+
+
+def parallel_code_stream(paths, fmt: str, state: ParseState | None = None,
+                         n_threads: int = 2) -> Iterator[np.ndarray]:
+    """file_code_stream with N parser threads (the native C parsers release
+    the GIL, so parse genuinely overlaps across cores — the analogue of the
+    reference's reader/splitter thread pool, kmc.h:234-294).
+
+    Work shards: one per gz file (inflation is serial per stream, parallel
+    across files — reference kmc.h:276-292 gives gz files cores/2 readers);
+    plain FASTQ/FASTA files split into byte ranges aligned to record starts.
+    The consumer drains shards strictly in order, so the emitted chunk
+    stream is a chunk-boundary refinement of the serial stream: batches,
+    counts, stats, and DB bytes are identical to the serial path.
+
+    Requires the native parser; the caller falls back to file_code_stream
+    when it is unavailable."""
+    import queue as _queue
+    import threading
+
+    from .native import NativeGzReader, NativeParser
+
+    NativeParser(fmt)  # probe availability (raises -> caller falls back)
+    own_state = state or ParseState()
+
+    shards = []  # (path, start, end, last_of_file)
+    for path in paths:
+        ranges = _file_shards(path, fmt, n_threads)
+        for i, (a, b) in enumerate(ranges):
+            shards.append((path, a, b, i == len(ranges) - 1))
+    return _parallel_chunks(shards, fmt, own_state, n_threads)
+
+
+def _parallel_chunks(shards, fmt, own_state, n_threads):
+    import queue as _queue
+    import threading
+
+    from .native import NativeGzReader, NativeParser
+
+    qs = [_queue.Queue(maxsize=2) for _ in shards]
+    window = threading.Semaphore(n_threads + 2)  # shards in flight
+    next_shard = [0]
+    lock = threading.Lock()
+    errors: list = []
+
+    def run_shard(si):
+        path, start, end, last = shards[si]
+        parser = NativeParser(fmt)
+        q = qs[si]
+        gz = Path(path).suffix == ".gz"
+        buf = np.empty(CHUNK_BYTES, dtype=np.uint8)
+        reader = NativeGzReader(path) if gz else open(path, "rb", buffering=0)
+        try:
+            if not gz and start:
+                reader.seek(start)
+            remaining = None if (gz or end < 0) else end - start
+            ended_with_newline = True
+            consumed = 0
+            while True:
+                want = CHUNK_BYTES if remaining is None else min(
+                    CHUNK_BYTES, remaining)
+                if want == 0:
+                    break
+                if gz:
+                    n = reader.read_into(buf)
+                else:
+                    n = reader.readinto(memoryview(buf)[:want])
+                if not n:
+                    break
+                ended_with_newline = buf[n - 1] == 10
+                q.put(("c", parser.parse(buf[:n]).copy(), n))
+                consumed += n
+                if remaining is not None:
+                    remaining -= n
+            if last and not ended_with_newline:
+                q.put(("c", parser.parse(
+                    np.frombuffer(b"\n", dtype=np.uint8)).copy(), 0))
+            if last:
+                # file boundary sentinel (k-mers must not span files)
+                q.put(("c", np.full(1, CODE_INVALID, dtype=np.uint8), 0))
+            q.put(("done", parser.n_reads, consumed))
+        except BaseException as e:  # noqa: BLE001 — re-raised by consumer
+            errors.append(e)
+            q.put(("err", None, 0))
+        finally:
+            reader.close()
+
+    def worker():
+        while True:
+            with lock:
+                si = next_shard[0]
+                if si >= len(shards):
+                    return
+                next_shard[0] += 1
+            window.acquire()
+            run_shard(si)
+
+    threads = [threading.Thread(target=worker, name=f"kmc-read{i}",
+                                daemon=True)
+               for i in range(min(n_threads, len(shards)))]
+    for t in threads:
+        t.start()
+    try:
+        for si in range(len(shards)):
+            q = qs[si]
+            while True:
+                kind, payload, nbytes = q.get()
+                if kind == "err":
+                    raise errors[0]
+                if kind == "done":
+                    own_state.n_reads += payload
+                    window.release()
+                    break
+                own_state.consumed_bytes += nbytes
+                yield payload
+    finally:
+        # unblock producers if the consumer stops early
+        with lock:
+            next_shard[0] = len(shards)
+        for q in qs:
+            while True:
+                try:
+                    q.get_nowait()
+                except _queue.Empty:
+                    break
+        for _ in threads:
+            window.release()
+        for t in threads:
+            t.join(timeout=10)
+
+
 def homopolymer_compress_codes(codes: np.ndarray) -> np.ndarray:
     """Collapse runs of identical bases (reference splitter.cpp:424-435);
     runs of sentinels collapse too, which is harmless."""

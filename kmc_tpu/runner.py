@@ -25,7 +25,13 @@ import numpy as np
 from . import defs
 from .defs import calc_counter_size
 from .formats.kmc_db import DbInfo, Kmc2DbWriter, pick_lut_prefix_len, write_kmc1_db
-from .io.readers import BatchStream, ParseState, file_code_stream, homopolymer_compress_codes
+from .io.readers import (
+    BatchStream,
+    ParseState,
+    file_code_stream,
+    homopolymer_compress_codes,
+    parallel_code_stream,
+)
 from .signatures import build_signature_map, map_size
 from .io.native import pack_codes, pack_codes_boundaries, pack_codes_fused
 from .ops.extract import INVALID_SIG, stage1_batch_packed
@@ -272,7 +278,26 @@ class Runner:
         elif fmt == "kmc":
             source = self._kmc_db_chunks(params, state)
         else:
-            source = file_code_stream(params.input_files, fmt, state, max_bytes=max_bytes)
+            import os as _os
+
+            try:  # respect cgroup/affinity limits, not the physical count
+                auto = len(_os.sched_getaffinity(0))
+            except AttributeError:
+                auto = _os.cpu_count() or 1
+            n_th = params.n_threads or auto
+            source = None
+            if n_th > 1 and max_bytes is None:
+                # N parser threads over file/byte-range shards (the
+                # reference's reader/splitter pool, kmc.h:234-294); the
+                # chunk stream is a boundary refinement of the serial one
+                try:
+                    source = parallel_code_stream(
+                        params.input_files, fmt, state, n_threads=n_th)
+                except (RuntimeError, OSError, ImportError):
+                    source = None  # no native parser: serial fallback
+            if source is None:
+                source = file_code_stream(params.input_files, fmt, state,
+                                          max_bytes=max_bytes)
         prev_last = -1
         for chunk in source:
             if params.homopolymer_compressed:

@@ -170,8 +170,40 @@ DEFAULT_COUNTER_MODE = {
 }
 
 
+# above this many combined input records the 2-arg set ops stream in
+# bounded memory instead of materializing (formats/streaming.py); override
+# with KMC_TPU_STREAM_THRESHOLD (0 forces streaming everywhere)
+STREAM_THRESHOLD = 1 << 24
+
+
+def _stream_threshold() -> int:
+    import os
+
+    v = os.environ.get("KMC_TPU_STREAM_THRESHOLD")
+    return int(v) if v is not None else STREAM_THRESHOLD
+
+
+def _stored_count(path: str) -> int:
+    try:
+        if str(path).endswith(".kff"):
+            from ..formats.kff import read_kff_meta
+
+            return sum(n for _, n in read_kff_meta(str(path)).sections)
+        from ..formats.kmc_db import read_pre_meta
+
+        return read_pre_meta(str(path))[0].n_unique_stored
+    except Exception:
+        return 0
+
+
 def run_simple_op(op: str, db1: str, db2: str, out: str, mode: str | None = None,
                   out_params: OutputParams | None = None):
+    if (not str(out).endswith(".kff")
+            and _stored_count(db1) + _stored_count(db2) > _stream_threshold()):
+        from ..formats.streaming import stream_simple_op
+
+        return stream_simple_op(op, db1, db2, out, mode=mode,
+                                out_params=out_params)
     info1, k1, c1 = load_sorted(db1)
     info2, k2, c2 = load_sorted(db2)
     if info1.kmer_len != info2.kmer_len:
@@ -185,15 +217,42 @@ def run_simple_op(op: str, db1: str, db2: str, out: str, mode: str | None = None
         kmers, counts = fn(k1, c1, k2, c2)
     out_params = out_params or OutputParams()
     kmers, counts = out_params.apply(kmers, counts)
-    write_sorted_db(out, info1.kmer_len, kmers, counts, out_params)
+    write_sorted_db(out, info1.kmer_len, kmers, counts, out_params,
+                    input_ns=[info1.n_unique_stored, info2.n_unique_stored])
     return len(kmers)
 
 
+def tools_lut_prefix_len(k: int, input_ns) -> int:
+    """The reference's output-LUT split: per input database, the best
+    LUT-vs-suffix tradeoff for THAT input's record count; the output takes
+    the maximum (CKMC1DbWriter::calc_lut_prefix_len,
+    kmc_tools/kmc1_db_writer.h:425-456)."""
+    bests = []
+    for n in input_ns:
+        best, best_mem = 0, 1 << 62
+        for lpl in range(1, 16):
+            if lpl > k:
+                break
+            suffix_len = k - lpl
+            if suffix_len % 4:
+                continue
+            mem = n * suffix_len // 4 + (1 << (2 * lpl)) * 8
+            if mem < best_mem:
+                best, best_mem = lpl, mem
+        bests.append(best)
+    return max(bests) if bests else 0
+
+
 def write_sorted_db(path_prefix: str, k: int, kmers, counts,
-                    out_params: OutputParams, both_strands: bool = True):
+                    out_params: OutputParams, both_strands: bool = True,
+                    input_ns=None):
     """Write globally sorted records as a KMC1 database (what kmc_tools
     produces for transform/simple outputs, kmc1_db_writer.h:55), or as a KFF
-    file when the output path ends in .kff (reference -o kff option)."""
+    file when the output path ends in .kff (reference -o kff option).
+
+    input_ns: record counts of the INPUT databases — the reference sizes
+    the output LUT from those headers (it streams, so the output count is
+    unknown upfront); omitted -> sized from the actual output."""
     counter_size = calc_counter_size(out_params.cutoff_max, out_params.counter_max)
     if str(path_prefix).endswith(".kff"):
         from ..formats.kff import KffWriter
@@ -209,7 +268,10 @@ def write_sorted_db(path_prefix: str, k: int, kmers, counts,
         w.store_section(np.asarray(kmers), np.asarray(counts, np.uint32))
         w.close()
         return
-    lut_prefix_len = _pick_kmc1_lut_len(k, len(kmers))
+    if input_ns is not None:
+        lut_prefix_len = tools_lut_prefix_len(k, input_ns)
+    else:
+        lut_prefix_len = _pick_kmc1_lut_len(k, len(kmers))
     info = DbInfo(
         kmer_len=k,
         counter_size=counter_size,
@@ -276,6 +338,12 @@ def transform_histogram(db: str, out_path: str, cutoff_min: int = 1,
 
 
 def transform_dump(db: str, out_path: str, sorted_output: bool = True):
+    if sorted_output and not str(db).endswith(".kff") \
+            and _stored_count(db) > _stream_threshold():
+        from ..formats.streaming import stream_dump
+
+        stream_dump(db, str(out_path))
+        return
     from ..formats.dump import dump_db_file
 
     dump_db_file(db, out_path, sorted_output)

@@ -1,0 +1,124 @@
+"""Multi-threaded host ingest (io/readers.py::parallel_code_stream): the
+parallel chunk stream must be a boundary refinement of the serial stream —
+identical concatenated codes, identical read counts, identical DBs.
+Reference analogue: the reader/splitter thread pool (kmc.h:234-294)."""
+import gzip
+
+import numpy as np
+import pytest
+
+from kmc_tpu.io import readers
+from kmc_tpu.io.native import get_lib
+
+from util import random_reads, write_fasta, write_fastq
+
+pytestmark = pytest.mark.skipif(
+    get_lib() is None, reason="native parser unavailable")
+
+
+def _cat(gen):
+    chunks = list(gen)
+    return (np.concatenate(chunks) if chunks
+            else np.zeros(0, np.uint8))
+
+
+def _assert_streams_match(paths, fmt, n_threads=3):
+    s1 = readers.ParseState()
+    serial = _cat(readers.file_code_stream(paths, fmt, s1))
+    s2 = readers.ParseState()
+    par = _cat(readers.parallel_code_stream(paths, fmt, s2,
+                                            n_threads=n_threads))
+    assert np.array_equal(serial, par)
+    assert s1.n_reads == s2.n_reads
+
+
+def test_multi_file_fastq(tmp_path):
+    paths = []
+    for i in range(5):
+        reads = random_reads(40, 90, seed=i)
+        paths.append(write_fastq(tmp_path / f"in{i}.fastq", reads))
+    _assert_streams_match(paths, "fastq")
+
+
+def test_single_big_fastq_byte_range_split(tmp_path, monkeypatch):
+    # force byte-range sharding on a small file
+    monkeypatch.setattr(readers, "CHUNK_BYTES", 1 << 12)
+    reads = random_reads(4000, 120, seed=3)
+    path = write_fastq(tmp_path / "big.fastq", reads)
+    import os
+    size = os.path.getsize(path)
+    shards = readers._file_shards(str(path), "fastq", 4,
+                                  min_shard_bytes=size // 6)
+    assert len(shards) > 1, "file did not split"
+    _assert_streams_match([path], "fastq")
+
+
+def test_fastq_quality_at_sign_ambiguity(tmp_path, monkeypatch):
+    """Quality strings starting with '@' and '+' must not fool the
+    record-boundary scanner."""
+    rng = np.random.default_rng(9)
+    path = tmp_path / "tricky.fastq"
+    with open(path, "w") as f:
+        for i in range(3000):
+            seq = "".join("ACGT"[c] for c in rng.integers(0, 4, 80))
+            # qualities deliberately start with '@' or '+' and contain both
+            qual = (("@" if i % 2 else "+") + "@+II" * 20)[: len(seq)]
+            f.write(f"@r{i} desc\n{seq}\n+\n{qual}\n")
+    import os
+    size = os.path.getsize(path)
+    shards = readers._file_shards(str(path), "fastq", 4,
+                                  min_shard_bytes=size // 6)
+    assert len(shards) > 1
+    # every shard boundary must land on a true record start ('@r...')
+    data = open(path, "rb").read()
+    for start, _ in shards[1:]:
+        assert data[start : start + 2] == b"@r", data[start : start + 8]
+    _assert_streams_match([path], "fastq")
+
+
+def test_single_big_fasta_split(tmp_path):
+    reads = random_reads(3000, 150, seed=5)
+    path = write_fasta(tmp_path / "big.fa", reads)
+    import os
+    size = os.path.getsize(path)
+    shards = readers._file_shards(str(path), "fasta", 4,
+                                  min_shard_bytes=size // 6)
+    assert len(shards) > 1
+    _assert_streams_match([path], "fasta")
+
+
+def test_gz_files_one_shard_each(tmp_path):
+    paths = []
+    for i in range(3):
+        reads = random_reads(60, 100, seed=10 + i)
+        raw = "".join(
+            f"@r{j}\n{r}\n+\n{'I' * len(r)}\n" for j, r in enumerate(reads))
+        p = tmp_path / f"in{i}.fastq.gz"
+        with gzip.open(p, "wt") as f:
+            f.write(raw)
+        paths.append(str(p))
+    for p in paths:
+        assert readers._file_shards(p, "fastq", 4) == [(0, -1)]
+    _assert_streams_match(paths, "fastq")
+
+
+def test_runner_parallel_ingest_db_identical(tmp_path):
+    """End-to-end: n_threads>1 produces a byte-identical DB."""
+    from kmc_tpu.formats import dump_db_file
+    from kmc_tpu.runner import Stage1Params, count
+
+    paths = []
+    for i in range(4):
+        reads = random_reads(200, 110, seed=20 + i, genome_len=9000)
+        paths.append(write_fastq(tmp_path / f"r{i}.fastq", reads))
+
+    out1 = str(tmp_path / "serial")
+    out2 = str(tmp_path / "parallel")
+    count(paths, out1, k=25, cutoff_min=1, batch_positions=1 << 12,
+          n_threads=1)
+    count(paths, out2, k=25, cutoff_min=1, batch_positions=1 << 12,
+          n_threads=4)
+    for suf in (".kmc_pre", ".kmc_suf"):
+        with open(out1 + suf, "rb") as a, open(out2 + suf, "rb") as b:
+            assert a.read() == b.read(), suf
+    assert dump_db_file(out1) == dump_db_file(out2)

@@ -85,14 +85,14 @@ def sec_roofline():
     report("reverse (r+w)", N, timeit(g, a), 2 * 4 * N)
 
 
-def _ce_pass(x, stride):
-    """bitonic-merge compare-exchange at `stride` via reshape (no strided
-    slicing): pairs (i, i+stride)."""
-    n = x.shape[0]
-    y = x.reshape(n // (2 * stride), 2, stride)
-    lo = jnp.minimum(y[:, 0, :], y[:, 1, :])
-    hi = jnp.maximum(y[:, 0, :], y[:, 1, :])
-    return jnp.stack([lo, hi], axis=1).reshape(n)
+def _ce_pass(x, stride, iota):
+    """bitonic-merge compare-exchange at `stride`, roll-based: 1-D
+    contiguous ops only (a (n/2s, 2, s) reshape tile-pads the minor dim to
+    128 — 16x memory at small strides, an instant OOM at 2^28)."""
+    up = jnp.roll(x, -stride)
+    dn = jnp.roll(x, stride)
+    is_lo = (iota & stride) == 0
+    return jnp.where(is_lo, jnp.minimum(x, up), jnp.maximum(x, dn))
 
 
 def sec_bitonic():
@@ -100,37 +100,23 @@ def sec_bitonic():
     # MERGE of a bitonic sequence) — the building block of merging sorted
     # runs without lax.sort
     a = rand_u32(N, 0)
+    iota = jnp.arange(N, dtype=jnp.uint32)
 
     @jax.jit
     def merge(x):
         for s in range(LOGN - 1, -1, -1):
-            x = _ce_pass(x, 1 << s)
+            x = _ce_pass(x, 1 << s, iota)
         return x
 
     t = timeit(merge, a)
     report(f"bitonic merge ladder ({LOGN} passes)", N, t, 2 * 4 * N * LOGN)
 
-    # merge of 2 key columns (carry payload via 2 stacked compare-exchanges)
-    b = rand_u32(N, 1)
-
     @jax.jit
-    def merge2(x, y):
-        for s in range(LOGN - 1, -1, -1):
-            n = x.shape[0]
-            xs = x.reshape(n // (2 << s), 2, 1 << s)
-            ys = y.reshape(n // (2 << s), 2, 1 << s)
-            swap = (xs[:, 0, :] > xs[:, 1, :]) | (
-                (xs[:, 0, :] == xs[:, 1, :]) & (ys[:, 0, :] > ys[:, 1, :]))
-            xlo = jnp.where(swap, xs[:, 1, :], xs[:, 0, :])
-            xhi = jnp.where(swap, xs[:, 0, :], xs[:, 1, :])
-            ylo = jnp.where(swap, ys[:, 1, :], ys[:, 0, :])
-            yhi = jnp.where(swap, ys[:, 0, :], ys[:, 1, :])
-            x = jnp.stack([xlo, xhi], axis=1).reshape(n)
-            y = jnp.stack([ylo, yhi], axis=1).reshape(n)
-        return x, y
+    def one_pass(x):
+        return _ce_pass(x, 1 << (LOGN - 1), iota)
 
-    t = timeit(merge2, a, b)
-    report(f"bitonic merge 2-col ({LOGN} passes)", N, t, 2 * 8 * N * LOGN)
+    t = timeit(one_pass, a)
+    report("single compare-exchange pass", N, t, 2 * 4 * N)
 
 
 def sec_pallas():
@@ -221,8 +207,9 @@ def sec_scatter():
 
 def sec_onehot():
     # MXU permutation: batched one-hot matmul moving 8 u8 payload columns
+    # (chunked: the full one-hot tensor at 2^28 is 134 GB)
     B = 256  # permutation tile
-    nb = N // B
+    nb = min(N, 1 << 24) // B
     rng = np.random.default_rng(5)
     perm = jnp.asarray(
         np.stack([rng.permutation(B) for _ in range(1024)])[
