@@ -153,6 +153,36 @@ class KMCFile:
         return self._open(path, ra=False)
 
     def _open(self, path: str, ra: bool = True) -> bool:
+        if ra and str(path).endswith(".kff"):
+            # KFF random access: materialize into the same sorted RA
+            # structure the reference builds (CKffAndKMCRandomAccess
+            # loads the KFF into a CKMCFile-shaped prefix/suffix array,
+            # kmc_tools/kff_random_access.h:21-120)
+            from .formats.kff import read_kff
+            from .formats.kmc_db import DbInfo
+
+            try:
+                kf = read_kff(str(path))
+            except (OSError, ValueError, NotImplementedError):
+                return False
+            order = np.lexsort(tuple(
+                kf.kmers[:, j] for j in range(kf.kmers.shape[1] - 1, -1, -1)))
+            self._kmers = kf.kmers[order]
+            self._counts = kf.counts[order]
+            self._info = DbInfo(
+                kmer_len=kf.k,
+                counter_size=kf.counter_size,
+                lut_prefix_len=0,
+                cutoff_min=kf.min_count,
+                cutoff_max=kf.max_count,
+                both_strands=kf.canonical,
+                n_unique_stored=len(self._counts),
+            )
+            self._db = None
+            self._pos = 0
+            self._min_count = self._info.cutoff_min
+            self._max_count = self._info.cutoff_max
+            return True
         if ra:
             try:
                 self._db = read_db(path)
@@ -297,15 +327,15 @@ class KMCFile:
         searchsorted is equivalent.  RA mode only, like the reference
         (listing mode returns not-found).
         """
-        if self._db is None:
+        if self._kmers is None:
             return False, 0
         if isinstance(kmer, KmerAPI):
             codes = kmer.codes
         else:
             codes = CODE_LUT[np.frombuffer(str(kmer).encode(), dtype=np.uint8)]
-        if (codes >= 4).any() or len(codes) != self._db.info.kmer_len:
+        if (codes >= 4).any() or len(codes) != self._info.kmer_len:
             return False, 0
-        if self._db.info.both_strands:
+        if self._info.both_strands:
             codes = _canonicalize_codes(codes)
         row = _codes_to_bytes(codes)
         idx = _searchsorted_rows(self._kmers, row[None, :])[0]
@@ -321,14 +351,14 @@ class KMCFile:
     def GetCountersForRead(self, read: str) -> tuple[bool, list]:
         """Counters for every k-mer of a read, 0 where absent or broken by
         non-ACGT symbols (reference kmc_file.cpp:1193).  RA mode only."""
-        if self._db is None:
+        if self._kmers is None:
             return False, []
-        k = self._db.info.kmer_len
+        k = self._info.kmer_len
         codes = CODE_LUT[np.frombuffer(read.upper().encode(), dtype=np.uint8)]
         n = len(codes) - k + 1
         if n <= 0:
             return True, []
-        rows, valid = _batch_kmer_rows(codes, k, self._db.info.both_strands)
+        rows, valid = _batch_kmer_rows(codes, k, self._info.both_strands)
         idx = _searchsorted_rows(self._kmers, rows)
         idx_c = np.minimum(idx, len(self._kmers) - 1)
         if len(self._kmers):

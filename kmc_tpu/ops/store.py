@@ -984,6 +984,29 @@ class DeviceKmerStore:
             return np.asarray(self._sig_map_dev)
         return prefix_sig_map(self.sig_len, self.prefix_bits)
 
+    def _effective_finalize_cols(self):
+        """Slice the store to the smallest GRAIN-rounded shape covering the
+        used rows before the finalize sorts: the big sorts cost ~5 ns/row
+        regardless of liveness, so sorting the dead allocation tail (store
+        rows are full-capacity for shape stability) wastes up to
+        GRAIN/capacity of the dominant finalize term.  GRAIN bounds the
+        number of compiled variants (capacity/GRAIN shapes, persistent
+        cache).  Returns (key_cols, counts) views."""
+        import os as _os
+
+        if self._pending_base is not None:
+            self._resolve_base()
+        rows = self._base_rows() + self._since_compact
+        X = int(self.key_cols[0].shape[0])
+        grain = int(_os.environ.get("KMC_TPU_FINALIZE_GRAIN", 1 << 24))
+        grain = max(32, (grain + 31) & ~31)  # keep-bit packing needs %32
+        eff = min(X, ((max(rows, 1) + grain - 1) // grain) * grain)
+        if eff >= X:
+            return self.key_cols, self.counts
+        cols = tuple(c[:eff] for c in self.key_cols)
+        counts = self.counts[:eff] if self.counts is not None else None
+        return cols, counts
+
     def finalize_records(
         self,
         sig_map: np.ndarray | None = None,  # API compat; map fixed at init
@@ -1016,12 +1039,13 @@ class DeviceKmerStore:
             n_bins=self.n_used_bins, fuse=self.fuse,
         )
         t0 = _time.perf_counter()
-        if self.counts is None:
+        eff_cols, eff_counts = self._effective_finalize_cols()
+        if eff_counts is None:
             cols, keep_bits, lut, n_groups, stats = _finalize_records_unit(
-                self.key_cols, self.n_used, wide=False, **kw)
+                eff_cols, self.n_used, wide=False, **kw)
         else:
             cols, keep_bits, lut, n_groups, stats = _finalize_records_counted(
-                self.key_cols, self.counts, self.n_used,
+                eff_cols, eff_counts, self.n_used,
                 wide=self._wide(), **kw)
         n = int(n_groups)  # sync point
         self.t_finalize_exec = _time.perf_counter() - t0
@@ -1127,12 +1151,13 @@ class DeviceKmerStore:
         kw = dict(cutoff_min=cutoff_min, cutoff_max=cutoff_max, k=self.k,
                   n_bins=self.n_used_bins, fuse=self.fuse)
         t0 = _time.perf_counter()
-        if self.counts is None:
+        eff_cols, eff_counts = self._effective_finalize_cols()
+        if eff_counts is None:
             g_bins, g_words, g_counts, n_groups, stats = _finalize_rows_unit(
-                self.key_cols, self.n_used, wide=False, **kw)
+                eff_cols, self.n_used, wide=False, **kw)
         else:
             g_bins, g_words, g_counts, n_groups, stats = _finalize_rows_counted(
-                self.key_cols, self.counts, self.n_used,
+                eff_cols, eff_counts, self.n_used,
                 wide=self._wide(), **kw)
         n = int(n_groups)  # sync point: device queue drains here
         self.t_finalize_exec = _time.perf_counter() - t0

@@ -211,3 +211,31 @@ def test_py_kmc_api_shim_to_long():
     res = pka.LongKmerRepresentation()
     ka.to_long(res)
     assert res.value == [0b00011011]  # ACGT == 27, right-aligned
+
+
+def test_kff_random_access(tmp_path):
+    """KFF random access (the reference's CKffAndKMCRandomAccess,
+    kmc_tools/kff_random_access.h): OpenForRA on a .kff file supports
+    CheckKmer / GetCountersForRead / listing."""
+    from kmc_tpu.runner import OutputFileType, count
+
+    reads = random_reads(40, 80, seed=91)
+    inp = write_fastq(tmp_path / "in.fastq", reads)
+    out = str(tmp_path / "x")
+    count([inp], out, k=21, cutoff_min=1, batch_positions=1 << 12,
+          output_file_type=OutputFileType.KFF)
+    counts = oracle.count_kmers(reads, 21)
+
+    f = KMCFile()
+    assert f.OpenForRA(out + ".kff")
+    assert f.KmerLength() == 21
+    assert f.KmerCount() == len(counts)
+    for i, (km, c) in enumerate(sorted(counts.items())):
+        if i % 5:
+            continue
+        found, got = f.CheckKmer(km)
+        assert found and got == c, (km, got, c)
+    assert not f.CheckKmer("A" * 21)[0] or counts.get("A" * 21)
+    ok, per_read = f.GetCountersForRead(reads[0])
+    assert ok and len(per_read) == len(reads[0]) - 20
+    assert all(c >= 1 for c in per_read)

@@ -282,3 +282,19 @@ def test_boundary_feed_dense_fallback(tmp_path):
     counts = oracle.count_kmers(reads, 15)
     records, _ = oracle.apply_cutoffs(counts, 1, 10**9, 255)
     assert dump_db_file(out) == oracle.dump_text(records)
+
+
+def test_exact_size_finalize_grain(tmp_path, monkeypatch):
+    """Finalize slices the store to a GRAIN-rounded effective shape before
+    the big sorts (dead-tail rows cost sort time); a tiny grain must yield
+    a byte-identical DB."""
+    reads = random_reads(90, 100, seed=77, genome_len=7000)
+    inp = write_fastq(tmp_path / "in.fastq", reads)
+    out_a = str(tmp_path / "full")
+    out_b = str(tmp_path / "grain")
+    count([inp], out_a, k=25, cutoff_min=1, batch_positions=1 << 12)
+    monkeypatch.setenv("KMC_TPU_FINALIZE_GRAIN", "64")
+    count([inp], out_b, k=25, cutoff_min=1, batch_positions=1 << 12)
+    for suf in (".kmc_pre", ".kmc_suf"):
+        with open(out_a + suf, "rb") as a, open(out_b + suf, "rb") as b:
+            assert a.read() == b.read(), suf

@@ -23,6 +23,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from tools.diff_vs_reference import make_input  # noqa: E402
 
 
+if "--cpu" in sys.argv:
+    # same XLA semantics, no dev-tunnel dependency (the tunnel can wedge)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def run(cmd, **kw):
     return subprocess.run([str(c) for c in cmd], check=True,
                           capture_output=True, **kw)

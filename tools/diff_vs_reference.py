@@ -158,6 +158,11 @@ def sweep_main():
 
 
 def main():
+    if "--cpu" in sys.argv:
+        # same XLA semantics, no dev-tunnel dependency
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from tools.measure_reference import build_reference
 
     workdir = Path(tempfile.mkdtemp(prefix="kmc_diff_"))
@@ -208,8 +213,28 @@ def main():
     print(f"-e estimated histogram (first 5 bins within 15%): "
           f"{'MATCH' if not est_fail else 'MISMATCH'}")
 
+    # the reference binary must be able to open and dump a DB produced
+    # under signature_map_policy="greedy" (the parity property the greedy
+    # map guarantees even though the bin numbering composition differs —
+    # signatures.py docstring)
+    from kmc_tpu.formats import dump_db_file
+    from kmc_tpu.runner import count as tpu_count
+
+    gdb = workdir / "tpudb_greedy"
+    tpu_count([str(fq)], str(gdb), k=27, cutoff_min=2,
+              signature_map_policy="greedy", batch_positions=1 << 14)
+    subprocess.run([str(kmc_tools), "transform", str(gdb), "sort",
+                    str(gdb) + ".s"], check=True, capture_output=True)
+    gout = workdir / "greedy_ref.dump"
+    subprocess.run([str(kmc_tools), "transform", str(gdb) + ".s", "dump",
+                    str(gout)], check=True, capture_output=True)
+    gok = gout.read_text() == dump_db_file(str(gdb))
+    print(f"greedy-policy DB read by reference kmc_tools: "
+          f"{'MATCH' if gok else 'MISMATCH'}")
+
     failures = 0
     failures += est_fail
+    failures += 0 if gok else 1
     for inp, fmt, k, ci, cs in cases:
         want = ref_dump(kmc, kmc_tools, inp, k, ci, cs, fmt, workdir)
         got = tpu_dump(inp, k, ci, cs, fmt, workdir)
