@@ -131,12 +131,19 @@ def main():
                 "value": round(kmers_per_sec, 1),
                 "unit": "kmers/sec",
                 "vs_baseline": round(vs_baseline, 3),
+                # device-only split (tracks the machine, not the tunnel
+                # weather): finalize execution on-chip vs the D2H payload
+                # transfer; wall minus these is host parse + link time
+                "finalize_exec_s": round(res2.time_finalize_exec, 3),
+                "finalize_d2h_s": round(res2.time_finalize_d2h, 3),
             }
         )
     )
     print(
         f"# total_kmers={res2.n_total_kmers} unique={res2.n_unique_kmers} "
-        f"elapsed={elapsed:.2f}s stage1={res1.time:.2f}s stage2={res2.time:.2f}s",
+        f"elapsed={elapsed:.2f}s stage1={res1.time:.2f}s stage2={res2.time:.2f}s "
+        f"finalize_exec={res2.time_finalize_exec:.2f}s "
+        f"finalize_d2h={res2.time_finalize_d2h:.2f}s",
         file=sys.stderr,
     )
 

@@ -184,6 +184,10 @@ class Stage1Results:
 class Stage2Results:
     time: float = 0.0
     time_strict_mem: float = 0.0
+    # device-only split (VERDICT r1 #8: track the machine, not the tunnel):
+    # finalize execution vs the D2H transfer of the record payload
+    time_finalize_exec: float = 0.0
+    time_finalize_d2h: float = 0.0
     tmp_size_strict_memory: int = 0
     max_disk_usage: int = 0
     n_below_cutoff_min: int = 0
@@ -636,6 +640,8 @@ class Runner:
                 cutoff_max=params.cutoff_max,
                 counter_max=params.counter_max,
             )
+            results.time_finalize_exec = store.t_finalize_exec
+            results.time_finalize_d2h = store.t_finalize_d2h
             if s1.verbose:
                 print(f"[stage2] finalize exec: {store.t_finalize_exec:.2f}s "
                       f"D2H: {store.t_finalize_d2h:.2f}s ({len(bins)} rows)")
@@ -660,6 +666,8 @@ class Runner:
             lut_prefix_len=info.lut_prefix_len,
             counter_size=info.counter_size,
         )
+        results.time_finalize_exec = store.t_finalize_exec
+        results.time_finalize_d2h = store.t_finalize_d2h
         if s1.verbose:
             print(f"[stage2] finalize exec: {store.t_finalize_exec:.2f}s "
                   f"D2H: {store.t_finalize_d2h:.2f}s ({len(rec)} rows)")
