@@ -264,6 +264,7 @@ class ShardedKmerStore:
         self._init_state()
         self._ingest_fn = None
         self._ingest_has_counts = None
+        self._jit_cache = {}  # (kind, has_counts, *statics) -> jitted fn
         self._rows_per_device = 0
         self._base_rows = 0  # compacted prefix length (max over devices)
         self.has_counts = False
@@ -319,18 +320,20 @@ class ShardedKmerStore:
 
     def _reset_rows(self):
         D, cap, nc = self.D, self.cap, self.n_cols
+        jitted = self._jit_cache.get("reset")
+        if jitted is None:
+            def init():
+                cols = tuple(jnp.full((D, cap), U32MAX, jnp.uint32)
+                             for _ in range(nc))
+                counts = jnp.zeros((D, cap), jnp.uint32)
+                n_used = jnp.zeros((D,), jnp.int32)
+                return cols, counts, n_used
 
-        def init():
-            cols = tuple(jnp.full((D, cap), U32MAX, jnp.uint32)
-                         for _ in range(nc))
-            counts = jnp.zeros((D, cap), jnp.uint32)
-            n_used = jnp.zeros((D,), jnp.int32)
-            return cols, counts, n_used
-
-        shardings = (tuple(self._rows2 for _ in range(nc)), self._rows2,
-                     self._rows)
-        self.cols, self.counts, self.n_used = jax.jit(
-            init, out_shardings=shardings)()
+            shardings = (tuple(self._rows2 for _ in range(nc)), self._rows2,
+                         self._rows)
+            jitted = self._jit_cache["reset"] = jax.jit(
+                init, out_shardings=shardings)
+        self.cols, self.counts, self.n_used = jitted()
 
     def host_sig_map(self) -> np.ndarray:
         return prefix_sig_map(self.sig_len, self.prefix_bits)
@@ -391,15 +394,20 @@ class ShardedKmerStore:
         nc = self.n_cols
         col_specs = tuple(P(self.axis, None) for _ in range(nc))
         has = self.has_counts
-        body = functools.partial(_compact_shard, has_counts=has, wide=False)
-        sharded = jax.shard_map(
-            body, mesh=self.mesh,
-            in_specs=(col_specs, P(self.axis, None) if has else P(),
-                      P(self.axis)),
-            out_specs=(col_specs, P(self.axis, None), P(self.axis)),
-        )
-        donate = (0, 1) if has else (0,)
-        jitted = jax.jit(sharded, donate_argnums=donate)
+        key = ("compact", has)
+        jitted = self._jit_cache.get(key)
+        if jitted is None:
+            body = functools.partial(_compact_shard, has_counts=has,
+                                     wide=False)
+            sharded = jax.shard_map(
+                body, mesh=self.mesh,
+                in_specs=(col_specs, P(self.axis, None) if has else P(),
+                          P(self.axis)),
+                out_specs=(col_specs, P(self.axis, None), P(self.axis)),
+            )
+            donate = (0, 1) if has else (0,)
+            jitted = self._jit_cache[key] = jax.jit(sharded,
+                                                    donate_argnums=donate)
         counts_in = self.counts if has else jnp.zeros((), jnp.uint32)
         self.cols, self.counts, n_groups = jitted(self.cols, counts_in,
                                                   self.n_used)
@@ -409,9 +417,12 @@ class ShardedKmerStore:
         self._rows_per_device = self._base_rows
         # n_used must cover every device's groups for the next appends;
         # appending at a uniform offset keeps shapes static, so take the max
-        self.n_used = jax.jit(
-            lambda: jnp.full((self.D,), self._base_rows, jnp.int32),
-            out_shardings=self._rows)()
+        fill = self._jit_cache.get("fill_n_used")
+        if fill is None:
+            fill = self._jit_cache["fill_n_used"] = jax.jit(
+                lambda v: jnp.full((self.D,), v, jnp.int32),
+                out_shardings=self._rows)
+        self.n_used = fill(jnp.int32(self._base_rows))
 
     def spill(self):
         """Move the compacted per-device runs to host RAM and reset the
@@ -454,17 +465,21 @@ class ShardedKmerStore:
         nc = self.n_cols
         col_specs = tuple(P(self.axis, None) for _ in range(nc))
         has = self.has_counts
-        body = functools.partial(
-            _owner_hist_shard, fuse=self.fuse, r0=self.r0, n_devices=self.D,
-            has_counts=has)
-        sharded = jax.shard_map(
-            body, mesh=self.mesh,
-            in_specs=(col_specs, P(self.axis, None) if has else P(),
-                      P(self.axis)),
-            out_specs=P(self.axis, None),
-        )
+        key = ("hist", has)
+        jitted = self._jit_cache.get(key)
+        if jitted is None:
+            body = functools.partial(
+                _owner_hist_shard, fuse=self.fuse, r0=self.r0,
+                n_devices=self.D, has_counts=has)
+            sharded = jax.shard_map(
+                body, mesh=self.mesh,
+                in_specs=(col_specs, P(self.axis, None) if has else P(),
+                          P(self.axis)),
+                out_specs=P(self.axis, None),
+            )
+            jitted = self._jit_cache[key] = jax.jit(sharded)
         counts_in = self.counts if has else jnp.zeros((), jnp.uint32)
-        hist = self._host(jax.jit(sharded)(self.cols, counts_in, self.n_used))
+        hist = self._host(jitted(self.cols, counts_in, self.n_used))
         return _round_pow2(int(hist.max()))
 
     def finalize(self, sig_map=None, *, cutoff_min, cutoff_max, counter_max,
