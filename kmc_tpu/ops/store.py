@@ -518,6 +518,200 @@ def _finalize_core(
     return cols, keep_bits, lut, n_groups, (n_unique, n_below, n_above)
 
 
+_TILE_T = 128  # compaction tile width (1 VMEM lane row; no minor-dim pad)
+
+
+@functools.partial(jax.jit, static_argnames=("has_counts",),
+                   donate_argnums=(0,))
+def _tiled_reduce_a(key_cols, store_counts, n_used, *, has_counts):
+    """Phase A of the tiled group-reduce: the big grouping sort + per-tile
+    compaction bookkeeping.  Replaces the second full-width sort of
+    _group_reduce (the compaction sort, ~55%% of finalize exec) with a
+    TILE-minor-axis sort: a bitonic network over 128 lanes is log2(128)^2/2
+    = 24 stages vs ~400 for the full array, and the final gather runs at
+    the (much smaller) OUTPUT size in phase B.
+
+    Returns (keys_sorted tuple, before u32[X128+1] or None, src_tiled
+    u32[X128], offs i32[nb], n_groups, n_live) — all shapes static."""
+    T = _TILE_T
+    X = key_cols[0].shape[0]
+    X128 = ((X + T - 1) // T) * T
+    W = len(key_cols)
+    live = _live_mask(key_cols, store_counts if has_counts else None, n_used)
+    cols_in = [jnp.where(live, c, U32MAX) for c in key_cols]
+    if X128 != X:
+        pad = jnp.full((X128 - X,), U32MAX, jnp.uint32)
+        cols_in = [jnp.concatenate([c, pad]) for c in cols_in]
+    if has_counts:
+        counts = jnp.where(live, store_counts, 0)
+        if X128 != X:
+            counts = jnp.concatenate(
+                [counts, jnp.zeros((X128 - X,), jnp.uint32)])
+        ops = jax.lax.sort(cols_in + [counts], num_keys=W)
+        keys_s = tuple(ops[:W])
+        counts_s = ops[W]
+        # exclusive prefix with the grand total appended: group totals are
+        # differences at group starts (exact mod 2^32 per group, so no
+        # wide mode is ever needed on this path)
+        cs = jnp.cumsum(counts_s, dtype=jnp.uint32)
+        before = jnp.concatenate([jnp.zeros((1,), jnp.uint32), cs])
+        n_live = jnp.sum(live.astype(jnp.int32))
+    else:
+        keys_s = tuple(jax.lax.sort(cols_in, num_keys=W))
+        before = None
+        n_live = jnp.sum(live.astype(jnp.int32))
+
+    new = jnp.ones((X128,), jnp.bool_)
+    diff = jnp.zeros((X128 - 1,), jnp.bool_)
+    for c in keys_s:
+        diff = diff | (c[1:] != c[:-1])
+    new = new.at[1:].set(diff)
+
+    nb = X128 // T
+    lane = jnp.arange(T, dtype=jnp.uint32)
+    tile_key = jnp.where(new.reshape(nb, T), lane[None, :],
+                         lane[None, :] + jnp.uint32(T))
+    src = jnp.arange(X128, dtype=jnp.uint32).reshape(nb, T)
+    _, src_t = jax.lax.sort([tile_key, src], dimension=1, num_keys=1)
+    cnt = jnp.sum(new.reshape(nb, T).astype(jnp.int32), axis=1)
+    offs = jnp.cumsum(cnt) - cnt  # exclusive start per tile
+    n_groups = offs[-1] + cnt[-1]
+    return keys_s, before, src_t.reshape(X128), offs, n_groups, n_live
+
+
+def _tiled_gather_groups(keys_s, before, src_t, offs, n_groups, n_live, *,
+                         out, has_counts):
+    """Phase-B front half: gather the group representatives (OUT-sized) and
+    their totals from the phase-A artifacts."""
+    T = _TILE_T
+    X128 = src_t.shape[0]
+    r = jnp.arange(out, dtype=jnp.int32)
+    # tile index per output row: searchsorted(offs, r, 'right')-1, but for
+    # CONSECUTIVE needles that's a scatter+cumsum (jnp.searchsorted costs
+    # ~1.3 s at this scale — a 20-round gather loop; this is ~40 ms)
+    marks = jnp.zeros((out + 1,), jnp.int32).at[
+        jnp.minimum(offs, out)].add(1)
+    t = jnp.cumsum(marks[:out]) - 1
+    t = jnp.clip(t, 0, offs.shape[0] - 1)
+    within = jnp.clip(r - offs[t], 0, T - 1)
+    src = src_t[t * T + within].astype(jnp.int32)
+    valid_r = r < n_groups
+    keys_r = [k[src] for k in keys_s]
+    src_next = jnp.concatenate(
+        [src[1:], jnp.full((1,), X128, jnp.int32)])
+    src_next = jnp.where(r + 1 < n_groups, src_next, X128)
+    if has_counts:
+        totals = before[jnp.minimum(src_next, X128)] - before[src]
+    else:
+        b = jnp.minimum(src, n_live).astype(jnp.uint32)
+        b_next = jnp.minimum(src_next, n_live).astype(jnp.uint32)
+        totals = b_next - b
+    totals = jnp.where(valid_r, totals, 0)
+    return keys_r, totals
+
+
+def _finalize_groups_core(keys_r, totals, n_groups, *, cutoff_min,
+                          cutoff_max, counter_max, k, lut_prefix_len,
+                          counter_size, n_bins, fuse):
+    """The completer back half of _finalize_core, over already-compacted
+    group arrays of any (static) length."""
+    out = keys_r[0].shape[0]
+    W = (k + 15) // 16
+    r0 = k - 16 * (W - 1)
+    idx = jnp.arange(out, dtype=jnp.int32)
+    bins_r, wr = _split_bins(keys_r, fuse=fuse, r0=r0)
+    group_valid = (idx < n_groups) & (totals > 0) & (bins_r < jnp.uint32(n_bins))
+    n_unique = jnp.sum(group_valid.astype(jnp.int32))
+    below = group_valid & (totals < cutoff_min)
+    above = group_valid & (totals > cutoff_max)
+    n_below = jnp.sum(below.astype(jnp.int32))
+    n_above = jnp.sum(above.astype(jnp.int32))
+    keep = group_valid & ~below & ~above
+
+    kb = (k + 3) // 4
+    suffix_bytes = (k - lut_prefix_len) // 4 if lut_prefix_len else kb
+    record_bytes = suffix_bytes + counter_size
+    cnt = jnp.minimum(totals, counter_max)
+
+    def rec_byte(j):
+        if j < suffix_bytes:
+            t = suffix_bytes - 1 - j
+            lane = W - 1 - (t // 4)
+            sh = 8 * (t % 4)
+            return (wr[lane] >> sh) & 0xFF
+        return (cnt >> (8 * (j - suffix_bytes))) & 0xFF
+
+    cols = []
+    c0 = 0
+    while c0 < record_bytes:
+        rem = record_bytes - c0
+        w, dt = ((4, jnp.uint32) if rem >= 4 else
+                 (2, jnp.uint16) if rem >= 2 else (1, jnp.uint8))
+        col = jnp.zeros((out,), jnp.uint32)
+        for j in range(c0, c0 + w):
+            col = col | (rec_byte(j) << (8 * (w - 1 - (j - c0))))
+        cols.append(col.astype(dt))
+        c0 += w
+
+    keep_w = keep.astype(jnp.uint32).reshape(out // 32, 32)
+    wts = jnp.uint32(1) << (31 - jnp.arange(32, dtype=jnp.uint32))
+    keep_bits = (keep_w * wts[None, :]).sum(axis=1).astype(jnp.uint32)
+
+    if lut_prefix_len:
+        if lut_prefix_len <= r0:
+            prefix = wr[0] >> (2 * (r0 - lut_prefix_len))
+        else:
+            need = lut_prefix_len - r0
+            prefix = (wr[0] << (2 * need)) | (wr[1] >> (2 * (16 - need)))
+        prefix = prefix & jnp.uint32((1 << (2 * lut_prefix_len)) - 1)
+    else:
+        prefix = jnp.zeros((out,), jnp.uint32)
+    lut_size = n_bins << (2 * lut_prefix_len)
+    key_mono = jnp.where(
+        (idx < n_groups) & (bins_r < jnp.uint32(n_bins)),
+        (bins_r << (2 * lut_prefix_len)) | prefix,
+        jnp.uint32(lut_size),
+    )
+    kept_excl = jnp.concatenate(
+        [jnp.zeros((1,), jnp.uint32), jnp.cumsum(keep.astype(jnp.uint32))]
+    )
+    bounds = jnp.searchsorted(key_mono, jnp.arange(lut_size + 1, dtype=jnp.uint32))
+    lut = kept_excl[bounds[1:]] - kept_excl[bounds[:-1]]
+    return cols, keep_bits, lut, (n_unique, n_below, n_above)
+
+
+_TILED_B_STATICS = (
+    "out", "has_counts", "cutoff_min", "cutoff_max", "counter_max", "k",
+    "lut_prefix_len", "counter_size", "n_bins", "fuse",
+)
+
+
+@functools.partial(jax.jit, static_argnames=_TILED_B_STATICS,
+                   donate_argnums=(0, 1, 2))
+def _tiled_finalize_b(keys_s, before, src_t, offs, n_groups, n_live, *,
+                      out, has_counts, **kw):
+    keys_r, totals = _tiled_gather_groups(
+        tuple(keys_s), before, src_t, offs, n_groups, n_live,
+        out=out, has_counts=has_counts)
+    cols, keep_bits, lut, stats = _finalize_groups_core(
+        keys_r, totals, n_groups, **kw)
+    return cols, keep_bits, lut, stats
+
+
+def _use_tiled_finalize() -> bool:
+    import os as _os
+
+    v = _os.environ.get("KMC_TPU_TILED_FINALIZE", "1")
+    return v not in ("0", "false", "no")
+
+
+def _out_grain() -> int:
+    import os as _os
+
+    g = int(_os.environ.get("KMC_TPU_TILED_OUT_GRAIN", 1 << 22))
+    return max(32, (g + 31) & ~31)  # keep-bit packing needs out %% 32 == 0
+
+
 _FIN_STATICS = (
     "cutoff_min", "cutoff_max", "counter_max", "k",
     "lut_prefix_len", "counter_size", "n_bins", "fuse", "wide",
@@ -583,6 +777,11 @@ class _SpillOverflow(Exception):
 class DeviceKmerStore:
     """HBM store of ([bin,] k-mer lanes[, counts]) uint32 rows (see module
     docstring)."""
+
+    # finalize timing split (set by finalize/finalize_records; the host-
+    # merge fallback paths may return before the device timers run)
+    t_finalize_exec = 0.0
+    t_finalize_d2h = 0.0
 
     def __init__(self, capacity_rows: int, *, k: int, sig_len: int,
                  both_strands: bool, n_bins: int,
@@ -1040,14 +1239,34 @@ class DeviceKmerStore:
         )
         t0 = _time.perf_counter()
         eff_cols, eff_counts = self._effective_finalize_cols()
-        if eff_counts is None:
-            cols, keep_bits, lut, n_groups, stats = _finalize_records_unit(
-                eff_cols, self.n_used, wide=False, **kw)
+        if _use_tiled_finalize():
+            # two-dispatch tiled finalize: phase A does the grouping sort +
+            # per-tile compaction; phase B (compiled at the OUTPUT size,
+            # grain-rounded) gathers the representatives and runs the
+            # completer — the second full-width compaction sort is gone
+            has = eff_counts is not None
+            keys_s, before, src_t, offs, n_groups_d, n_live = _tiled_reduce_a(
+                eff_cols, eff_counts, self.n_used, has_counts=has)
+            n = int(n_groups_d)  # sync point (phase B shape depends on it)
+            X128 = int(src_t.shape[0])
+            grain = _out_grain()
+            out = min(X128, ((max(n, 1) + grain - 1) // grain) * grain)
+            cols, keep_bits, lut, stats = _tiled_finalize_b(
+                keys_s, before, src_t, offs, n_groups_d, n_live,
+                out=out, has_counts=has, **kw)
+            # force phase-B completion so t_finalize_exec is device exec,
+            # not dispatch (block_until_ready does not block on the dev
+            # tunnel; a scalar fetch does)
+            np.asarray(keep_bits[:1])
         else:
-            cols, keep_bits, lut, n_groups, stats = _finalize_records_counted(
-                eff_cols, eff_counts, self.n_used,
-                wide=self._wide(), **kw)
-        n = int(n_groups)  # sync point
+            if eff_counts is None:
+                cols, keep_bits, lut, n_groups, stats = _finalize_records_unit(
+                    eff_cols, self.n_used, wide=False, **kw)
+            else:
+                cols, keep_bits, lut, n_groups, stats = _finalize_records_counted(
+                    eff_cols, eff_counts, self.n_used,
+                    wide=self._wide(), **kw)
+            n = int(n_groups)  # sync point
         self.t_finalize_exec = _time.perf_counter() - t0
         t0 = _time.perf_counter()
         nb = (n + 31) // 32

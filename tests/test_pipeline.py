@@ -298,3 +298,25 @@ def test_exact_size_finalize_grain(tmp_path, monkeypatch):
     for suf in (".kmc_pre", ".kmc_suf"):
         with open(out_a + suf, "rb") as a, open(out_b + suf, "rb") as b:
             assert a.read() == b.read(), suf
+
+
+def test_tiled_finalize_matches_classic(tmp_path, monkeypatch):
+    """The two-dispatch tiled finalize (per-tile compaction + output-sized
+    gather) must produce a byte-identical DB to the classic two-full-sort
+    group-reduce, on both the unit-count and the counted (post-compaction)
+    paths."""
+    for seed, store_rows, tag in ((70, 1 << 22, "unit"), (71, 2048, "cnt")):
+        reads = random_reads(150, 100, seed=seed, genome_len=800)
+        inp = write_fastq(tmp_path / f"in{seed}.fastq", reads)
+        out_t = str(tmp_path / f"tiled_{tag}")
+        out_c = str(tmp_path / f"classic_{tag}")
+        monkeypatch.setenv("KMC_TPU_TILED_FINALIZE", "1")
+        monkeypatch.setenv("KMC_TPU_TILED_OUT_GRAIN", "64")
+        count([inp], out_t, k=21, cutoff_min=2, batch_positions=512,
+              device_store_rows=store_rows)
+        monkeypatch.setenv("KMC_TPU_TILED_FINALIZE", "0")
+        count([inp], out_c, k=21, cutoff_min=2, batch_positions=512,
+              device_store_rows=store_rows)
+        for suf in (".kmc_pre", ".kmc_suf"):
+            with open(out_t + suf, "rb") as a, open(out_c + suf, "rb") as b:
+                assert a.read() == b.read(), (tag, suf)
