@@ -756,6 +756,32 @@ def _finalize_rows_core(key_cols, store_counts, n_used, *, cutoff_min,
     return out_bins, out_words, out_counts, n_groups, (n_unique, n_below, n_above)
 
 
+_TILED_ROWS_STATICS = ("out", "has_counts", "cutoff_min", "cutoff_max", "k",
+                       "n_bins", "fuse")
+
+
+@functools.partial(jax.jit, static_argnames=_TILED_ROWS_STATICS,
+                   donate_argnums=(0, 1, 2))
+def _tiled_rows_b(keys_s, before, src_t, offs, n_groups, n_live, *, out,
+                  has_counts, cutoff_min, cutoff_max, k, n_bins, fuse):
+    """Words-path phase B: compacted (bins, words, totals) at OUT size."""
+    keys_r, totals = _tiled_gather_groups(
+        tuple(keys_s), before, src_t, offs, n_groups, n_live,
+        out=out, has_counts=has_counts)
+    W = (k + 15) // 16
+    r0 = k - 16 * (W - 1)
+    idx = jnp.arange(out, dtype=jnp.int32)
+    bins_r, wr = _split_bins(keys_r, fuse=fuse, r0=r0)
+    group_valid = (idx < n_groups) & (totals > 0) & (bins_r < jnp.uint32(n_bins))
+    n_unique = jnp.sum(group_valid.astype(jnp.int32))
+    n_below = jnp.sum((group_valid & (totals < cutoff_min)).astype(jnp.int32))
+    n_above = jnp.sum((group_valid & (totals > cutoff_max)).astype(jnp.int32))
+    out_words = jnp.stack(wr, axis=1)
+    out_bins = jnp.where(group_valid, bins_r, U32MAX).astype(jnp.int32)
+    out_counts = jnp.where(group_valid, totals, 0)
+    return out_bins, out_words, out_counts, (n_unique, n_below, n_above)
+
+
 _ROWS_STATICS = ("cutoff_min", "cutoff_max", "k", "n_bins", "fuse", "wide")
 
 
@@ -1371,14 +1397,27 @@ class DeviceKmerStore:
                   n_bins=self.n_used_bins, fuse=self.fuse)
         t0 = _time.perf_counter()
         eff_cols, eff_counts = self._effective_finalize_cols()
-        if eff_counts is None:
-            g_bins, g_words, g_counts, n_groups, stats = _finalize_rows_unit(
-                eff_cols, self.n_used, wide=False, **kw)
+        if _use_tiled_finalize():
+            has = eff_counts is not None
+            keys_s, before, src_t, offs, n_groups_d, n_live = _tiled_reduce_a(
+                eff_cols, eff_counts, self.n_used, has_counts=has)
+            n = int(n_groups_d)  # sync point
+            X128 = int(src_t.shape[0])
+            grain = _out_grain()
+            out = min(X128, ((max(n, 1) + grain - 1) // grain) * grain)
+            g_bins, g_words, g_counts, stats = _tiled_rows_b(
+                keys_s, before, src_t, offs, n_groups_d, n_live,
+                out=out, has_counts=has, **kw)
+            np.asarray(g_bins[:1])  # force exec for the timer split
         else:
-            g_bins, g_words, g_counts, n_groups, stats = _finalize_rows_counted(
-                eff_cols, eff_counts, self.n_used,
-                wide=self._wide(), **kw)
-        n = int(n_groups)  # sync point: device queue drains here
+            if eff_counts is None:
+                g_bins, g_words, g_counts, n_groups, stats = _finalize_rows_unit(
+                    eff_cols, self.n_used, wide=False, **kw)
+            else:
+                g_bins, g_words, g_counts, n_groups, stats = _finalize_rows_counted(
+                    eff_cols, eff_counts, self.n_used,
+                    wide=self._wide(), **kw)
+            n = int(n_groups)  # sync point: device queue drains here
         self.t_finalize_exec = _time.perf_counter() - t0
         t0 = _time.perf_counter()
         bins = np.asarray(g_bins[:n])
