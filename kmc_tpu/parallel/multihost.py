@@ -61,6 +61,8 @@ from ..ops.store import (
     _key_cols_from,
     _sig_to_bin,
     _split_bins,
+    _tiled_gather_groups,
+    _use_tiled_finalize,
     prefix_bin_bits,
     prefix_sig_map,
 )
@@ -147,12 +149,11 @@ def _owner_hist_shard(cols, counts, n_used, *, fuse, r0, n_devices,
     return hist[:n_devices][None]
 
 
-def _finalize_shard(cols, counts, n_used, *, k, n_bins, fuse, n_devices,
-                    capacity, axis, has_counts):
+def _exchange_shard(cols, counts, n_used, *, k, fuse, n_devices, capacity,
+                    axis, has_counts):
     """Per-device: route rows to bin owners (one all_to_all of the key
-    columns, plus the counts column once it exists), then local group-reduce
-    weighted by real counts (liveness only while counts are implicit 1).
-    Returns per-device (bins, words, totals, n_groups, n_dropped)."""
+    columns, plus the counts column once it exists).  Returns this owner's
+    received (key columns, weights, n_dropped)."""
     D = n_devices
     W = (k + 15) // 16
     r0 = k - 16 * (W - 1)
@@ -203,13 +204,25 @@ def _finalize_shard(cols, counts, n_used, *, k, n_bins, fuse, n_devices,
     if has_counts:
         weights = rc_cols[-1]
         rc_keys = rc_cols[:-1]
-        keys_r, _, totals, n_groups = _group_reduce(rc_keys, [], weights)
     else:
         # row weight = liveness: every ingested row is one occurrence, and
         # the exchange pads with all-ones keys
         rc_keys = rc_cols
         weights = (rc_cols[0] != U32MAX).astype(jnp.uint32)
-        keys_r, _, totals, n_groups = _group_reduce(rc_keys, [], weights)
+    return rc_keys, weights, n_dropped
+
+
+def _finalize_shard(cols, counts, n_used, *, k, n_bins, fuse, n_devices,
+                    capacity, axis, has_counts):
+    """Classic single-dispatch finalize: exchange + full group-reduce.
+    Returns per-device (bins, words, totals, n_groups, n_dropped)."""
+    W = (k + 15) // 16
+    r0 = k - 16 * (W - 1)
+    rc_keys, weights, n_dropped = _exchange_shard(
+        cols, counts, n_used, k=k, fuse=fuse, n_devices=n_devices,
+        capacity=capacity, axis=axis, has_counts=has_counts)
+    P_ = rc_keys[0].shape[0]
+    keys_r, _, totals, n_groups = _group_reduce(rc_keys, [], weights)
     bins_r, wr = _split_bins(keys_r, fuse=fuse, r0=r0)
     gidx = jnp.arange(P_, dtype=jnp.int32)
     group_valid = (gidx < n_groups) & (totals > 0) & (bins_r < jnp.uint32(n_bins))
@@ -223,6 +236,69 @@ def _finalize_shard(cols, counts, n_used, *, k, n_bins, fuse, n_devices,
         n_groups[None],
         n_dropped[None],
     )
+
+
+def _finalize_shard_a(cols, counts, n_used, *, k, fuse, n_devices, capacity,
+                      axis, has_counts):
+    """Tiled finalize phase A per owner: exchange + grouping sort +
+    per-tile compaction bookkeeping (ops/store._tiled_reduce_a inlined over
+    the received rows — received rows always carry explicit weights, so
+    this is the counted form)."""
+    from ..ops.store import _TILE_T
+
+    rc_keys, weights, n_dropped = _exchange_shard(
+        cols, counts, n_used, k=k, fuse=fuse, n_devices=n_devices,
+        capacity=capacity, axis=axis, has_counts=has_counts)
+    T = _TILE_T
+    P_ = rc_keys[0].shape[0]
+    P128 = ((P_ + T - 1) // T) * T
+    W = len(rc_keys)
+    if P128 != P_:
+        pad = jnp.full((P128 - P_,), U32MAX, jnp.uint32)
+        rc_keys = [jnp.concatenate([c, pad]) for c in rc_keys]
+        weights = jnp.concatenate(
+            [weights, jnp.zeros((P128 - P_,), jnp.uint32)])
+    ops = jax.lax.sort(list(rc_keys) + [weights], num_keys=W)
+    keys_s = ops[:W]
+    cs = jnp.cumsum(ops[W], dtype=jnp.uint32)
+    before = jnp.concatenate([jnp.zeros((1,), jnp.uint32), cs])
+
+    new = jnp.ones((P128,), jnp.bool_)
+    diff = jnp.zeros((P128 - 1,), jnp.bool_)
+    for c in keys_s:
+        diff = diff | (c[1:] != c[:-1])
+    new = new.at[1:].set(diff)
+    nb = P128 // T
+    lane = jnp.arange(T, dtype=jnp.uint32)
+    tile_key = jnp.where(new.reshape(nb, T), lane[None, :],
+                         lane[None, :] + jnp.uint32(T))
+    src = jnp.arange(P128, dtype=jnp.uint32).reshape(nb, T)
+    _, src_t = jax.lax.sort([tile_key, src], dimension=1, num_keys=1)
+    cnt = jnp.sum(new.reshape(nb, T).astype(jnp.int32), axis=1)
+    offs = jnp.cumsum(cnt) - cnt
+    n_groups = offs[-1] + cnt[-1]
+    return (tuple(c[None] for c in keys_s), before[None],
+            src_t.reshape(P128)[None], offs[None], n_groups[None],
+            n_dropped[None])
+
+
+def _finalize_shard_b(keys_s, before, src_t, offs, n_groups, *, out, k,
+                      n_bins, fuse):
+    """Tiled finalize phase B per owner: OUT-sized representative gather +
+    stats (counted form; weights were carried through the exchange)."""
+    keys_r, totals = _tiled_gather_groups(
+        tuple(c[0] for c in keys_s), before[0], src_t[0], offs[0],
+        n_groups[0], None, out=out, has_counts=True)
+    W = (k + 15) // 16
+    r0 = k - 16 * (W - 1)
+    idx = jnp.arange(out, dtype=jnp.int32)
+    bins_r, wr = _split_bins(keys_r, fuse=fuse, r0=r0)
+    group_valid = ((idx < n_groups[0]) & (totals > 0)
+                   & (bins_r < jnp.uint32(n_bins)))
+    out_words = jnp.stack(wr, axis=1)
+    out_bins = jnp.where(group_valid, bins_r, U32MAX).astype(jnp.int32)
+    out_counts = jnp.where(group_valid, totals, 0)
+    return out_bins[None], out_words[None], out_counts[None]
 
 
 def _round_pow2(x: int, lo: int = 64) -> int:
@@ -491,38 +567,74 @@ class ShardedKmerStore:
         D = self.D
         cap = capacity_per_owner or self._owner_capacity()
         has = self.has_counts
-        body = functools.partial(
-            _finalize_shard,
-            k=self.k,
-            n_bins=self.n_used_bins,
-            fuse=self.fuse,
-            n_devices=D,
-            capacity=cap,
-            axis=self.axis,
-            has_counts=has,
-        )
         nc = self.n_cols
         col_specs = tuple(P(self.axis, None) for _ in range(nc))
-        sharded = jax.shard_map(
-            body,
-            mesh=self.mesh,
-            in_specs=(col_specs, P(self.axis, None) if has else P(),
-                      P(self.axis)),
-            out_specs=(P(self.axis, None), P(self.axis, None, None),
-                       P(self.axis, None), P(self.axis), P(self.axis)),
-        )
-        jitted = jax.jit(sharded, donate_argnums=(0,))
         counts_in = self.counts if has else jnp.zeros((), jnp.uint32)
-        bins_d, words_d, counts_d, n_groups_d, dropped_d = jitted(
-            self.cols, counts_in, self.n_used)
-        self.cols = None
-        self.counts = None
-        n_groups = self._host(n_groups_d)
-        if int(self._host(dropped_d).sum()):
-            # cannot happen with the measured capacity; only a manual
-            # capacity_per_owner override can get here
-            raise MemoryError("all_to_all capacity exceeded; raise "
-                              "capacity_per_owner or leave it automatic")
+        common = dict(k=self.k, fuse=self.fuse, n_devices=D, capacity=cap,
+                      axis=self.axis, has_counts=has)
+        if _use_tiled_finalize():
+            # two-phase tiled finalize (see ops/store.py): phase A =
+            # exchange + grouping sort + tile bookkeeping; phase B compiled
+            # at the max-owner OUTPUT size
+            from ..ops.store import _out_grain
+
+            body_a = functools.partial(_finalize_shard_a, **common)
+            sharded_a = jax.shard_map(
+                body_a, mesh=self.mesh,
+                in_specs=(col_specs, P(self.axis, None) if has else P(),
+                          P(self.axis)),
+                out_specs=(col_specs, P(self.axis, None),
+                           P(self.axis, None), P(self.axis, None),
+                           P(self.axis), P(self.axis)),
+            )
+            (keys_s_d, before_d, src_t_d, offs_d, n_groups_d,
+             dropped_d) = jax.jit(sharded_a, donate_argnums=(0,))(
+                self.cols, counts_in, self.n_used)
+            self.cols = None
+            self.counts = None
+            n_groups = self._host(n_groups_d)
+            if int(self._host(dropped_d).sum()):
+                raise MemoryError("all_to_all capacity exceeded; raise "
+                                  "capacity_per_owner or leave it automatic")
+            P128 = int(src_t_d.shape[1])
+            grain = _out_grain()
+            n_max = int(n_groups.max())
+            out = min(P128, ((max(n_max, 1) + grain - 1) // grain) * grain)
+            body_b = functools.partial(
+                _finalize_shard_b, out=out, k=self.k,
+                n_bins=self.n_used_bins, fuse=self.fuse)
+            sharded_b = jax.shard_map(
+                body_b, mesh=self.mesh,
+                in_specs=(col_specs, P(self.axis, None), P(self.axis, None),
+                          P(self.axis, None), P(self.axis)),
+                out_specs=(P(self.axis, None), P(self.axis, None, None),
+                           P(self.axis, None)),
+            )
+            bins_d, words_d, counts_d = jax.jit(
+                sharded_b, donate_argnums=(0, 1, 2))(
+                keys_s_d, before_d, src_t_d, offs_d, n_groups_d)
+        else:
+            body = functools.partial(
+                _finalize_shard, n_bins=self.n_used_bins, **common)
+            sharded = jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(col_specs, P(self.axis, None) if has else P(),
+                          P(self.axis)),
+                out_specs=(P(self.axis, None), P(self.axis, None, None),
+                           P(self.axis, None), P(self.axis), P(self.axis)),
+            )
+            jitted = jax.jit(sharded, donate_argnums=(0,))
+            bins_d, words_d, counts_d, n_groups_d, dropped_d = jitted(
+                self.cols, counts_in, self.n_used)
+            self.cols = None
+            self.counts = None
+            n_groups = self._host(n_groups_d)
+            if int(self._host(dropped_d).sum()):
+                # cannot happen with the measured capacity; only a manual
+                # capacity_per_owner override can get here
+                raise MemoryError("all_to_all capacity exceeded; raise "
+                                  "capacity_per_owner or leave it automatic")
         bins_h = self._host(bins_d)
         words_h = self._host(words_d)
         counts_h = self._host(counts_d)
