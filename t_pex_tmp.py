@@ -3,7 +3,7 @@ from kmc_tpu.ops.extract import position_sigs, _kmer_words, _unpack_device, batc
 from kmc_tpu.ops.pallas_extract import pallas_extract, pallas_batch_len, TILE
 import jax.numpy as jnp
 
-s, k, sig_len = 1 << 23, 27, 9
+s, k, sig_len = 1 << 20, 27, 9
 rng = np.random.default_rng(0)
 n = pallas_batch_len(s, k)
 codes = rng.integers(0, 4, n).astype(np.uint8)
