@@ -193,22 +193,36 @@ def _exchange_shard(cols, counts, n_used, *, k, fuse, n_devices, capacity,
     if has_counts:
         send_cols.append(seg(cols_s[-1], jnp.uint32(0)))
 
-    # the ragged all-to-all over ICI (Pallas remote-DMA kernel on real
-    # multi-chip slices; lax.all_to_all elsewhere — parallel/pallas_a2a.py)
-    from .pallas_a2a import pallas_all_to_all
+    # the RAGGED all-to-all over ICI: only the live rows of each
+    # (sender, owner) segment cross the wire (Pallas remote-DMA kernel on
+    # real multi-chip slices; lax.all_to_all elsewhere —
+    # parallel/pallas_a2a.py).  Row validity comes from the exchanged
+    # counts, NOT from transferred sentinels (the ragged transport leaves
+    # segment tails undefined).
+    from .pallas_a2a import pallas_ragged_all_to_all
 
-    recv_cols = [pallas_all_to_all(c, axis=axis) for c in send_cols]
+    n_per_dst = jnp.minimum(
+        (owner_start[1 : D + 1] - owner_start[:D]).astype(jnp.int32),
+        capacity)
+    chunk = min(512, capacity)
+    recv_cols = []
+    recv_rows = None
+    for ci, c in enumerate(send_cols):
+        out, recv_rows = pallas_ragged_all_to_all(
+            c, n_per_dst, axis=axis, chunk=chunk, collective_id=8 + ci)
+        recv_cols.append(out)
 
     P_ = D * capacity
+    pos = jnp.arange(capacity, dtype=jnp.int32)
+    valid = (pos[None, :] < recv_rows[:, None]).reshape(P_)
     rc_cols = [c.reshape(P_) for c in recv_cols]
+    rc_keys = [jnp.where(valid, c, U32MAX)
+               for c in rc_cols[: len(key_cols)]]
     if has_counts:
-        weights = rc_cols[-1]
-        rc_keys = rc_cols[:-1]
+        weights = jnp.where(valid, rc_cols[-1], 0)
     else:
-        # row weight = liveness: every ingested row is one occurrence, and
-        # the exchange pads with all-ones keys
-        rc_keys = rc_cols
-        weights = (rc_cols[0] != U32MAX).astype(jnp.uint32)
+        # every ingested row is one occurrence
+        weights = valid.astype(jnp.uint32)
     return rc_keys, weights, n_dropped
 
 

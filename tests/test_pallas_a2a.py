@@ -62,3 +62,37 @@ def test_auto_transport_on_cpu_is_xla():
     got = _run(x, D, "auto")
     ref = _run(x, D, "xla")
     assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("D", [4])
+def test_ragged_interpret_matches_masked_dense(D):
+    """The ragged transport must deliver the first n_rows[dst] rows of
+    every segment exactly; rows beyond recv_rows are unspecified."""
+    from kmc_tpu.parallel.pallas_a2a import pallas_ragged_all_to_all
+
+    cap, C = 1024, 128
+    chunk = 256
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 2**32, size=(D, D, cap, C), dtype=np.uint32)
+    n_rows = rng.integers(0, cap + 1, size=(D, D)).astype(np.int32)
+    mesh = Mesh(np.array(jax.devices()[:D]), ("d",))
+
+    def body(xs, ns):
+        out, rr = pallas_ragged_all_to_all(
+            xs[0], ns[0], axis="d", chunk=chunk, transport="pallas",
+            interpret=pltpu.InterpretParams())
+        return out[None], rr[None]
+
+    f = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("d", None, None, None), P("d", None)),
+        out_specs=(P("d", None, None, None), P("d", None))))
+    got, rr = f(x, n_rows)
+    got, rr = np.asarray(got), np.asarray(rr)
+    ref = _run(x, D, "xla")
+    # recv_rows[r][j] must equal sender j's n_rows[j][r]
+    assert np.array_equal(rr, n_rows.T)
+    for r in range(D):
+        for j in range(D):
+            n = int(rr[r, j])
+            assert np.array_equal(got[r, j, :n], ref[r, j, :n]), (r, j)
