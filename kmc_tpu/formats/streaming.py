@@ -513,3 +513,82 @@ def stream_dump(db: str, out_path: str,
             f.write(dump_records(kmers, counts, r.info.kmer_len))
             n += len(counts)
     return n
+
+
+def stream_transform(db: str, out: str, out_params, *, set_value=None,
+                     compact=False, block_records: int = DEFAULT_BLOCK) -> int:
+    """Bounded-memory single-input transform (sort/reduce/compact/
+    set_counts) -> KMC1 DB; mirrors db_ops.transform_* semantics."""
+    r = DbStreamReader(db, block_records)
+    from ..defs import calc_counter_size
+    from ..tools.db_ops import tools_lut_prefix_len
+
+    k = r.info.kmer_len
+    kb = r.info.kmer_bytes
+    info = DbInfo(
+        kmer_len=k,
+        counter_size=calc_counter_size(out_params.cutoff_max,
+                                       out_params.counter_max),
+        lut_prefix_len=tools_lut_prefix_len(k, [r.info.n_unique_stored]),
+        cutoff_min=out_params.cutoff_min,
+        cutoff_max=out_params.cutoff_max,
+        both_strands=r.info.both_strands,
+        version=KMC1_VER,
+    )
+    w = StreamingKmc1Writer(out, info)
+    with r:
+        for keys, counts in r.key_blocks():
+            if compact:
+                counts = np.ones(len(keys), np.uint32)
+            elif set_value is not None:
+                counts = np.full(len(keys), set_value, np.uint32)
+            keep = ((counts >= out_params.cutoff_min)
+                    & (counts <= out_params.cutoff_max))
+            w.put_block(_kmers_of(keys[keep], kb),
+                        np.minimum(counts[keep], out_params.counter_max))
+    w.close()
+    return w.n
+
+
+def stream_histogram(db: str, out_path: str, cutoff_min: int = 1,
+                     cutoff_max: int | None = None,
+                     block_records: int = DEFAULT_BLOCK) -> None:
+    """Bounded-memory counter histogram (histogram_writer.h:20-84)."""
+    r = DbStreamReader(db, block_records)
+    info = r.info
+    if cutoff_max is None:
+        cutoff_max = min(info.cutoff_max, 10000)
+        if info.counter_size:
+            cutoff_max = min(cutoff_max, (1 << (8 * info.counter_size)) - 1)
+    hist = np.zeros(cutoff_max + 2, np.int64)
+    with r:
+        for _, counts in r.key_blocks():
+            c = np.minimum(counts.astype(np.int64), cutoff_max + 1)
+            hist += np.bincount(c, minlength=cutoff_max + 2)
+    with open(out_path, "w") as f:
+        for v in range(cutoff_min, cutoff_max + 1):
+            f.write(f"{v}\t{hist[v]}\n")
+
+
+def stream_compare(db1: str, db2: str,
+                   block_records: int = DEFAULT_BLOCK) -> bool:
+    """Bounded-memory record-level equality (operations.h:258)."""
+    r1 = DbStreamReader(db1, block_records)
+    r2 = DbStreamReader(db2, block_records)
+    if r1.info.kmer_len != r2.info.kmer_len:
+        return False
+    with r1, r2:
+        a, b = _Peekable(r1.key_blocks()), _Peekable(r2.key_blocks())
+        while True:
+            a.ensure()
+            b.ensure()
+            a_done = a.done and len(a.keys) == 0
+            b_done = b.done and len(b.keys) == 0
+            if a_done or b_done:
+                return a_done and b_done
+            n = min(len(a.keys), len(b.keys))
+            if not (np.array_equal(a.keys[:n], b.keys[:n])
+                    and np.array_equal(a.counts[:n], b.counts[:n])):
+                return False
+            a.keys, a.counts = a.keys[n:], a.counts[n:]
+            b.keys, b.counts = b.keys[n:], b.counts[n:]

@@ -292,14 +292,32 @@ def _pick_kmc1_lut_len(k: int, n: int) -> int:
 
 # ---------------- transforms ----------------
 
+def _stream_single(db, out) -> bool:
+    return (not str(out).endswith(".kff") and not str(db).endswith(".kff")
+            and _stored_count(db) > _stream_threshold())
+
+
 def transform_sort(db: str, out: str, out_params: OutputParams | None = None):
+    if _stream_single(db, out):
+        from ..formats.streaming import DbStreamReader, stream_transform
+
+        if out_params is None:
+            with DbStreamReader(db) as r:
+                info = r.info
+            out_params = OutputParams(
+                cutoff_min=info.cutoff_min, cutoff_max=info.cutoff_max,
+                counter_max=(1 << (8 * info.counter_size)) - 1
+                if info.counter_size else 1)
+        stream_transform(db, out, out_params)
+        return
     info, kmers, counts = load_sorted(db)
     p = out_params or OutputParams(cutoff_min=info.cutoff_min,
                                    cutoff_max=info.cutoff_max,
                                    counter_max=(1 << (8 * info.counter_size)) - 1
                                    if info.counter_size else 1)
     kmers, counts = p.apply(kmers, counts)
-    write_sorted_db(out, info.kmer_len, kmers, counts, p, info.both_strands)
+    write_sorted_db(out, info.kmer_len, kmers, counts, p, info.both_strands,
+                    input_ns=[info.n_unique_stored])
 
 
 def transform_reduce(db: str, out: str, out_params: OutputParams):
@@ -307,17 +325,29 @@ def transform_reduce(db: str, out: str, out_params: OutputParams):
 
 
 def transform_compact(db: str, out: str):
-    info, kmers, counts = load_sorted(db)
     p = OutputParams(cutoff_min=1, cutoff_max=10**9, counter_max=1)
+    if _stream_single(db, out):
+        from ..formats.streaming import stream_transform
+
+        stream_transform(db, out, p, compact=True)
+        return
+    info, kmers, counts = load_sorted(db)
     counts = np.ones(len(kmers), np.uint32)
-    write_sorted_db(out, info.kmer_len, kmers, counts, p, info.both_strands)
+    write_sorted_db(out, info.kmer_len, kmers, counts, p, info.both_strands,
+                    input_ns=[info.n_unique_stored])
 
 
 def transform_set_counts(db: str, out: str, value: int):
-    info, kmers, counts = load_sorted(db)
     p = OutputParams(cutoff_min=1, cutoff_max=max(10**9, value), counter_max=max(255, value))
+    if _stream_single(db, out):
+        from ..formats.streaming import stream_transform
+
+        stream_transform(db, out, p, set_value=value)
+        return
+    info, kmers, counts = load_sorted(db)
     counts = np.full(len(kmers), value, np.uint32)
-    write_sorted_db(out, info.kmer_len, kmers, counts, p, info.both_strands)
+    write_sorted_db(out, info.kmer_len, kmers, counts, p, info.both_strands,
+                    input_ns=[info.n_unique_stored])
 
 
 def transform_histogram(db: str, out_path: str, cutoff_min: int = 1,
@@ -326,6 +356,11 @@ def transform_histogram(db: str, out_path: str, cutoff_min: int = 1,
     lines `value\\tnumber_of_kmers_with_that_counter`.  The default upper
     bound mirrors the reference (parameters_parser.cpp:882-884):
     min(db max_count, 10000, largest value a counter byte can hold)."""
+    if _stream_single(db, out_path):
+        from ..formats.streaming import stream_histogram
+
+        stream_histogram(db, out_path, cutoff_min, cutoff_max)
+        return
     info, _, counts = load_sorted(db)
     if cutoff_max is None:
         cutoff_max = min(info.cutoff_max, 10000)
@@ -351,6 +386,11 @@ def transform_dump(db: str, out_path: str, sorted_output: bool = True):
 
 def db_compare(db1: str, db2: str) -> bool:
     """kmc_tools compare: record-level equality (operations.h:258)."""
+    if (not str(db1).endswith(".kff") and not str(db2).endswith(".kff")
+            and _stored_count(db1) + _stored_count(db2) > _stream_threshold()):
+        from ..formats.streaming import stream_compare
+
+        return stream_compare(db1, db2)
     _, k1, c1 = load_sorted(db1)
     _, k2, c2 = load_sorted(db2)
     return (

@@ -281,3 +281,35 @@ sys.exit(3)
                        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "LISTING-OK-RA-OOM" in r.stdout
+
+
+@pytest.mark.parametrize("which", ["sort", "compact", "set_counts",
+                                   "histogram", "compare"])
+def test_stream_transforms_match_inmemory(dbs, tmp_path, monkeypatch, which):
+    (db1, _), (db2, _) = dbs
+    out_m = str(tmp_path / f"tm_{which}")
+    out_s = str(tmp_path / f"ts_{which}")
+
+    def run(out):
+        if which == "sort":
+            db_ops.transform_sort(db1, out)
+        elif which == "compact":
+            db_ops.transform_compact(db1, out)
+        elif which == "set_counts":
+            db_ops.transform_set_counts(db1, out, 9)
+        elif which == "histogram":
+            db_ops.transform_histogram(db1, out + ".txt")
+        elif which == "compare":
+            return (db_ops.db_compare(db1, db1), db_ops.db_compare(db1, db2))
+
+    r_m = run(out_m)
+    monkeypatch.setenv("KMC_TPU_STREAM_THRESHOLD", "0")
+    r_s = run(out_s)
+    if which == "compare":
+        assert r_m == r_s == (True, False)
+    elif which == "histogram":
+        assert (open(out_m + ".txt").read() == open(out_s + ".txt").read())
+    else:
+        for suf in (".kmc_pre", ".kmc_suf"):
+            with open(out_m + suf, "rb") as a, open(out_s + suf, "rb") as b:
+                assert a.read() == b.read(), (which, suf)
