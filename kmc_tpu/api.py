@@ -196,7 +196,7 @@ class KMCFile:
 
             try:
                 self._reader = DbStreamReader(path)
-            except (OSError, ValueError):
+            except (OSError, ValueError, NotImplementedError):
                 return False
             self._path = path
             self._info = self._reader.info
@@ -212,16 +212,25 @@ class KMCFile:
         self._buf_i = 0
 
     def _fill(self) -> bool:
-        """Advance to the next filtered record; False at end of stream."""
+        """Advance the cursor to the next record passing the CURRENT
+        min/max filter; False at end of stream.  Blocks are buffered RAW so
+        later SetMinCount/SetMaxCount changes apply to not-yet-read rows
+        exactly like RA mode's read-time filtering."""
         while True:
             if self._buf_k is not None and self._buf_i < len(self._buf_c):
-                return True
+                c = self._buf_c[self._buf_i :]
+                ok = (c >= self._min_count) & (c <= self._max_count)
+                hit = int(np.argmax(ok))
+                if ok[hit]:
+                    self._buf_i += hit
+                    return True
+                self._buf_i = len(self._buf_c)
+                continue
             try:
-                k, c = next(self._it)
+                self._buf_k, self._buf_c = next(self._it)
+                self._buf_i = 0
             except StopIteration:
                 return False
-            keep = (c >= self._min_count) & (c <= self._max_count)
-            self._buf_k, self._buf_c, self._buf_i = k[keep], c[keep], 0
 
     def Close(self) -> bool:
         ok = self._db is not None or self._reader is not None

@@ -119,6 +119,7 @@ class KffMeta:
     encoding: int
     min_count: int = 1
     max_count: int = 1 << 32
+    ordered: bool = True  # every 'r' section internally sorted
     sections: list = None  # [(byte offset of first record, n_records)]
 
 
@@ -173,6 +174,7 @@ def read_kff_meta(path: str) -> KffMeta:
         encoding=encoding,
         min_count=variables.get("min_count", 1),
         max_count=variables.get("max_count", 1 << 32),
+        ordered=bool(variables.get("ordered", 0)),
         sections=sections,
     )
 

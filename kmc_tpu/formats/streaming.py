@@ -160,6 +160,10 @@ class DbStreamReader:
         from .kff import read_kff_meta
 
         self._kff = read_kff_meta(self.path)
+        if not self._kff.ordered:
+            # the windowed merge requires internally sorted sections; the
+            # in-memory reader (read_kff + lexsort) handles unsorted files
+            raise NotImplementedError("unsorted KFF sections cannot stream")
         self.info = DbInfo(
             kmer_len=self._kff.k,
             counter_size=self._kff.counter_size,
@@ -541,11 +545,15 @@ def stream_transform(db: str, out: str, out_params, *, set_value=None,
             if compact:
                 counts = np.ones(len(keys), np.uint32)
             elif set_value is not None:
+                # overwritten counters are written verbatim, like the
+                # in-memory transform_set_counts (no cutoff re-filter)
                 counts = np.full(len(keys), set_value, np.uint32)
-            keep = ((counts >= out_params.cutoff_min)
-                    & (counts <= out_params.cutoff_max))
-            w.put_block(_kmers_of(keys[keep], kb),
-                        np.minimum(counts[keep], out_params.counter_max))
+            else:
+                keep = ((counts >= out_params.cutoff_min)
+                        & (counts <= out_params.cutoff_max))
+                keys, counts = keys[keep], counts[keep]
+            w.put_block(_kmers_of(keys, kb),
+                        np.minimum(counts, out_params.counter_max))
     w.close()
     return w.n
 

@@ -313,6 +313,16 @@ def _parallel_chunks(shards, fmt, own_state, n_threads):
     next_shard = [0]
     lock = threading.Lock()
     errors: list = []
+    stop = threading.Event()  # consumer gone: producers must bail out
+
+    def _put(q, item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def run_shard(si):
         path, start, end, last = shards[si]
@@ -327,7 +337,7 @@ def _parallel_chunks(shards, fmt, own_state, n_threads):
             remaining = None if (gz or end < 0) else end - start
             ended_with_newline = True
             consumed = 0
-            while True:
+            while not stop.is_set():
                 want = CHUNK_BYTES if remaining is None else min(
                     CHUNK_BYTES, remaining)
                 if want == 0:
@@ -339,20 +349,26 @@ def _parallel_chunks(shards, fmt, own_state, n_threads):
                 if not n:
                     break
                 ended_with_newline = buf[n - 1] == 10
-                q.put(("c", parser.parse(buf[:n]).copy(), n))
+                if not _put(q, ("c", parser.parse(buf[:n]).copy(), n)):
+                    return
                 consumed += n
                 if remaining is not None:
                     remaining -= n
+            if stop.is_set():
+                return
             if last and not ended_with_newline:
-                q.put(("c", parser.parse(
-                    np.frombuffer(b"\n", dtype=np.uint8)).copy(), 0))
+                if not _put(q, ("c", parser.parse(
+                        np.frombuffer(b"\n", dtype=np.uint8)).copy(), 0)):
+                    return
             if last:
                 # file boundary sentinel (k-mers must not span files)
-                q.put(("c", np.full(1, CODE_INVALID, dtype=np.uint8), 0))
-            q.put(("done", parser.n_reads, consumed))
+                if not _put(q, ("c", np.full(1, CODE_INVALID, dtype=np.uint8),
+                                0)):
+                    return
+            _put(q, ("done", parser.n_reads, consumed))
         except BaseException as e:  # noqa: BLE001 — re-raised by consumer
             errors.append(e)
-            q.put(("err", None, 0))
+            _put(q, ("err", None, 0))
         finally:
             reader.close()
 
@@ -364,6 +380,8 @@ def _parallel_chunks(shards, fmt, own_state, n_threads):
                     return
                 next_shard[0] += 1
             window.acquire()
+            if stop.is_set():
+                return
             run_shard(si)
 
     threads = [threading.Thread(target=worker, name=f"kmc-read{i}",
@@ -385,7 +403,10 @@ def _parallel_chunks(shards, fmt, own_state, n_threads):
                 own_state.consumed_bytes += nbytes
                 yield payload
     finally:
-        # unblock producers if the consumer stops early
+        # unblock producers if the consumer stops early: the stop flag
+        # breaks any producer waiting on a full queue (and stops new file
+        # reads), the drain frees anything already queued
+        stop.set()
         with lock:
             next_shard[0] = len(shards)
         for q in qs:

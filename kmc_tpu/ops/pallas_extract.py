@@ -18,15 +18,17 @@ log-step doubling as the signature minimum.
 Semantics identical to extract.position_sigs + _kmer_words (asserted in
 tests/test_pallas_extract.py on CPU interpret mode).
 
-STATUS: NOT wired into the product pipeline.  On the toolchain in this image
-the compiled kernel is 1.6x faster than the XLA version (4.0 ms vs 6.4 ms
-per 8M positions) but Mosaic MISCOMPILES unaligned 1-D vector slices (the
-16 shifted window reads): ~0.1% of outputs lose one 2-bit field, identically
-for value slices and ref slices, and `pltpu.roll` fails to lower at this
-size.  The XLA extract is only ~6 ms/batch (far from the pipeline critical
-path), so the kernel stays here as the validated template to enable when the
-toolchain fixes 1-D lane rotations — or to rewrite in (8,128)-tiled 2-D
-layout if extract ever becomes hot.
+STATUS: NOT wired into the product pipeline.  Round 1 (older toolchain):
+the compiled kernel was 1.6x faster than the XLA version (4.0 ms vs 6.4 ms
+per 8M positions) but Mosaic MISCOMPILED unaligned 1-D vector slices (the
+16 shifted window reads): ~0.1% of outputs lost one 2-bit field.  Round 2
+re-test on jax 0.9.0: interpret mode still matches the XLA extract exactly
+(tests/test_pallas_extract.py), but the COMPILED kernel now mismatches on
+~61% of outputs at s=2^20 — the 1-D lane-shift lowering regressed further.
+The XLA extract is only ~6 ms/batch (far from the pipeline critical path),
+so the kernel stays here as the validated semantic template to enable when
+the toolchain fixes 1-D lane rotations — or to rewrite in (8,128)-tiled
+2-D sublane layout if extract ever becomes hot.
 """
 from __future__ import annotations
 
@@ -187,3 +189,153 @@ def pallas_extract(codes, *, s: int, k: int, sig_len: int,
 def pallas_batch_len(s: int, k: int) -> int:
     """Code-array length required by pallas_extract (halo padding)."""
     return s + HALO
+
+
+# ---------------------------------------------------------------------------
+# 2-D sublane-layout variant: all data-window shifts are SUBLANE-dimension
+# slices of (rows, 128) VMEM blocks — a different (far better-supported)
+# Mosaic lowering than the 1-D lane rotations that miscompile above.  The
+# batch's s positions become 128 independent column streams (position
+# (r, c) = c*seg + r) built by one cheap XLA transpose; each column carries
+# its own halo rows read from the next column.  Outputs come back in
+# column-major order and are transposed to position order by XLA.
+# ---------------------------------------------------------------------------
+
+LANES = 128
+TILE_R = 1024  # rows per grid step (fits the 16 MiB scoped-VMEM budget with all intermediates)
+
+
+def _halo_rows(k: int) -> int:
+    """Lookahead rows per column, rounded up to a power of two so the halo
+    block size divides TILE_R (the halo BlockSpec indexes in block units)."""
+    h = max(k + TAIL, 64)
+    r = 64
+    while r < h:
+        r *= 2
+    return r
+
+
+def _kernel2d(a_ref, halo_ref, sig_ref, *rest, k: int, sig_len: int,
+              both_strands: bool, W: int, hr: int):
+    lane_refs = rest[:W]
+    cbuf = rest[W]
+    S = TILE_R
+    n_codes = S + hr
+
+    cbuf[0:S, :] = a_ref[:, :].astype(jnp.int32)
+    cbuf[S:n_codes, :] = halo_ref[:, :].astype(jnp.int32)
+    c = cbuf[:, :]
+    bad = jnp.where(c >= 4, jnp.int32(1), jnp.int32(0))
+    c4 = jnp.minimum(c, 3).astype(jnp.uint32)
+
+    n_pack = n_codes - 15
+    p = jnp.zeros((n_pack, LANES), jnp.uint32)
+    q = jnp.zeros((n_pack, LANES), jnp.uint32)
+    for j in range(16):
+        cj = c4[j : j + n_pack, :]
+        p = p | (cj << (2 * (15 - j)))
+        q = q | ((jnp.uint32(3) - cj) << (2 * j))
+
+    valid = _sliding_max(bad, k, S) == 0
+
+    special = jnp.int32(1 << (2 * sig_len))
+    n_norm = S + k - sig_len
+    fwd = p[:n_norm, :] >> (2 * (16 - sig_len))
+    rev = q[:n_norm, :] & jnp.uint32((1 << (2 * sig_len)) - 1)
+    fv = jnp.where(_is_allowed(fwd, sig_len), fwd.astype(jnp.int32), special)
+    rv = jnp.where(_is_allowed(rev, sig_len), rev.astype(jnp.int32), special)
+    norms = jnp.minimum(fv, rv)
+    sig = _sliding_min(norms, k - sig_len + 1, S).astype(jnp.uint32)
+    sig_ref[:, :] = jnp.where(valid, sig, jnp.uint32(INVALID_SIG))
+
+    r0 = k - 16 * (W - 1)
+    fwd_l = []
+    rc_l = []
+    w0 = p[0:S, :]
+    if r0 < 16:
+        w0 = w0 >> (2 * (16 - r0))
+    fwd_l.append(w0)
+    for t in range(1, W):
+        off = r0 + 16 * (t - 1)
+        fwd_l.append(p[off : off + S, :])
+    if both_strands:
+        m0 = jnp.uint32((1 << (2 * r0)) - 1) if r0 < 16 else jnp.uint32(0xFFFFFFFF)
+        off0 = k - r0
+        rc_l.append(q[off0 : off0 + S, :] & m0)
+        for t in range(1, W):
+            off = k - r0 - 16 * t
+            rc_l.append(q[off : off + S, :])
+        use_rc = jnp.zeros((S, LANES), jnp.uint32)
+        decided = jnp.zeros((S, LANES), jnp.uint32)
+        sbit = jnp.uint32(0x80000000)
+        for t in range(W):
+            a = (rc_l[t] ^ sbit).astype(jnp.int32)
+            b = (fwd_l[t] ^ sbit).astype(jnp.int32)
+            lt = jnp.where(a < b, jnp.uint32(1), jnp.uint32(0))
+            ne = jnp.where(rc_l[t] != fwd_l[t], jnp.uint32(1), jnp.uint32(0))
+            use_rc = use_rc | ((jnp.uint32(1) - decided) & lt)
+            decided = decided | ne
+        lanes = [
+            jnp.where(use_rc != 0, rc_l[t], fwd_l[t]) for t in range(W)
+        ]
+    else:
+        lanes = fwd_l
+    for t in range(W):
+        lane_refs[t][:, :] = jnp.where(valid, lanes[t], jnp.uint32(0xFFFFFFFF))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("s", "k", "sig_len", "both_strands", "interpret")
+)
+def pallas_extract2d(codes, *, s: int, k: int, sig_len: int,
+                     both_strands: bool, interpret: bool = False):
+    """Same contract as pallas_extract (sig + canonical k-mer lanes in
+    POSITION order), via the 2-D sublane-layout kernel.  Requires
+    s % (128 * TILE_R) == 0 and len(codes) >= pallas2d_batch_len(s, k)."""
+    assert s % (LANES * TILE_R) == 0, (
+        f"s must be a multiple of {LANES * TILE_R}")
+    W = (k + 15) // 16
+    hr = _halo_rows(k)
+    seg = s // LANES
+
+    # column-major layout + per-column halo rows (one XLA transpose)
+    codesL = codes[: s + hr]
+    M = codesL[:s].reshape(LANES, seg).T  # (seg, LANES)
+    tail = codesL[s : s + hr]
+    Hh = jnp.concatenate([M[:hr, 1:], tail[:, None]], axis=1)
+    H = jnp.concatenate([M, Hh], axis=0)  # (seg + hr, LANES)
+
+    kernel = functools.partial(
+        _kernel2d, k=k, sig_len=sig_len, both_strands=both_strands, W=W,
+        hr=hr,
+    )
+    nb = seg // TILE_R
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((TILE_R, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hr, LANES),
+                         lambda i: ((i + 1) * (TILE_R // hr), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_R, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(1 + W)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((seg, LANES), jnp.uint32)
+            for _ in range(1 + W)
+        ],
+        scratch_shapes=[pltpu.VMEM((TILE_R + hr, LANES), jnp.int32)],
+        interpret=interpret,
+    )(H, H)
+    # back to position order (cheap u32 transposes)
+    return [o.T.reshape(s) for o in outs]
+
+
+def pallas2d_batch_len(s: int, k: int) -> int:
+    """Code-array length required by pallas_extract2d."""
+    return s + _halo_rows(k)

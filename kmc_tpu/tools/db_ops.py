@@ -202,8 +202,11 @@ def run_simple_op(op: str, db1: str, db2: str, out: str, mode: str | None = None
             and _stored_count(db1) + _stored_count(db2) > _stream_threshold()):
         from ..formats.streaming import stream_simple_op
 
-        return stream_simple_op(op, db1, db2, out, mode=mode,
-                                out_params=out_params)
+        try:
+            return stream_simple_op(op, db1, db2, out, mode=mode,
+                                    out_params=out_params)
+        except NotImplementedError:
+            pass  # e.g. unsorted KFF input: materialize instead
     info1, k1, c1 = load_sorted(db1)
     info2, k2, c2 = load_sorted(db2)
     if info1.kmer_len != info2.kmer_len:
@@ -218,6 +221,7 @@ def run_simple_op(op: str, db1: str, db2: str, out: str, mode: str | None = None
     out_params = out_params or OutputParams()
     kmers, counts = out_params.apply(kmers, counts)
     write_sorted_db(out, info1.kmer_len, kmers, counts, out_params,
+                    both_strands=info1.both_strands,
                     input_ns=[info1.n_unique_stored, info2.n_unique_stored])
     return len(kmers)
 
@@ -386,11 +390,13 @@ def transform_dump(db: str, out_path: str, sorted_output: bool = True):
 
 def db_compare(db1: str, db2: str) -> bool:
     """kmc_tools compare: record-level equality (operations.h:258)."""
-    if (not str(db1).endswith(".kff") and not str(db2).endswith(".kff")
-            and _stored_count(db1) + _stored_count(db2) > _stream_threshold()):
+    if _stored_count(db1) + _stored_count(db2) > _stream_threshold():
         from ..formats.streaming import stream_compare
 
-        return stream_compare(db1, db2)
+        try:
+            return stream_compare(db1, db2)
+        except NotImplementedError:
+            pass
     _, k1, c1 = load_sorted(db1)
     _, k2, c2 = load_sorted(db2)
     return (

@@ -239,3 +239,31 @@ def test_kff_random_access(tmp_path):
     ok, per_read = f.GetCountersForRead(reads[0])
     assert ok and len(per_read) == len(reads[0]) - 20
     assert all(c >= 1 for c in per_read)
+
+
+def test_listing_filter_change_mid_stream(tmp_path):
+    """SetMinCount during listing must apply to the already-buffered block
+    (review finding r2): listing and RA modes yield the same sequence."""
+    reads = random_reads(80, 80, seed=95, genome_len=400)  # heavy repeats
+    inp = write_fastq(tmp_path / "in.fastq", reads)
+    out = str(tmp_path / "db")
+    count([inp], out, k=21, cutoff_min=1, batch_positions=1 << 12)
+
+    def walk(open_mode):
+        f = KMCFile()
+        assert getattr(f, open_mode)(out)
+        km = KmerAPI()
+        got = []
+        ok, c = f.ReadNextKmer(km)
+        assert ok
+        got.append((km.to_string(), c))
+        f.SetMinCount(3)
+        while True:
+            ok, c = f.ReadNextKmer(km)
+            if not ok:
+                break
+            assert c >= 3
+            got.append((km.to_string(), c))
+        return got
+
+    assert walk("OpenForListing") == walk("OpenForRA")

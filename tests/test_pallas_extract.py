@@ -32,3 +32,40 @@ def test_pallas_extract_matches_xla(k, both):
 
     assert np.array_equal(np.asarray(sig_p), np.asarray(sig_x))
     assert np.array_equal(np.asarray(words_p), np.asarray(words_x))
+
+
+@pytest.mark.parametrize("k,both", [(27, True), (21, False), (55, True),
+                                    (129, True)])
+def test_pallas_extract2d_matches_xla(k, both):
+    """The 2-D sublane-layout kernel (position (r,c) = c*seg + r; every
+    window shift a sublane slice) must match the XLA extract exactly."""
+    from kmc_tpu.ops.pallas_extract import (
+        LANES,
+        TILE_R,
+        pallas2d_batch_len,
+        pallas_extract2d,
+    )
+
+    s, m = LANES * TILE_R, 9
+    rng = np.random.default_rng(1000 + k)
+    codes = rng.integers(0, 5, pallas2d_batch_len(s, k)).astype(np.uint8)
+
+    out = pallas_extract2d(jnp.asarray(codes), s=s, k=k, sig_len=m,
+                           both_strands=both, interpret=True)
+    sig_p, words_p = out[0], jnp.stack(out[1:], axis=1)
+
+    from kmc_tpu.ops.extract import batch_len
+
+    L = batch_len(s, k)
+    cl = codes[:L] if len(codes) >= L else np.concatenate(
+        [codes, np.full(L - len(codes), 4, np.uint8)])
+    c = jnp.asarray(cl, jnp.uint32)
+    bad = (c >= 4).astype(jnp.int32)
+    c4 = jnp.minimum(c, 3)
+    valid, sig_x, p, q = position_sigs(c4, bad, s=s, k=k, sig_len=m)
+    wl = _kmer_words(p, q, k, s, both)
+    sig_x = jnp.where(valid, sig_x, jnp.uint32(0xFFFFFFFF))
+    words_x = jnp.stack(
+        [jnp.where(valid, w, jnp.uint32(0xFFFFFFFF)) for w in wl], axis=1)
+    assert np.array_equal(np.asarray(sig_p), np.asarray(sig_x))
+    assert np.array_equal(np.asarray(words_p), np.asarray(words_x))

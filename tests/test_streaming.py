@@ -313,3 +313,37 @@ def test_stream_transforms_match_inmemory(dbs, tmp_path, monkeypatch, which):
         for suf in (".kmc_pre", ".kmc_suf"):
             with open(out_m + suf, "rb") as a, open(out_s + suf, "rb") as b:
                 assert a.read() == b.read(), (which, suf)
+
+
+def test_simple_op_preserves_both_strands(tmp_path, monkeypatch):
+    """Review finding r2: the in-memory simple-op path must carry the
+    input's both_strands flag into the output header, matching streaming."""
+    from kmc_tpu.formats.kmc_db import read_pre_meta
+
+    reads = random_reads(60, 80, seed=50)
+    inp = write_fastq(tmp_path / "ss.fastq", reads)
+    db1 = str(tmp_path / "ss1")
+    db2 = str(tmp_path / "ss2")
+    count([inp], db1, k=21, cutoff_min=1, batch_positions=1 << 12,
+          canonical_kmers=False)
+    count([inp], db2, k=21, cutoff_min=1, batch_positions=1 << 12,
+          canonical_kmers=False)
+    for thr, tag in (("99999999999", "mem"), ("0", "stream")):
+        monkeypatch.setenv("KMC_TPU_STREAM_THRESHOLD", thr)
+        out = str(tmp_path / f"ss_u_{tag}")
+        db_ops.run_simple_op("union", db1, db2, out)
+        assert read_pre_meta(out)[0].both_strands is False, tag
+
+
+def test_stream_set_counts_zero_matches_inmemory(dbs, tmp_path, monkeypatch):
+    """Review finding r2: set_counts 0 must not drop records on the
+    streaming path (counters are overwritten verbatim, no cutoff filter)."""
+    (db1, _), _ = dbs
+    out_m = str(tmp_path / "sc0_m")
+    out_s = str(tmp_path / "sc0_s")
+    db_ops.transform_set_counts(db1, out_m, 0)
+    monkeypatch.setenv("KMC_TPU_STREAM_THRESHOLD", "0")
+    db_ops.transform_set_counts(db1, out_s, 0)
+    for suf in (".kmc_pre", ".kmc_suf"):
+        with open(out_m + suf, "rb") as a, open(out_s + suf, "rb") as b:
+            assert a.read() == b.read(), suf
