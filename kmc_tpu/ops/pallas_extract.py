@@ -18,17 +18,21 @@ log-step doubling as the signature minimum.
 Semantics identical to extract.position_sigs + _kmer_words (asserted in
 tests/test_pallas_extract.py on CPU interpret mode).
 
-STATUS: NOT wired into the product pipeline.  Round 1 (older toolchain):
-the compiled kernel was 1.6x faster than the XLA version (4.0 ms vs 6.4 ms
-per 8M positions) but Mosaic MISCOMPILED unaligned 1-D vector slices (the
-16 shifted window reads): ~0.1% of outputs lost one 2-bit field.  Round 2
-re-test on jax 0.9.0: interpret mode still matches the XLA extract exactly
-(tests/test_pallas_extract.py), but the COMPILED kernel now mismatches on
-~61% of outputs at s=2^20 — the 1-D lane-shift lowering regressed further.
-The XLA extract is only ~6 ms/batch (far from the pipeline critical path),
-so the kernel stays here as the validated semantic template to enable when
-the toolchain fixes 1-D lane rotations — or to rewrite in (8,128)-tiled
-2-D sublane layout if extract ever becomes hot.
+STATUS — two variants:
+- pallas_extract (1-D): NOT wired.  Round 1: compiled 1.6x faster than the
+  XLA version (4.0 ms vs 6.4 ms per 8M positions) but Mosaic MISCOMPILED
+  unaligned 1-D vector slices (the 16 shifted window reads): ~0.1% of
+  outputs lost one 2-bit field.  Round-2 re-test on jax 0.9.0: interpret
+  mode still exact, but the compiled kernel now mismatches ~61% of outputs
+  — the 1-D lane-shift lowering regressed further.  Kept as the semantic
+  template and the negative-lowering witness.
+- pallas_extract2d (below): WIRED into the ingest (ops/store.py,
+  KMC_TPU_PALLAS_EXTRACT, default auto = on for TPU when the batch aligns
+  to 128*TILE_R positions).  The rewrite makes every data-window shift a
+  SUBLANE-dimension slice of (rows, 128) blocks — a lowering path Mosaic
+  handles correctly: bit-exact against the XLA extract COMPILED on the
+  real chip for k=21/27/55 (tools/t_pex2d_tpu.py) and through the full
+  pipeline (byte-identical DBs, tests/test_pallas_extract.py).
 """
 from __future__ import annotations
 

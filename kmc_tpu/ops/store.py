@@ -117,25 +117,86 @@ def _key_cols_from(bins, words, valid, *, fuse, r0):
 
 
 _ING_STATICS = ("s", "k", "sig_len", "both_strands", "map_mode",
-                "prefix_bits", "fuse", "n_dead_bin")
+                "prefix_bits", "fuse", "n_dead_bin", "extract_mode")
 
 
 def _ingest_core(packed, mask, key_cols, n_used, occ_acc, skm_acc, prev_sig,
                  sig_map, *, s, k, sig_len, both_strands, map_mode,
-                 prefix_bits, fuse, n_dead_bin):
+                 prefix_bits, fuse, n_dead_bin, extract_mode="xla"):
     c4, bad = _unpack_device(packed, mask)
     return _ingest_from_codes(c4, bad, key_cols, n_used, occ_acc, skm_acc,
                               prev_sig, sig_map, s=s, k=k, sig_len=sig_len,
                               both_strands=both_strands, map_mode=map_mode,
                               prefix_bits=prefix_bits, fuse=fuse,
-                              n_dead_bin=n_dead_bin)
+                              n_dead_bin=n_dead_bin,
+                              extract_mode=extract_mode)
+
+
+def _pallas_extract_mode() -> str:
+    """'auto' (kernel on the TPU backend when the batch aligns), 'off', or
+    'interpret' (tests: run the kernel through the interpreter on CPU).
+    Read at trace time — changing it after a (s, k)-variant has compiled
+    requires a fresh variant."""
+    import os as _os
+
+    return _os.environ.get("KMC_TPU_PALLAS_EXTRACT", "auto")
+
+
+def _use_pallas_extract(s: int, k: int) -> str | None:
+    from .pallas_extract import LANES, TILE_R
+
+    mode = _pallas_extract_mode()
+    if mode in ("0", "off", "false"):
+        return None
+    if s % (LANES * TILE_R):
+        return None
+    if mode == "interpret":
+        return "interpret"
+    if mode in ("auto", "1", "on", "true"):
+        import jax as _jax
+
+        return "compiled" if _jax.default_backend() == "tpu" else None
+    return None
 
 
 def _ingest_from_codes(c4, bad, key_cols, n_used, occ_acc, skm_acc, prev_sig,
                        sig_map, *, s, k, sig_len, both_strands, map_mode,
-                       prefix_bits, fuse, n_dead_bin):
-    valid, sig_pos, p, q = position_sigs(c4, bad, s=s, k=k, sig_len=sig_len)
+                       prefix_bits, fuse, n_dead_bin, extract_mode="xla"):
+    if extract_mode in ("compiled", "interpret"):
+        # fused Pallas splitter scan (2-D sublane layout — bit-exact vs the
+        # XLA extract on TPU, tools/t_pex2d_tpu.py; the 1-D variant's lane
+        # shifts miscompile, see ops/pallas_extract.py)
+        from .pallas_extract import _halo_rows, pallas_extract2d
 
+        codes8 = jnp.where(bad, jnp.uint8(4), c4.astype(jnp.uint8))
+        need = s + _halo_rows(k)
+        L = codes8.shape[0]
+        if L < need:
+            codes8 = jnp.concatenate(
+                [codes8, jnp.full((need - L,), 4, jnp.uint8)])
+        outs = pallas_extract2d(codes8, s=s, k=k, sig_len=sig_len,
+                                both_strands=both_strands,
+                                interpret=(extract_mode == "interpret"))
+        sig_pos = outs[0]
+        valid = sig_pos != INVALID_SIG
+        wl = outs[1:]
+        return _ingest_binning(valid, sig_pos, wl, key_cols, n_used, occ_acc,
+                               skm_acc, prev_sig, sig_map, s=s, k=k,
+                               sig_len=sig_len, map_mode=map_mode,
+                               prefix_bits=prefix_bits, fuse=fuse,
+                               n_dead_bin=n_dead_bin)
+    valid, sig_pos, p, q = position_sigs(c4, bad, s=s, k=k, sig_len=sig_len)
+    wl = _kmer_words(p, q, k, s, both_strands)
+    return _ingest_binning(valid, sig_pos, wl, key_cols, n_used, occ_acc,
+                           skm_acc, prev_sig, sig_map, s=s, k=k,
+                           sig_len=sig_len, map_mode=map_mode,
+                           prefix_bits=prefix_bits, fuse=fuse,
+                           n_dead_bin=n_dead_bin)
+
+
+def _ingest_binning(valid, sig_pos, wl, key_cols, n_used, occ_acc, skm_acc,
+                    prev_sig, sig_map, *, s, k, sig_len, map_mode,
+                    prefix_bits, fuse, n_dead_bin):
     # exact super-k-mer count: a new super-k-mer starts at every valid
     # position whose signature differs from its predecessor's (the
     # reference's cut rule, splitter.cpp:557-677); prev_sig carries across
@@ -144,7 +205,6 @@ def _ingest_from_codes(c4, bad, key_cols, n_used, occ_acc, skm_acc, prev_sig,
     new_skm = (sig_pos != INVALID_SIG) & (sig_pos != prev)
     skm_acc = _acc64_add(skm_acc, jnp.sum(new_skm.astype(jnp.uint32)))
 
-    wl = _kmer_words(p, q, k, s, both_strands)
     bins = _sig_to_bin(sig_pos, valid, sig_len=sig_len, map_mode=map_mode,
                        prefix_bits=prefix_bits, sig_map=sig_map,
                        n_dead_bin=n_dead_bin)
@@ -946,6 +1006,7 @@ class DeviceKmerStore:
             both_strands=self.both_strands, map_mode=self.map_mode,
             prefix_bits=self.prefix_bits, fuse=self.fuse,
             n_dead_bin=self.n_dead_bin,
+            extract_mode=_use_pallas_extract(s, self.k) or "xla",
         )
 
     # feed format -> (prefix-policy kernel, greedy-policy kernel)

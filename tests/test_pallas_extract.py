@@ -69,3 +69,32 @@ def test_pallas_extract2d_matches_xla(k, both):
         [jnp.where(valid, w, jnp.uint32(0xFFFFFFFF)) for w in wl], axis=1)
     assert np.array_equal(np.asarray(sig_p), np.asarray(sig_x))
     assert np.array_equal(np.asarray(words_p), np.asarray(words_x))
+
+
+def test_wired_pallas_extract_db_identical(tmp_path, monkeypatch):
+    """KMC_TPU_PALLAS_EXTRACT=interpret routes the ingest through the 2-D
+    Pallas extract (interpreter on CPU); the DB must be byte-identical to
+    the XLA-extract path."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from util import random_reads, write_fastq
+
+    from kmc_tpu.ops.pallas_extract import LANES, TILE_R
+    from kmc_tpu.runner import count
+
+    s = LANES * TILE_R  # aligned batch => kernel path eligible
+    reads = random_reads(400, 120, seed=61, genome_len=5000)
+    reads[7] = reads[7][:50] + "N" + reads[7][51:]
+    inp = write_fastq(tmp_path / "in.fastq", reads)
+
+    monkeypatch.setenv("KMC_TPU_PALLAS_EXTRACT", "off")
+    out_x = str(tmp_path / "xla")
+    count([inp], out_x, k=27, cutoff_min=1, batch_positions=s)
+
+    monkeypatch.setenv("KMC_TPU_PALLAS_EXTRACT", "interpret")
+    out_p = str(tmp_path / "pallas")
+    count([inp], out_p, k=27, cutoff_min=1, batch_positions=s)
+
+    for suf in (".kmc_pre", ".kmc_suf"):
+        with open(out_x + suf, "rb") as a, open(out_p + suf, "rb") as b:
+            assert a.read() == b.read(), suf
