@@ -34,9 +34,10 @@ def main():
     assert len(jax.devices()) == 4 * int(n_procs)
 
     mesh = make_mesh()
+    cap = int(os.environ.get("MP_CAPACITY", 1 << 12))
     stats = distributed_count(
         [reads], out, k=25, mesh=mesh, batch_positions=1 << 10,
-        cutoff_min=1, capacity_rows_per_device=1 << 12,
+        cutoff_min=1, capacity_rows_per_device=cap,
     )
     with open(f"{out}.stats.{pid}", "w") as f:
         json.dump(stats, f)

@@ -96,3 +96,44 @@ def test_two_process_count_matches_single(reads_file, tmp_path):
     for suf in (".kmc_pre", ".kmc_suf"):
         with open(out + suf, "rb") as a, open(ref_out + suf, "rb") as b:
             assert a.read() == b.read(), suf
+
+
+def test_two_process_compaction_and_spill(reads_file, tmp_path):
+    """Multi-process + per-device overflow: compaction and spill run with
+    process_allgather coordination; the DB must still match the oracle and
+    the single-process run byte-for-byte."""
+    from kmc_tpu import oracle
+    from kmc_tpu.formats import dump_db_file
+
+    out = str(tmp_path / "mp_spill_db")
+    env_extra = {"MP_CAPACITY": str(1 << 11)}  # tiny: forces compact+spill
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.update(env_extra)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "multiproc_worker.py"),
+             f"localhost:{port}", "2", str(pid), reads_file, out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        stdout, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, stdout.decode(errors="replace")[-4000:]
+
+    records, ostats = oracle.oracle_count_file(reads_file, 25, "fastq",
+                                               cutoff_min=1)
+    assert dump_db_file(out) == oracle.dump_text(records)
+
+    from kmc_tpu.parallel.distributed import make_mesh
+    from kmc_tpu.parallel.multihost import distributed_count
+
+    ref_out = str(tmp_path / "sp_spill_db")
+    distributed_count([reads_file], ref_out, k=25, mesh=make_mesh(8),
+                      batch_positions=1 << 10, cutoff_min=1,
+                      capacity_rows_per_device=1 << 11)
+    for suf in (".kmc_pre", ".kmc_suf"):
+        with open(out + suf, "rb") as a, open(ref_out + suf, "rb") as b:
+            assert a.read() == b.read(), suf
