@@ -330,7 +330,7 @@ def pallas_extract2d(codes, *, s: int, k: int, sig_len: int,
             for _ in range(1 + W)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((seg, LANES), jnp.uint32)
+            _out_struct((seg, LANES), codes)
             for _ in range(1 + W)
         ],
         scratch_shapes=[pltpu.VMEM((TILE_R + hr, LANES), jnp.int32)],
@@ -338,6 +338,18 @@ def pallas_extract2d(codes, *, s: int, k: int, sig_len: int,
     )(H, H)
     # back to position order (cheap u32 transposes)
     return [o.T.reshape(s) for o in outs]
+
+
+def _out_struct(shape, like):
+    """ShapeDtypeStruct carrying `like`'s varying-manual-axes set (required
+    under shard_map's check_vma; empty outside shard_map)."""
+    try:
+        vma = jax.typeof(like).vma
+    except AttributeError:
+        vma = None
+    if vma is not None:
+        return jax.ShapeDtypeStruct(shape, jnp.uint32, vma=vma)
+    return jax.ShapeDtypeStruct(shape, jnp.uint32)
 
 
 def pallas2d_batch_len(s: int, k: int) -> int:

@@ -71,11 +71,28 @@ from .distributed import make_mesh
 
 def _ingest_shard(packed, mask, cols, counts, n_used, occ, skm, prev, *, s, k,
                   sig_len, both_strands, prefix_bits, fuse, n_dead_bin,
-                  n_devices, axis, has_counts):
+                  n_devices, axis, has_counts, extract_mode="xla"):
     """Per-device fused extract+bin+append (mirrors ops/store._ingest_prefix,
     without the leading device axis: shard_map strips it)."""
     c4, bad = _unpack_device(packed[0], mask[0])
-    valid, sig_pos, p, q = position_sigs(c4, bad, s=s, k=k, sig_len=sig_len)
+    if extract_mode in ("compiled", "interpret"):
+        from ..ops.pallas_extract import _halo_rows, pallas_extract2d
+
+        codes8 = jnp.where(bad, jnp.uint8(4), c4.astype(jnp.uint8))
+        need = s + _halo_rows(k)
+        if codes8.shape[0] < need:
+            codes8 = jnp.concatenate(
+                [codes8, jnp.full((need - codes8.shape[0],), 4, jnp.uint8)])
+        outs = pallas_extract2d(codes8, s=s, k=k, sig_len=sig_len,
+                                both_strands=both_strands,
+                                interpret=(extract_mode == "interpret"))
+        sig_pos = outs[0]
+        valid = sig_pos != INVALID_SIG
+        wl = outs[1:]
+    else:
+        valid, sig_pos, p, q = position_sigs(c4, bad, s=s, k=k,
+                                             sig_len=sig_len)
+        wl = None
     # exact super-k-mer stats: a ppermute hands every device its
     # predecessor's final signature; device 0 instead uses the carry saved
     # from the previous group, and saves what it receives (this group's last
@@ -91,7 +108,8 @@ def _ingest_shard(packed, mask, cols, counts, n_used, occ, skm, prev, *, s, k,
     new_skm = (sig_pos != INVALID_SIG) & (sig_pos != prv)
     skm2 = _acc64_add(skm[0], jnp.sum(new_skm.astype(jnp.uint32)))
 
-    wl = _kmer_words(p, q, k, s, both_strands)
+    if wl is None:
+        wl = _kmer_words(p, q, k, s, both_strands)
     bins = _sig_to_bin(sig_pos, valid, sig_len=sig_len, map_mode="prefix",
                        prefix_bits=prefix_bits, sig_map=None,
                        n_dead_bin=n_dead_bin)
@@ -431,11 +449,14 @@ class ShardedKmerStore:
     # -- ingest --
 
     def make_ingest(self, *, s, has_counts):
+        from ..ops.store import _use_pallas_extract
+
         body = functools.partial(
             _ingest_shard, s=s, k=self.k, sig_len=self.sig_len,
             both_strands=self.both_strands, prefix_bits=self.prefix_bits,
             fuse=self.fuse, n_dead_bin=self.n_dead_bin,
             n_devices=self.D, axis=self.axis, has_counts=has_counts,
+            extract_mode=_use_pallas_extract(s, self.k) or "xla",
         )
         nc = self.n_cols
         col_specs = tuple(P(self.axis, None) for _ in range(nc))
@@ -448,6 +469,10 @@ class ShardedKmerStore:
                       P(self.axis, None), P(self.axis, None)),
             out_specs=(col_specs, cnt_spec, P(self.axis), P(self.axis, None),
                        P(self.axis, None), P(self.axis, None)),
+            # the Pallas extract's interpret-mode scratch buffers carry no
+            # varying-manual-axes set, which trips check_vma inside the
+            # kernel; specs above are explicit so the check adds nothing
+            check_vma=False,
         )
         donate = (2, 3) if has_counts else (2,)
         return jax.jit(sharded, donate_argnums=donate)

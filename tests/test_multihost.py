@@ -124,3 +124,29 @@ def test_sharded_compaction_skm_stats_exact(reads_file, tmp_path):
         input_files=[reads_file], kmer_len=25, batch_positions=1 << 9,
     ))
     assert stats["n_super_kmers"] == res1.n_total_super_kmers
+
+
+def test_sharded_ingest_pallas_extract_interpret(reads_file, tmp_path,
+                                                 monkeypatch):
+    """The multi-chip ingest also routes through the 2-D Pallas extract
+    when the per-device batch aligns (interpret mode on the CPU mesh); the
+    DB must be byte-identical to the XLA-extract path."""
+    from kmc_tpu.ops.pallas_extract import LANES, TILE_R
+
+    s = LANES * TILE_R
+    mesh = make_mesh(4)
+
+    monkeypatch.setenv("KMC_TPU_PALLAS_EXTRACT", "off")
+    out_x = str(tmp_path / "mh_xla")
+    distributed_count([reads_file], out_x, k=25, mesh=mesh,
+                      batch_positions=s, cutoff_min=1,
+                      capacity_rows_per_device=1 << 18)
+
+    monkeypatch.setenv("KMC_TPU_PALLAS_EXTRACT", "interpret")
+    out_p = str(tmp_path / "mh_pal")
+    distributed_count([reads_file], out_p, k=25, mesh=mesh,
+                      batch_positions=s, cutoff_min=1,
+                      capacity_rows_per_device=1 << 18)
+    for suf in (".kmc_pre", ".kmc_suf"):
+        with open(out_x + suf, "rb") as a, open(out_p + suf, "rb") as b:
+            assert a.read() == b.read(), suf
