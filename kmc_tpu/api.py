@@ -144,6 +144,9 @@ class KMCFile:
         self._buf_k = None
         self._buf_c = None
         self._buf_i = 0
+        self._buf_ok = None
+        self._buf_ok_ver = -1
+        self._filter_ver = 0
 
     # -- opening ----------------------------------------------------------
     def OpenForRA(self, path: str) -> bool:
@@ -210,16 +213,23 @@ class KMCFile:
         self._buf_k = None
         self._buf_c = None
         self._buf_i = 0
+        self._buf_ok = None
 
     def _fill(self) -> bool:
         """Advance the cursor to the next record passing the CURRENT
         min/max filter; False at end of stream.  Blocks are buffered RAW so
         later SetMinCount/SetMaxCount changes apply to not-yet-read rows
-        exactly like RA mode's read-time filtering."""
+        exactly like RA mode's read-time filtering; the per-block pass mask
+        is cached (keyed on a filter version) so a full listing stays
+        O(block), not O(block^2)."""
         while True:
             if self._buf_k is not None and self._buf_i < len(self._buf_c):
-                c = self._buf_c[self._buf_i :]
-                ok = (c >= self._min_count) & (c <= self._max_count)
+                if self._buf_ok is None or self._buf_ok_ver != self._filter_ver:
+                    c = self._buf_c
+                    self._buf_ok = ((c >= self._min_count)
+                                    & (c <= self._max_count))
+                    self._buf_ok_ver = self._filter_ver
+                ok = self._buf_ok[self._buf_i :]
                 hit = int(np.argmax(ok))
                 if ok[hit]:
                     self._buf_i += hit
@@ -229,6 +239,7 @@ class KMCFile:
             try:
                 self._buf_k, self._buf_c = next(self._it)
                 self._buf_i = 0
+                self._buf_ok = None
             except StopIteration:
                 return False
 
@@ -269,10 +280,12 @@ class KMCFile:
     # -- counter filtering (kmc_file.h SetMinCount/SetMaxCount) -----------
     def SetMinCount(self, c: int) -> bool:
         self._min_count = c
+        self._filter_ver += 1
         return True
 
     def SetMaxCount(self, c: int) -> bool:
         self._max_count = c
+        self._filter_ver += 1
         return True
 
     def GetMinCount(self) -> int:

@@ -119,7 +119,8 @@ class KffMeta:
     encoding: int
     min_count: int = 1
     max_count: int = 1 << 32
-    ordered: bool = True  # every 'r' section internally sorted
+    ordered: bool = False  # every 'r' section internally sorted
+    # (False unless the file's variables say so — matches the reader)
     sections: list = None  # [(byte offset of first record, n_records)]
 
 

@@ -468,8 +468,14 @@ def stream_simple_op(op: str, db1: str, db2: str, out: str,
                                 mode=mode, out_params=out_params,
                                 block_records=block_records)
     r1 = DbStreamReader(db1, block_records)
-    r2 = DbStreamReader(db2, block_records)
+    try:
+        r2 = DbStreamReader(db2, block_records)
+    except BaseException:
+        r1.close()
+        raise
     if r1.info.kmer_len != r2.info.kmer_len:
+        r1.close()
+        r2.close()
         raise ValueError("k-mer length mismatch")
     mode = mode or DEFAULT_COUNTER_MODE.get(op, "sum")
     op_params = out_params or OutputParams()
@@ -582,8 +588,14 @@ def stream_compare(db1: str, db2: str,
                    block_records: int = DEFAULT_BLOCK) -> bool:
     """Bounded-memory record-level equality (operations.h:258)."""
     r1 = DbStreamReader(db1, block_records)
-    r2 = DbStreamReader(db2, block_records)
+    try:
+        r2 = DbStreamReader(db2, block_records)
+    except BaseException:
+        r1.close()
+        raise
     if r1.info.kmer_len != r2.info.kmer_len:
+        r1.close()
+        r2.close()
         return False
     with r1, r2:
         a, b = _Peekable(r1.key_blocks()), _Peekable(r2.key_blocks())

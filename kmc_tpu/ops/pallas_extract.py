@@ -31,7 +31,7 @@ STATUS — two variants:
   to 128*TILE_R positions).  The rewrite makes every data-window shift a
   SUBLANE-dimension slice of (rows, 128) blocks — a lowering path Mosaic
   handles correctly: bit-exact against the XLA extract COMPILED on the
-  real chip for k=21/27/55 (tools/t_pex2d_tpu.py) and through the full
+  real chip for k=21/27/55 (tools/validate_pallas_extract_tpu.py) and through the full
   pipeline (byte-identical DBs, tests/test_pallas_extract.py).
 """
 from __future__ import annotations
@@ -355,3 +355,23 @@ def _out_struct(shape, like):
 def pallas2d_batch_len(s: int, k: int) -> int:
     """Code-array length required by pallas_extract2d."""
     return s + _halo_rows(k)
+
+
+def extract_for_ingest(c4, bad, *, s, k, sig_len, both_strands, mode):
+    """Shared ingest front end: (valid, sig, lanes) via the 2-D kernel.
+    Rewrites (c4, bad) back to a u8 code stream, pads to the kernel's halo
+    length with sentinels, and reconstructs `valid` from the INVALID_SIG
+    marking (valid <=> sig != INVALID_SIG, since a valid window's signature
+    is at most the special-bin id).  Used by both the single-chip store
+    ingest (ops/store.py) and the multi-chip shard ingest
+    (parallel/multihost.py) so the two paths cannot drift."""
+    codes8 = jnp.where(bad, jnp.uint8(4), c4.astype(jnp.uint8))
+    need = s + _halo_rows(k)
+    if codes8.shape[0] < need:
+        codes8 = jnp.concatenate(
+            [codes8, jnp.full((need - codes8.shape[0],), 4, jnp.uint8)])
+    outs = pallas_extract2d(codes8, s=s, k=k, sig_len=sig_len,
+                            both_strands=both_strands,
+                            interpret=(mode == "interpret"))
+    sig = outs[0]
+    return sig != INVALID_SIG, sig, outs[1:]

@@ -155,6 +155,12 @@ def _use_pallas_extract(s: int, k: int) -> str | None:
     if mode in ("auto", "1", "on", "true"):
         import jax as _jax
 
+        # compiled on-chip validation covers k<=55 (W<=4,
+        # tools/validate_pallas_extract_tpu.py); larger W also multiplies the kernel's
+        # VMEM footprint toward the 16 MiB scoped budget — stay on the
+        # XLA extract there
+        if k > 64:
+            return None
         return "compiled" if _jax.default_backend() == "tpu" else None
     return None
 
@@ -164,22 +170,13 @@ def _ingest_from_codes(c4, bad, key_cols, n_used, occ_acc, skm_acc, prev_sig,
                        prefix_bits, fuse, n_dead_bin, extract_mode="xla"):
     if extract_mode in ("compiled", "interpret"):
         # fused Pallas splitter scan (2-D sublane layout — bit-exact vs the
-        # XLA extract on TPU, tools/t_pex2d_tpu.py; the 1-D variant's lane
+        # XLA extract on TPU, tools/validate_pallas_extract_tpu.py; the 1-D variant's lane
         # shifts miscompile, see ops/pallas_extract.py)
-        from .pallas_extract import _halo_rows, pallas_extract2d
+        from .pallas_extract import extract_for_ingest
 
-        codes8 = jnp.where(bad, jnp.uint8(4), c4.astype(jnp.uint8))
-        need = s + _halo_rows(k)
-        L = codes8.shape[0]
-        if L < need:
-            codes8 = jnp.concatenate(
-                [codes8, jnp.full((need - L,), 4, jnp.uint8)])
-        outs = pallas_extract2d(codes8, s=s, k=k, sig_len=sig_len,
-                                both_strands=both_strands,
-                                interpret=(extract_mode == "interpret"))
-        sig_pos = outs[0]
-        valid = sig_pos != INVALID_SIG
-        wl = outs[1:]
+        valid, sig_pos, wl = extract_for_ingest(
+            c4, bad, s=s, k=k, sig_len=sig_len, both_strands=both_strands,
+            mode=extract_mode)
         return _ingest_binning(valid, sig_pos, wl, key_cols, n_used, occ_acc,
                                skm_acc, prev_sig, sig_map, s=s, k=k,
                                sig_len=sig_len, map_mode=map_mode,

@@ -76,19 +76,11 @@ def _ingest_shard(packed, mask, cols, counts, n_used, occ, skm, prev, *, s, k,
     without the leading device axis: shard_map strips it)."""
     c4, bad = _unpack_device(packed[0], mask[0])
     if extract_mode in ("compiled", "interpret"):
-        from ..ops.pallas_extract import _halo_rows, pallas_extract2d
+        from ..ops.pallas_extract import extract_for_ingest
 
-        codes8 = jnp.where(bad, jnp.uint8(4), c4.astype(jnp.uint8))
-        need = s + _halo_rows(k)
-        if codes8.shape[0] < need:
-            codes8 = jnp.concatenate(
-                [codes8, jnp.full((need - codes8.shape[0],), 4, jnp.uint8)])
-        outs = pallas_extract2d(codes8, s=s, k=k, sig_len=sig_len,
-                                both_strands=both_strands,
-                                interpret=(extract_mode == "interpret"))
-        sig_pos = outs[0]
-        valid = sig_pos != INVALID_SIG
-        wl = outs[1:]
+        valid, sig_pos, wl = extract_for_ingest(
+            c4, bad, s=s, k=k, sig_len=sig_len, both_strands=both_strands,
+            mode=extract_mode)
     else:
         valid, sig_pos, p, q = position_sigs(c4, bad, s=s, k=k,
                                              sig_len=sig_len)
@@ -451,12 +443,13 @@ class ShardedKmerStore:
     def make_ingest(self, *, s, has_counts):
         from ..ops.store import _use_pallas_extract
 
+        extract_mode = _use_pallas_extract(s, self.k) or "xla"
         body = functools.partial(
             _ingest_shard, s=s, k=self.k, sig_len=self.sig_len,
             both_strands=self.both_strands, prefix_bits=self.prefix_bits,
             fuse=self.fuse, n_dead_bin=self.n_dead_bin,
             n_devices=self.D, axis=self.axis, has_counts=has_counts,
-            extract_mode=_use_pallas_extract(s, self.k) or "xla",
+            extract_mode=extract_mode,
         )
         nc = self.n_cols
         col_specs = tuple(P(self.axis, None) for _ in range(nc))
@@ -471,8 +464,8 @@ class ShardedKmerStore:
                        P(self.axis, None), P(self.axis, None)),
             # the Pallas extract's interpret-mode scratch buffers carry no
             # varying-manual-axes set, which trips check_vma inside the
-            # kernel; specs above are explicit so the check adds nothing
-            check_vma=False,
+            # kernel; keep the check ON for the plain XLA path
+            check_vma=(extract_mode == "xla"),
         )
         donate = (2, 3) if has_counts else (2,)
         return jax.jit(sharded, donate_argnums=donate)

@@ -1,4 +1,10 @@
-import sys; sys.path.insert(0, "/root/repo")
+#!/usr/bin/env python
+"""End-to-end A/B on the attached TPU: count the bench input with the
+Pallas extract off vs auto and byte-compare the two databases."""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import os, time
 import numpy as np
 

@@ -1,4 +1,12 @@
-import sys; sys.path.insert(0, "/root/repo")
+#!/usr/bin/env python
+"""On-chip exactness check for the 2-D sublane Pallas extract: compiles
+pallas_extract2d on the attached TPU and bit-compares sig + k-mer lanes
+against the XLA extract for k in {27, 21, 55}.  (The interpret-mode
+equivalent runs in CI: tests/test_pallas_extract.py.)"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax; 
 import numpy as np, jax.numpy as jnp
 from kmc_tpu.ops.extract import position_sigs, _kmer_words, batch_len, INVALID_SIG
