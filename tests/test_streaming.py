@@ -347,3 +347,38 @@ def test_stream_set_counts_zero_matches_inmemory(dbs, tmp_path, monkeypatch):
     for suf in (".kmc_pre", ".kmc_suf"):
         with open(out_m + suf, "rb") as a, open(out_s + suf, "rb") as b:
             assert a.read() == b.read(), suf
+
+
+def test_unsorted_kff_falls_back_to_inmemory(dbs, tmp_path, monkeypatch):
+    """A KFF file with ordered=0 cannot stream (the windowed merge needs
+    sorted sections); the delegating entry points must fall back to the
+    in-memory path instead of erroring or mis-merging."""
+    from kmc_tpu.formats.kff import KffWriter, read_kff_meta
+    from kmc_tpu.formats.streaming import DbStreamReader
+
+    (db1, _), _ = dbs
+    info, kmers, counts = db_ops.load_sorted(db1)
+    kf = str(tmp_path / "unsorted.kff")
+    w = KffWriter(kf, canonical=True, k=info.kmer_len, counter_size=2,
+                  min_count=1, max_count=255)
+    w.store_section(kmers[::-1], counts[::-1])  # deliberately reversed
+    w.close()
+    # flip the ordered variable in place (our writer always writes 1)
+    raw = bytearray(open(kf, "rb").read())
+    i = raw.index(b"ordered\x00")
+    assert raw[i + 8 : i + 16] == (1).to_bytes(8, "big")
+    raw[i + 8 : i + 16] = (0).to_bytes(8, "big")
+    open(kf, "wb").write(bytes(raw))
+    assert read_kff_meta(kf).ordered is False
+
+    with pytest.raises(NotImplementedError):
+        DbStreamReader(kf)
+
+    # delegation falls back to the in-memory reader (which lexsorts)
+    monkeypatch.setenv("KMC_TPU_STREAM_THRESHOLD", "0")
+    assert db_ops.db_compare(kf, db1) is True
+    out = str(tmp_path / "unsorted_union")
+    db_ops.run_simple_op("union", kf, db1, out, mode="max")
+    info_u, k_u, c_u = db_ops.load_sorted(out)
+    assert np.array_equal(k_u, kmers)
+    assert np.array_equal(c_u, counts)
