@@ -45,21 +45,105 @@ def bgzf_decompress(path: str) -> bytes:
     return b"".join(out)
 
 
+def bgzf_block_spans(path: str):
+    """[(offset, compressed_size)] of every BGZF member in the file, read
+    from the BSIZE extra field without inflating (SAM spec §4.1) — the
+    block table the reference's CBamTaskManager work-steals over
+    (binary_reader.h:79-146)."""
+    spans = []
+    with open(path, "rb") as f:
+        pos = 0
+        while True:
+            head = f.read(18)
+            if len(head) < 18:
+                break
+            if head[:4] != b"\x1f\x8b\x08\x04":
+                raise ValueError(f"not a BGZF member at offset {pos}")
+            (xlen,) = struct.unpack_from("<H", head, 10)
+            extra = head[12:18] + f.read(max(0, xlen - 6))
+            bsize = None
+            i = 0
+            while i + 4 <= len(extra):
+                si1, si2, slen = extra[i], extra[i + 1], struct.unpack_from(
+                    "<H", extra, i + 2)[0]
+                if si1 == 66 and si2 == 67 and slen == 2:  # 'BC'
+                    bsize = struct.unpack_from("<H", extra, i + 4)[0] + 1
+                    break
+                i += 4 + slen
+            if bsize is None:
+                raise ValueError(f"BGZF BSIZE field missing at offset {pos}")
+            spans.append((pos, bsize))
+            pos += bsize
+            f.seek(pos)
+    return spans
+
+
+def _parallel_inflated_chunks(path: str, n_threads: int,
+                              blocks_per_batch: int = 512):
+    """Yield inflated byte chunks of a BGZF file IN ORDER, inflating blocks
+    on a thread pool (each BGZF member is an independent gzip stream and
+    zlib.decompress releases the GIL) — the TPU-side analogue of the
+    reference's CBamTaskManager parallel BGZF pipeline (queues.h:2148)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    spans = bgzf_block_spans(path)
+
+    def inflate_batch(batch):
+        with open(path, "rb") as f:
+            out = []
+            for off, size in batch:
+                f.seek(off)
+                out.append(zlib.decompress(f.read(size), wbits=31))
+            return b"".join(out)
+
+    batches = [spans[i : i + blocks_per_batch]
+               for i in range(0, len(spans), blocks_per_batch)]
+    with ThreadPoolExecutor(max_workers=n_threads) as ex:
+        # bounded pipeline: keep ~2*n_threads batches in flight
+        window = 2 * n_threads
+        futs = [ex.submit(inflate_batch, b) for b in batches[:window]]
+        nxt = window
+        for i in range(len(batches)):
+            yield futs[i % window].result()
+            if nxt < len(batches):
+                futs[i % window] = ex.submit(inflate_batch, batches[nxt])
+                nxt += 1
+
+
 def bam_code_chunks(path: str, both_strands: bool = True,
-                    chunk_reads: int = 65536) -> Iterator[tuple[np.ndarray, int]]:
+                    chunk_reads: int = 65536,
+                    n_threads: int = 1) -> Iterator[tuple[np.ndarray, int]]:
     """Yield (codes, n_reads) chunks; a CODE_INVALID separates reads.
 
     Streams through the native BGZF inflater + C record parser when
     available (constant memory, no whole-file materialization); the
-    vectorized-NumPy path below is the fallback."""
+    vectorized-NumPy path below is the fallback.  n_threads > 1 inflates
+    the independent BGZF blocks on a thread pool (record parsing stays
+    sequential — record reassembly is stateful)."""
     try:
         from .native import NativeBamParser, NativeGzReader
 
         parser = NativeBamParser(both_strands)
-        reader = NativeGzReader(path)
+        reader = NativeGzReader(path) if n_threads <= 1 else None
     except (RuntimeError, OSError, ImportError):
         yield from _bam_code_chunks_py(path, both_strands, chunk_reads)
         return
+    if n_threads > 1:
+        try:
+            # probe: a parallel walk requires real BGZF members (BSIZE
+            # extra field); plain-gzip BAMs fall back to the serial reader
+            bgzf_block_spans(path)
+        except (ValueError, OSError):
+            reader = NativeGzReader(path)
+        else:
+            prev_reads = 0
+            for chunk in _parallel_inflated_chunks(path, n_threads):
+                codes = parser.parse(np.frombuffer(chunk, dtype=np.uint8))
+                if len(codes):
+                    n_now = parser.n_reads
+                    yield codes, n_now - prev_reads
+                    prev_reads = n_now
+            return
     try:
         buf = np.empty(8 << 20, dtype=np.uint8)
         prev_reads = 0

@@ -270,11 +270,21 @@ class Runner:
             and params.estimate_histogram_cfg == EstimateHistogramCfg.ESTIMATE_AND_COUNT_KMERS
         )
         if fmt == "bam":
+            import os as _os
+
             from .io.bam import bam_code_chunks
+
+            try:
+                auto = len(_os.sched_getaffinity(0))
+            except AttributeError:
+                auto = _os.cpu_count() or 1
+            bam_threads = params.n_threads or auto
 
             def gen():
                 for path in params.input_files:
-                    for codes, n_reads in bam_code_chunks(path, params.canonical_kmers):
+                    for codes, n_reads in bam_code_chunks(
+                            path, params.canonical_kmers,
+                            n_threads=bam_threads):
                         state.n_reads += n_reads
                         yield codes
 

@@ -231,3 +231,43 @@ def test_bam_native_matches_python_parser(tmp_path, both):
     n_nat = sum(n for _, n in bam_code_chunks(bam, both))
     n_py = sum(n for _, n in _bam_code_chunks_py(bam, both))
     assert n_nat == n_py == 38  # two excluded
+
+
+def test_bam_parallel_bgzf_inflate(tmp_path):
+    """n_threads>1 walks the BGZF block table and inflates blocks on a
+    thread pool (the reference's CBamTaskManager analogue); results are
+    identical to the serial reader, and plain-gzip BAMs fall back."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent / "tools"))
+    from diff_vs_reference import make_bam_bgzf
+
+    import numpy as np
+
+    from kmc_tpu.io.bam import bam_code_chunks, bgzf_block_spans
+
+    rng = np.random.default_rng(77)
+    reads = ["".join("ACGT"[c] for c in rng.integers(0, 4, 90))
+             for _ in range(300)]
+    bam = make_bam_bgzf(tmp_path / "p.bam", reads)
+    spans = bgzf_block_spans(bam)
+    assert len(spans) > 1, "test BAM must span multiple BGZF blocks"
+
+    def collect(n_threads):
+        cs, total = [], 0
+        for codes, n in bam_code_chunks(bam, True, n_threads=n_threads):
+            cs.append(codes)
+            total += n
+        return np.concatenate(cs), total
+
+    c1, n1 = collect(1)
+    c4, n4 = collect(4)
+    assert n1 == n4 == 300
+    assert np.array_equal(c1, c4)
+
+    # plain-gzip BAM (no BSIZE field): parallel request falls back
+    gz_bam = make_bam(tmp_path / "plain.bam", reads[:20])
+    cs, total = [], 0
+    for codes, n in bam_code_chunks(gz_bam, True, n_threads=4):
+        cs.append(codes)
+        total += n
+    assert total == 20
