@@ -119,12 +119,77 @@ def evaluate_expression(expr: str, inputs: dict):
     return _Parser(_tokenize(expr), inputs).parse()
 
 
-def run_complex_file(path: str):
+# -- streaming evaluation: the expression tree becomes a tree of windowed
+#    merge streams (formats/streaming.merge_key_streams), exactly the
+#    reference's CInput-over-CInput operation networks (bundle.h:18-245,
+#    expression_node.h:26-196) — bounded memory at any database size --
+
+_STREAM_OP = {"+": "union", "*": "intersect", "-": "kmers_subtract",
+              "~": "counters_subtract"}
+
+
+class _StreamParser:
+    """Same grammar, but atoms are stream FACTORIES (each occurrence of a
+    named input opens its own cursor set) and operators compose
+    merge_key_streams generators lazily."""
+
+    def __init__(self, toks, factories):
+        self.toks = toks
+        self.pos = 0
+        self.factories = factories
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def parse(self, min_prec=1):
+        from ..formats.streaming import merge_key_streams
+
+        left = self.parse_atom()
+        while True:
+            t = self.peek()
+            if t is None or t.kind != "op":
+                break
+            op, mode = t.value
+            if _PREC[op] < min_prec:
+                break
+            self.pos += 1
+            right = self.parse(_PREC[op] + 1)
+            left = merge_key_streams(left, right, _STREAM_OP[op],
+                                     mode or _DEFAULT_MODE[op] or "sum")
+        return left
+
+    def parse_atom(self):
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of expression")
+        if t.kind == "(":
+            self.pos += 1
+            v = self.parse()
+            if self.peek() is None or self.peek().kind != ")":
+                raise ValueError("missing )")
+            self.pos += 1
+            return v
+        if t.kind == "name":
+            self.pos += 1
+            if t.value not in self.factories:
+                raise ValueError(f"undefined input {t.value}")
+            return self.factories[t.value]()
+        raise ValueError("unexpected token in expression")
+
+
+def evaluate_expression_streaming(expr: str, factories: dict):
+    """factories: name -> () -> (keys 'S', counts) block stream.  Returns
+    the composed sorted-unique key-block stream for the expression."""
+    return _StreamParser(_tokenize(expr), factories).parse()
+
+
+def _parse_complex_file(path: str):
+    """(inputs: name -> (db_path, per-input OutputParams), out_path, expr,
+    out_params_tokens) — no database IO."""
     lines = [ln.strip() for ln in open(path)]
     lines = [ln for ln in lines if ln and not ln.startswith("#")]
     section = None
     inputs = {}
-    input_params = {}
     output_line = None
     out_params_tokens = []
     for ln in lines:
@@ -144,17 +209,13 @@ def run_complex_file(path: str):
                 raise ValueError(f"bad input line: {ln}")
             name = m.group(1)
             parts = m.group(2).split()
-            path_db = parts[0]
             p = OutputParams()
             for tok in parts[1:]:
                 if tok.startswith("-ci"):
                     p.cutoff_min = int(tok[3:])
                 elif tok.startswith("-cx"):
                     p.cutoff_max = int(tok[3:])
-            info, kmers, counts = db_ops.load_sorted(path_db)
-            keep = (counts >= p.cutoff_min) & (counts <= p.cutoff_max)
-            inputs[name] = (kmers[keep], counts[keep].astype(np.uint64))
-            input_params[name] = info
+            inputs[name] = (parts[0], p)
         elif section == "output":
             if output_line is None:
                 output_line = ln
@@ -165,13 +226,90 @@ def run_complex_file(path: str):
     m = re.match(r"^\s*(.*?)\s*=\s*(.*)$", output_line)
     if not m:
         raise ValueError(f"bad output line: {output_line}")
-    out_path, expr = m.group(1).strip(), m.group(2)
-    kmers, counts = evaluate_expression(expr, inputs)
+    return inputs, m.group(1).strip(), m.group(2), out_params_tokens
+
+
+def run_complex_file(path: str):
+    inputs, out_path, expr, out_params_tokens = _parse_complex_file(path)
     p, _ = _parse_out_params(out_params_tokens)
+
+    total = sum(db_ops._stored_count(db) for db, _ in inputs.values())
+    if (total > db_ops._stream_threshold()
+            and not str(out_path).endswith(".kff")):
+        try:
+            return _run_complex_streaming(inputs, out_path, expr, p)
+        except NotImplementedError:
+            pass  # e.g. unsorted KFF input: materialize instead
+
+    loaded = {}
+    input_infos = []
+    for name, (path_db, ip) in inputs.items():
+        info, kmers, counts = db_ops.load_sorted(path_db)
+        keep = (counts >= ip.cutoff_min) & (counts <= ip.cutoff_max)
+        loaded[name] = (kmers[keep], counts[keep].astype(np.uint64))
+        input_infos.append(info)
+    kmers, counts = evaluate_expression(expr, loaded)
     kmers, counts = p.apply(kmers, counts)
-    some_info = next(iter(input_params.values()))
-    db_ops.write_sorted_db(out_path, some_info.kmer_len, kmers, counts, p,
-                           some_info.both_strands)
+    some_info = input_infos[0]
+    db_ops.write_sorted_db(
+        out_path, some_info.kmer_len, kmers, counts, p,
+        some_info.both_strands,
+        input_ns=[i.n_unique_stored for i in input_infos])
+    return out_path
+
+
+def _run_complex_streaming(inputs, out_path, expr, p):
+    """Bounded-memory complex evaluation: per-occurrence input cursors,
+    composed merge streams, streaming KMC1 writer.  Byte-identical to the
+    in-memory path (the output LUT is sized from the input headers on both,
+    like the reference's calc_lut_prefix_len over config.headers)."""
+    from ..defs import calc_counter_size
+    from ..formats.kmc_db import DbInfo, KMC1_VER
+    from ..formats.streaming import (
+        DbStreamReader,
+        StreamingKmc1Writer,
+        _kmers_of,
+    )
+
+    # probe headers (and refuse unstreamable inputs) before any writes
+    infos = {}
+    for name, (db, ip) in inputs.items():
+        with DbStreamReader(db) as r:
+            infos[name] = r.info
+
+    def factory(db, ip):
+        def make():
+            r = DbStreamReader(db, cutoff_min=ip.cutoff_min,
+                               cutoff_max=ip.cutoff_max)
+            try:
+                yield from r.key_blocks()
+            finally:
+                r.close()
+
+        return make
+
+    factories = {name: factory(db, ip) for name, (db, ip) in inputs.items()}
+    stream = evaluate_expression_streaming(expr, factories)
+
+    some = next(iter(infos.values()))
+    k = some.kmer_len
+    kb = some.kmer_bytes
+    info = DbInfo(
+        kmer_len=k,
+        counter_size=calc_counter_size(p.cutoff_max, p.counter_max),
+        lut_prefix_len=db_ops.tools_lut_prefix_len(
+            k, [i.n_unique_stored for i in infos.values()]),
+        cutoff_min=p.cutoff_min,
+        cutoff_max=p.cutoff_max,
+        both_strands=some.both_strands,
+        version=KMC1_VER,
+    )
+    w = StreamingKmc1Writer(out_path, info)
+    for keys, counts in stream:
+        keep = (counts >= p.cutoff_min) & (counts <= p.cutoff_max)
+        w.put_block(_kmers_of(keys[keep], kb),
+                    np.minimum(counts[keep], p.counter_max))
+    w.close()
     return out_path
 
 

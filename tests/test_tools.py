@@ -179,3 +179,31 @@ def test_tools_cli(two_dbs, tmp_path, capsys):
     # compare exit codes
     assert tools_cli.main(["compare", db1, db1]) == 0
     assert tools_cli.main(["compare", db1, db2]) == 1
+
+
+def test_complex_expression_streaming_matches(two_dbs, tmp_path, monkeypatch):
+    """The streaming complex evaluator (composed merge streams — the
+    CInput/CBundle analogue) writes a byte-identical DB to the in-memory
+    tree, including repeated input names, per-input cutoffs, counter modes
+    and parentheses."""
+    from kmc_tpu.tools.complex_ops import run_complex_file
+
+    db1, db2, c1, c2 = two_dbs
+    for i, (expr, params) in enumerate([
+        ("(a - b) + (a * b)", "-ci1"),
+        ("a +max b ~ (b *sum a)", "-ci1 -cs60000"),
+        ("a - (b - a)", "-ci1"),
+    ]):
+        outs = []
+        for tag, thr in (("mem", "99999999999"), ("stream", "0")):
+            monkeypatch.setenv("KMC_TPU_STREAM_THRESHOLD", thr)
+            out = tmp_path / f"cxs{i}_{tag}"
+            ops_file = tmp_path / f"ops{i}_{tag}.txt"
+            ops_file.write_text(
+                f"INPUT:\na = {db1} -ci1\nb = {db2} -cx50000\n"
+                f"OUTPUT:\n{out} = {expr}\nOUTPUT_PARAMS:\n{params}\n")
+            run_complex_file(str(ops_file))
+            outs.append(str(out))
+        for suf in (".kmc_pre", ".kmc_suf"):
+            with open(outs[0] + suf, "rb") as a, open(outs[1] + suf, "rb") as b:
+                assert a.read() == b.read(), (expr, suf)
