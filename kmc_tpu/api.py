@@ -118,6 +118,84 @@ class KMCFileInfo:
         self.total_kmers = total_kmers
 
 
+class _FileRA:
+    """Reference-style random access over the on-disk layout: sig_map in
+    RAM, prefix LUTs demand-paged (memmap), suffix records memmapped, ONE
+    binary search per query within the (bin, prefix) record range — exactly
+    CKMCFile::CheckKmer (kmc_file.cpp:1321) — so membership queries on a
+    100 GB database touch a handful of pages instead of materializing it."""
+
+    def __init__(self, path: str):
+        import os
+
+        from .formats.kmc_db import read_pre_meta
+
+        self.info, self.luts, self.sig_map = read_pre_meta(
+            path, mmap_luts=True)
+        rb = self.info.record_bytes
+        if rb:
+            n = (os.path.getsize(path + ".kmc_suf") - 8) // rb
+            self.records = np.memmap(path + ".kmc_suf", dtype=np.uint8,
+                                     mode="r", offset=4, shape=(n, rb))
+            self.n_records = n
+        else:
+            self.records = None
+            self.n_records = self.info.n_unique_stored
+        self.sb = self.info.suffix_bytes
+        self.cs = self.info.counter_size
+
+    def lookup(self, codes: np.ndarray):
+        """codes: canonicalized valid 2-bit codes of length k.  Returns the
+        raw stored counter, or None if absent."""
+        info = self.info
+        row = _codes_to_bytes(codes)
+        kb = len(row)
+        prefix = 0
+        for b in row[: kb - self.sb]:
+            prefix = (prefix << 8) | int(b)
+        if info.version == 0x200:
+            sig = int(kmer_signatures_numpy(codes, info.kmer_len,
+                                            info.signature_len)[0])
+            bin_id = int(self.sig_map[min(sig, len(self.sig_map) - 1)])
+            idx = (bin_id << (2 * info.lut_prefix_len)) | prefix
+        else:
+            idx = prefix
+        lo = int(self.luts[idx])
+        hi = (int(self.luts[idx + 1]) if idx + 1 < len(self.luts)
+              else self.n_records)
+        if self.sb == 0:
+            # prefix-only records: presence == non-empty range; counter is
+            # the range's single record (or implicit 1)
+            if hi <= lo:
+                return None
+            return self._counter(lo)
+        want = row[kb - self.sb :].tobytes()
+        while lo < hi:
+            mid = (lo + hi) // 2
+            got = self.records[mid, : self.sb].tobytes()
+            if got < want:
+                lo = mid + 1
+            elif got > want:
+                hi = mid
+            else:
+                return self._counter(mid)
+        return None
+
+    def _counter(self, i: int) -> int:
+        if self.cs == 0:
+            return 1
+        c = 0
+        for j in range(self.cs - 1, -1, -1):
+            c = (c << 8) | int(self.records[i, self.sb + j])
+        return c
+
+
+def _ra_threshold() -> int:
+    import os
+
+    return int(os.environ.get("KMC_TPU_RA_THRESHOLD", 1 << 24))
+
+
 class KMCFile:
     """KMC database reader (reference CKMCFile).
 
@@ -139,6 +217,7 @@ class KMCFile:
         self._min_count = 1
         self._max_count = (1 << 32) - 1
         self._reader = None  # listing mode
+        self._file_ra = None  # on-disk RA mode (big databases)
         self._path = None
         self._it = None
         self._buf_k = None
@@ -187,6 +266,28 @@ class KMCFile:
             self._max_count = self._info.cutoff_max
             return True
         if ra:
+            # above the threshold, random access stays ON DISK like the
+            # reference (sig_map -> bin -> prefix LUT -> binary search in
+            # the suffix file); below it, materializing is faster and also
+            # serves listing-style iteration
+            try:
+                from .formats.kmc_db import read_pre_meta
+
+                n_stored = read_pre_meta(path, mmap_luts=True)[0].n_unique_stored
+            except (OSError, ValueError):
+                return False
+            if n_stored > _ra_threshold():
+                try:
+                    self._file_ra = _FileRA(path)
+                except (OSError, ValueError):
+                    return False
+                self._info = self._file_ra.info
+                self._path = path
+                self._db = None
+                self._kmers = self._counts = None
+                self._min_count = self._info.cutoff_min
+                self._max_count = self._info.cutoff_max
+                return True
             try:
                 self._db = read_db(path)
             except (OSError, ValueError):
@@ -244,8 +345,10 @@ class KMCFile:
                 return False
 
     def Close(self) -> bool:
-        ok = self._db is not None or self._reader is not None
+        ok = (self._db is not None or self._reader is not None
+              or self._file_ra is not None)
         self._db = None
+        self._file_ra = None
         self._kmers = self._counts = None
         if self._reader is not None:
             self._reader.close()
@@ -258,6 +361,9 @@ class KMCFile:
         total = (len(self._kmers) if self._kmers is not None
                  else self._info.n_unique_stored)
         return KMCFileInfo(self._info, total)
+
+    def _is_file_ra(self) -> bool:
+        return self._file_ra is not None
 
     def KmerLength(self) -> int:
         return self._info.kmer_len
@@ -316,12 +422,16 @@ class KMCFile:
     def Eof(self) -> bool:
         if self._reader is not None:
             return not self._fill()
+        if self._file_ra is not None:
+            return True  # on-disk RA mode does not list (reference RA)
         return self._pos >= len(self._kmers)
 
     # -- listing -----------------------------------------------------------
     def ReadNextKmer(self, kmer: KmerAPI):
         """Returns (ok, count); advances the listing cursor (skipping k-mers
         outside [min_count, max_count] like the reference)."""
+        if self._file_ra is not None:
+            return False, 0  # listing requires OpenForListing (reference)
         if self._reader is not None:
             if not self._fill():
                 return False, 0
@@ -349,7 +459,7 @@ class KMCFile:
         searchsorted is equivalent.  RA mode only, like the reference
         (listing mode returns not-found).
         """
-        if self._kmers is None:
+        if self._kmers is None and self._file_ra is None:
             return False, 0
         if isinstance(kmer, KmerAPI):
             codes = kmer.codes
@@ -359,6 +469,11 @@ class KMCFile:
             return False, 0
         if self._info.both_strands:
             codes = _canonicalize_codes(codes)
+        if self._file_ra is not None:
+            c = self._file_ra.lookup(codes)
+            if c is None or not (self._min_count <= c <= self._max_count):
+                return False, 0
+            return True, c
         row = _codes_to_bytes(codes)
         idx = _searchsorted_rows(self._kmers, row[None, :])[0]
         if idx < len(self._kmers) and (self._kmers[idx] == row).all():
@@ -373,6 +488,27 @@ class KMCFile:
     def GetCountersForRead(self, read: str) -> tuple[bool, list]:
         """Counters for every k-mer of a read, 0 where absent or broken by
         non-ACGT symbols (reference kmc_file.cpp:1193).  RA mode only."""
+        if self._file_ra is not None:
+            # on-disk RA: per-k-mer bin-range binary searches, exactly the
+            # reference's GetSuperKmers + per-bin lookups
+            k = self._info.kmer_len
+            codes = CODE_LUT[np.frombuffer(read.upper().encode(),
+                                           dtype=np.uint8)]
+            n = len(codes) - k + 1
+            if n <= 0:
+                return True, []
+            out = []
+            for i in range(n):
+                w = codes[i : i + k]
+                if (w >= 4).any():
+                    out.append(0)
+                    continue
+                if self._info.both_strands:
+                    w = _canonicalize_codes(w)
+                c = self._file_ra.lookup(w)
+                out.append(int(c) if c is not None
+                           and self._min_count <= c <= self._max_count else 0)
+            return True, out
         if self._kmers is None:
             return False, []
         k = self._info.kmer_len

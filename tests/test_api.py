@@ -267,3 +267,54 @@ def test_listing_filter_change_mid_stream(tmp_path):
         return got
 
     assert walk("OpenForListing") == walk("OpenForRA")
+
+
+def test_file_ra_matches_inmemory(tmp_path, monkeypatch):
+    """The on-disk RA mode (sig_map -> bin -> LUT range -> suffix-file
+    binary search, the reference CheckKmer algorithm) must agree with the
+    in-memory RA on every query — present, absent, non-canonical,
+    filtered — for KMC2 (both signature-map policies) and KMC1 DBs."""
+    configs = [
+        dict(k=25, cutoff_min=1),                      # KMC2 prefix map
+        dict(k=25, cutoff_min=1, signature_map_policy="greedy"),
+        dict(k=9, cutoff_min=1),                       # small-k => KMC1
+    ]
+    for ci, cfg in enumerate(configs):
+        reads = random_reads(120, 90, seed=300 + ci, genome_len=1500)
+        inp = write_fastq(tmp_path / f"fr{ci}.fastq", reads)
+        db = str(tmp_path / f"fr_db{ci}")
+        count([inp], db, batch_positions=1 << 12, **cfg)
+        counts = oracle.count_kmers(reads, cfg["k"])
+
+        mem = KMCFile()
+        assert mem.OpenForRA(db)
+        monkeypatch.setenv("KMC_TPU_RA_THRESHOLD", "0")
+        fra = KMCFile()
+        assert fra.OpenForRA(db)
+        assert fra._is_file_ra()
+
+        queries = list(counts)[:60]
+        queries += [oracle.revcomp(q) for q in queries[:10]]
+        rng = np.random.default_rng(ci)
+        queries += ["".join("ACGT"[c] for c in rng.integers(0, 4, cfg["k"]))
+                    for _ in range(30)]  # mostly absent
+        for q in queries:
+            assert mem.CheckKmer(q) == fra.CheckKmer(q), (cfg, q)
+
+        # counter refiltering applies identically
+        mem.SetMinCount(3)
+        fra.SetMinCount(3)
+        for q in queries[:30]:
+            assert mem.CheckKmer(q) == fra.CheckKmer(q), (cfg, q)
+        mem.ResetMinMaxCounts()
+        fra.ResetMinMaxCounts()
+
+        ok_m, per_m = mem.GetCountersForRead(reads[0])
+        ok_f, per_f = fra.GetCountersForRead(reads[0])
+        assert ok_m and ok_f and list(per_m) == list(per_f)
+        assert fra.KmerCount() == mem.KmerCount()
+        # RA mode does not list (reference semantics)
+        km = KmerAPI(cfg["k"])
+        assert fra.ReadNextKmer(km) == (False, 0)
+        assert fra.Eof()
+        monkeypatch.delenv("KMC_TPU_RA_THRESHOLD")

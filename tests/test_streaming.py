@@ -249,7 +249,11 @@ def test_listing_bounded_rss(tmp_path):
 
     script = f"""
 import resource, sys, os
-resource.setrlimit(resource.RLIMIT_AS, (400 << 20, 400 << 20))
+# RLIMIT_AS counts mapped ADDRESS SPACE, so the cap must leave room for
+# the on-disk modes' memmaps (~76 MB) on top of the interpreter baseline;
+# the in-memory RA materialization (~480 MB of real allocations) still
+# cannot fit
+resource.setrlimit(resource.RLIMIT_AS, (500 << 20, 500 << 20))
 os.environ["KMC_TPU_NO_JAX"] = "1"
 sys.path.insert(0, "/root/repo")
 from kmc_tpu.api import KMCFile, KmerAPI
@@ -268,14 +272,26 @@ while seen < 50000:
     seen += 1
 assert not f.Eof()
 f.Close()
-# the cap must be binding: RA materialization must NOT fit
+# the cap must be binding: RA materialization must NOT fit...
 g = KMCFile()
 try:
     g.OpenForRA({p!r})
 except MemoryError:
-    print("LISTING-OK-RA-OOM")
-    sys.exit(0)
-sys.exit(3)
+    pass
+else:
+    sys.exit(3)
+del g  # drop the partially materialized arrays before the on-disk open
+import gc
+gc.collect()
+# ...while the ON-DISK RA mode answers membership queries under the cap
+os.environ["KMC_TPU_RA_THRESHOLD"] = "0"
+h = KMCFile()
+assert h.OpenForRA({p!r}) and h._is_file_ra()
+found, c = h.CheckKmer("".join("ACGT"[b % 4] for b in {first!r}[-25:]))
+ok2, per = h.GetCountersForRead("A" * 40)
+assert ok2 and len(per) == 16
+print("LISTING-OK-RA-OOM")
+sys.exit(0)
 """
     r = subprocess.run([sys.executable, "-c", script],
                        capture_output=True, text=True, timeout=600)
