@@ -578,9 +578,57 @@ def _finalize_core(
 _TILE_T = 128  # compaction tile width (1 VMEM lane row; no minor-dim pad)
 
 
-@functools.partial(jax.jit, static_argnames=("has_counts",),
+def _grouping_sort_mode() -> str:
+    """KMC_TPU_BITONIC_SORT selects the phase-A grouping sort:
+    "0" (default) = jax.lax.sort; "1" = the blocked Pallas bitonic
+    (ops/pallas_sort.py — EXPERIMENTAL: interpret-validated, pending the
+    on-chip A/B in tools/microbench_bitonic.py); "interpret" = the same
+    bitonic under Pallas interpret mode (CPU identity tests)."""
+    import os as _os
+
+    v = _os.environ.get("KMC_TPU_BITONIC_SORT", "0")
+    return {"1": "bitonic", "interpret": "interpret"}.get(v, "lax")
+
+
+def _grouping_sort(cols, n_keys, mode):
+    """The phase-A grouping sort over full store columns.
+
+    For the bitonic path the array is padded to a power of two with
+    sentinel rows (all-U32MAX keys, zero counts) and sliced back after.
+    That is value-identical to sorting unpadded: dead rows already carry
+    all-U32MAX keys and zero counts (live fused keys are strictly smaller
+    — the bin field never reaches its maximum), and every downstream
+    consumer reads group totals as prefix-sum differences at group
+    STARTS, which are invariant to payload order within a key group (so
+    lax.sort's stability is not load-bearing either)."""
+    if mode != "lax":
+        from .pallas_sort import BLOCK_R, LANES, pallas_bitonic_sort
+
+        X = cols[0].shape[0]
+        P = max(LANES * 2 * BLOCK_R, 1 << (X - 1).bit_length())
+        # fall back when padding would exceed 2x (tiny stores) or the
+        # fused VMEM ladder would blow the 16 MiB scoped-VMEM budget
+        if P <= 2 * X and len(cols) <= 6:
+            if P != X:
+                cols = [
+                    jnp.concatenate([
+                        c,
+                        jnp.full((P - X,),
+                                 U32MAX if i < n_keys else jnp.uint32(0),
+                                 jnp.uint32),
+                    ])
+                    for i, c in enumerate(cols)
+                ]
+            out = pallas_bitonic_sort(cols, n_keys=n_keys,
+                                      interpret=(mode == "interpret"))
+            return [c[:X] for c in out]
+    return jax.lax.sort(list(cols), num_keys=n_keys)
+
+
+@functools.partial(jax.jit, static_argnames=("has_counts", "sort_mode"),
                    donate_argnums=(0,))
-def _tiled_reduce_a(key_cols, store_counts, n_used, *, has_counts):
+def _tiled_reduce_a(key_cols, store_counts, n_used, *, has_counts,
+                    sort_mode="lax"):
     """Phase A of the tiled group-reduce: the big grouping sort + per-tile
     compaction bookkeeping.  Replaces the second full-width sort of
     _group_reduce (the compaction sort, ~55%% of finalize exec) with a
@@ -604,7 +652,7 @@ def _tiled_reduce_a(key_cols, store_counts, n_used, *, has_counts):
         if X128 != X:
             counts = jnp.concatenate(
                 [counts, jnp.zeros((X128 - X,), jnp.uint32)])
-        ops = jax.lax.sort(cols_in + [counts], num_keys=W)
+        ops = _grouping_sort(cols_in + [counts], W, sort_mode)
         keys_s = tuple(ops[:W])
         counts_s = ops[W]
         # exclusive prefix with the grand total appended: group totals are
@@ -614,7 +662,7 @@ def _tiled_reduce_a(key_cols, store_counts, n_used, *, has_counts):
         before = jnp.concatenate([jnp.zeros((1,), jnp.uint32), cs])
         n_live = jnp.sum(live.astype(jnp.int32))
     else:
-        keys_s = tuple(jax.lax.sort(cols_in, num_keys=W))
+        keys_s = tuple(_grouping_sort(cols_in, W, sort_mode))
         before = None
         n_live = jnp.sum(live.astype(jnp.int32))
 
@@ -1330,7 +1378,8 @@ class DeviceKmerStore:
             # completer — the second full-width compaction sort is gone
             has = eff_counts is not None
             keys_s, before, src_t, offs, n_groups_d, n_live = _tiled_reduce_a(
-                eff_cols, eff_counts, self.n_used, has_counts=has)
+                eff_cols, eff_counts, self.n_used, has_counts=has,
+                sort_mode=_grouping_sort_mode())
             n = int(n_groups_d)  # sync point (phase B shape depends on it)
             X128 = int(src_t.shape[0])
             grain = _out_grain()
@@ -1458,7 +1507,8 @@ class DeviceKmerStore:
         if _use_tiled_finalize():
             has = eff_counts is not None
             keys_s, before, src_t, offs, n_groups_d, n_live = _tiled_reduce_a(
-                eff_cols, eff_counts, self.n_used, has_counts=has)
+                eff_cols, eff_counts, self.n_used, has_counts=has,
+                sort_mode=_grouping_sort_mode())
             n = int(n_groups_d)  # sync point
             X128 = int(src_t.shape[0])
             grain = _out_grain()

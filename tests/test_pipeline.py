@@ -320,3 +320,37 @@ def test_tiled_finalize_matches_classic(tmp_path, monkeypatch):
         for suf in (".kmc_pre", ".kmc_suf"):
             with open(out_t + suf, "rb") as a, open(out_c + suf, "rb") as b:
                 assert a.read() == b.read(), (tag, suf)
+
+
+def test_bitonic_grouping_sort_matches_default(tmp_path, monkeypatch):
+    """KMC_TPU_BITONIC_SORT swaps the phase-A grouping sort for the
+    blocked Pallas bitonic; at an engaging store shape (>= 2^19 rows,
+    forced via the finalize grain) the DB must be byte-identical.  A spy
+    confirms the kernel actually traced (the gate silently falls back to
+    lax.sort below the minimum size)."""
+    from kmc_tpu.ops import pallas_sort as ps
+
+    # the bitonic needs a >= 2^19-row sort; on CPU the store allocation
+    # grows with appended rows, so ingest ~400k k-mer positions
+    reads = random_reads(5000, 100, seed=72, genome_len=40000)
+    inp = write_fastq(tmp_path / "in72.fastq", reads)
+    out_d = str(tmp_path / "default")
+    out_b = str(tmp_path / "bitonic")
+    count([inp], out_d, k=21, cutoff_min=2, batch_positions=1 << 12)
+
+    hits = []
+    real = ps.pallas_bitonic_sort
+
+    def spy(cols, **kw):
+        hits.append(cols[0].shape)
+        return real(cols, **kw)
+
+    monkeypatch.setattr(ps, "pallas_bitonic_sort", spy)
+    monkeypatch.setenv("KMC_TPU_BITONIC_SORT", "interpret")
+    monkeypatch.setenv("KMC_TPU_FINALIZE_GRAIN", str(1 << 19))
+    count([inp], out_b, k=21, cutoff_min=2, batch_positions=1 << 12,
+          device_store_rows=1 << 19)
+    assert hits, "bitonic path never engaged"
+    for suf in (".kmc_pre", ".kmc_suf"):
+        with open(out_d + suf, "rb") as a, open(out_b + suf, "rb") as b:
+            assert a.read() == b.read(), suf
