@@ -27,11 +27,13 @@ elementwise functions of (row, lane) — no data-dependent control flow.
 Keys: 1..n uint32 columns compared lexicographically (the store's fused
 (bin|k-mer) rows); remaining columns are payloads.
 
-STATUS: algorithm validated against lax.sort in interpret mode
-(tests/test_pallas_sort.py); NOT yet compiled/benchmarked on the chip (the
-dev tunnel was down when this landed) and NOT wired into the finalize.
-Round-3 work: compile, measure against the 1.39 s lax.sort grouping sort,
-wire behind a flag if it wins.
+STATUS: compiled and BIT-EXACT vs lax.sort on the chip at 2^19-2^28, but
+MEASURED ~3x SLOWER (2^28 2key: 3.915 s vs 1.387 s; docs/PERFORMANCE.md
+has the table and the accounting — XLA's internally-fused SortOp already
+sits near the HBM floor, while this schedule pays ~146 discrete HBM
+passes).  Kept wired behind KMC_TPU_BITONIC_SORT (default OFF,
+byte-identity-tested e2e) as a correctness-verified witness of the
+measurement and of the Mosaic lowering recipe below.
 """
 from __future__ import annotations
 
@@ -43,7 +45,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-BLOCK_R = 1 << 11  # rows per Pallas block (1 MB per u32 column)
+# rows per Pallas block: 512 KiB per u32 column.  1<<11 compiles at small
+# grids but blows the 16 MiB scoped-VMEM limit (17.81M) once the grid is
+# long enough for full double-buffering (2^26 rows, 2 columns).
+BLOCK_R = 1 << 10
 
 
 def _log2(x: int) -> int:
@@ -68,32 +73,55 @@ def _lex_swap(key_lo, key_hi, pay_lo, pay_hi, asc):
 
 
 def _ladder_kernel(*refs, n_keys: int, n_cols: int, level_bit: int,
-                   top_stride: int, r_total: int):
-    """Fused ladder of strides top_stride..1 (all < BLOCK_R) of one merge
-    level, over a (BLOCK_R, LANES) block of the (R, LANES) layout."""
+                   top_stride: int, r_total: int, block_r: int):
+    """Fused ladder of strides top_stride..1 (all < block_r) of one merge
+    level, over a (block_r, LANES) block of the (R, LANES) layout.
+
+    Mosaic rules learned the hard way ('Unsupported target bitwidth for
+    truncation', i8->i1 trunci on the select predicate): boolean STATE
+    must never live as a bool vector — algebra on i1 vectors (|, &, ==
+    between masks) materializes i8 and the final select can't truncate
+    back.  Like pallas_extract.py, all flags here are 0/1 uint32 and
+    every jnp.where predicate is a direct fresh comparison.  The XOR
+    partner c[r ^ s] is where(bit s of r == 0, c[r+s], c[r-s]) with two
+    static axis-0 rotations (sublane-shifted slices — the primitive
+    pallas_extract2d proved bit-exact).  Each element decides
+    take-partner locally: keep_min = (is_lo == asc); take = keep_min ?
+    key>partner : key<partner (ties never move — consistent on both
+    sides of a pair)."""
     in_refs = refs[:n_cols]
     out_refs = refs[n_cols : 2 * n_cols]
     i = pl.program_id(0)
 
+    one = jnp.uint32(1)
+    zero = jnp.uint32(0)
     cols = [r[:, :] for r in in_refs]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_R, LANES), 0)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_R, LANES), 1)
-    p = lanes * r_total + rows + i * BLOCK_R
-    asc_all = ((p >> level_bit) & 1) == 0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_r, LANES), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (block_r, LANES), 1)
+    p = (lanes * r_total + rows + i * block_r).astype(jnp.uint32)
+    asc_bit = (p >> level_bit) & one  # 0 = this element sorts ascending
 
     s = top_stride
     while s >= 1:
-        n_grp = BLOCK_R // (2 * s)
-        sp = [c.reshape(n_grp, 2, s, LANES) for c in cols]
-        lo = [c[:, 0] for c in sp]
-        hi = [c[:, 1] for c in sp]
-        asc = asc_all.reshape(n_grp, 2, s, LANES)[:, 0]
-        klo, khi, plo, phi = _lex_swap(
-            lo[:n_keys], hi[:n_keys], lo[n_keys:], hi[n_keys:], asc)
-        cols = [
-            jnp.stack([a, b], axis=1).reshape(BLOCK_R, LANES)
-            for a, b in zip(klo + plo, khi + phi)
-        ]
+        lg = s.bit_length() - 1
+        bit_s = (rows.astype(jnp.uint32) >> lg) & one  # 0 = lo element
+        partners = []
+        for c in cols:
+            down = jnp.concatenate([c[s:], c[:s]], axis=0)      # c[r+s]
+            up = jnp.concatenate([c[block_r - s:], c[:block_r - s]],
+                                 axis=0)                        # c[r-s]
+            partners.append(jnp.where(bit_s == 0, down, up))
+        keep_min = one - (bit_s ^ asc_bit)  # 1 iff is_lo == asc
+        gt = jnp.zeros((block_r, LANES), jnp.uint32)
+        lt = jnp.zeros((block_r, LANES), jnp.uint32)
+        eq = jnp.ones((block_r, LANES), jnp.uint32)
+        for c, pt in zip(cols[:n_keys], partners[:n_keys]):
+            gt = gt | (eq & jnp.where(c > pt, one, zero))
+            lt = lt | (eq & jnp.where(c < pt, one, zero))
+            eq = eq & jnp.where(c == pt, one, zero)
+        take = jnp.where(keep_min != 0, gt, lt)
+        cols = [jnp.where(take != 0, pt, c)
+                for c, pt in zip(cols, partners)]
         s //= 2
     for r, c in zip(out_refs, cols):
         r[:, :] = c
@@ -148,8 +176,11 @@ def pallas_bitonic_sort(cols, n_keys: int = 1, interpret: bool = False):
     N = int(cols[0].shape[0])
     R = N // LANES
     assert N == LANES * R and (N & (N - 1)) == 0
-    assert R >= 2 * BLOCK_R, "array too small for the blocked layout"
     nc = len(cols)
+    # scoped VMEM is 16 MiB: 2 columns fit 1024-row blocks with full grid
+    # double-buffering; 3+ columns need 512 (measured: nc=3 @1024 = 16.34M)
+    br = BLOCK_R if nc <= 2 else BLOCK_R // 2
+    assert R >= 2 * br, "array too small for the blocked layout"
 
     # lane-major element order as (R, LANES): p = lane * R + row
     arrs = [c.reshape(LANES, R).T for c in cols]
@@ -157,14 +188,15 @@ def pallas_bitonic_sort(cols, n_keys: int = 1, interpret: bool = False):
     def fused_ladder(arrs, level_bit, top_stride):
         kernel = functools.partial(
             _ladder_kernel, n_keys=n_keys, n_cols=nc,
-            level_bit=level_bit, top_stride=top_stride, r_total=R)
+            level_bit=level_bit, top_stride=top_stride, r_total=R,
+            block_r=br)
         outs = pl.pallas_call(
             kernel,
-            grid=(R // BLOCK_R,),
-            in_specs=[pl.BlockSpec((BLOCK_R, LANES), lambda i: (i, 0),
+            grid=(R // br,),
+            in_specs=[pl.BlockSpec((br, LANES), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
                       for _ in range(nc)],
-            out_specs=[pl.BlockSpec((BLOCK_R, LANES), lambda i: (i, 0),
+            out_specs=[pl.BlockSpec((br, LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
                        for _ in range(nc)],
             out_shape=[jax.ShapeDtypeStruct((R, LANES), jnp.uint32)
@@ -185,7 +217,7 @@ def pallas_bitonic_sort(cols, n_keys: int = 1, interpret: bool = False):
                 arrs_t = _xla_lane_pass(arrs_t, n_keys, s, level_bit, R)
                 s //= 2
             arrs = [a.T for a in arrs_t]
-        while s >= BLOCK_R:
+        while s >= br:
             arrs = _xla_row_pass(arrs, n_keys, s, level_bit, R)
             s //= 2
         arrs = fused_ladder(arrs, level_bit, s)

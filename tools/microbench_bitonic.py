@@ -3,10 +3,18 @@
 
 The grouping sort in the finalize is lax.sort over 2 fused u32 key
 columns (+1 count payload on recount paths) at up to 2^28 rows — 1.39 s
-measured, ~65% of finalize exec (docs/PERFORMANCE.md).  The blocked
-bitonic fuses the 11 lowest strides of every merge level into one Pallas
-VMEM ladder (164 HBM passes vs lax.sort's ~406), so the predicted win is
-~2x.  Run me on the real chip:
+measured, ~65% of finalize exec (docs/PERFORMANCE.md).
+
+MEASURED VERDICT (v5e, 2026-08-17): the blocked bitonic LOSES ~3x —
+2^26 2key 0.820s vs 0.301s, 2^26 2key+pay 1.224s vs 0.379s, 2^28 2key
+3.915s vs 1.387s (bit-exact everywhere).  XLA's SortOp is internally
+fused near the HBM floor (~0.75 ms/stage) while the blocked schedule
+pays ~5.6 ms per discrete HBM pass.  lax.sort stays the production
+grouping sort; see docs/PERFORMANCE.md for the full accounting.
+(2^28 with 3 columns exhausts HBM in this A/B harness — input + output
++ lax reference copies ~9.6 GB — not a kernel limit.)
+
+Run on the real chip:
 
     timeout 1800 python tools/microbench_bitonic.py [--sizes 26,28]
 
