@@ -446,6 +446,26 @@ def _compact_counted(key_cols, store_counts, n_used, wide=False):
     return _compact_core(tuple(key_cols), store_counts, n_used, wide=wide)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _stitch_unit(full_cols, part_cols, part_counts):
+    """Write an eff-width compaction result back over the full-width store
+    (rows beyond the part are dead by the n_used liveness bound)."""
+    X = full_cols[0].shape[0]
+    out_cols = tuple(jax.lax.dynamic_update_slice(f, p, (0,))
+                     for f, p in zip(full_cols, part_cols))
+    counts = jax.lax.dynamic_update_slice(
+        jnp.zeros((X,), jnp.uint32), part_counts, (0,))
+    return out_cols, counts
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _stitch_counted(full_cols, full_counts, part_cols, part_counts):
+    out_cols = tuple(jax.lax.dynamic_update_slice(f, p, (0,))
+                     for f, p in zip(full_cols, part_cols))
+    counts = jax.lax.dynamic_update_slice(full_counts, part_counts, (0,))
+    return out_cols, counts
+
+
 def _split_bins(keys_r, *, fuse, r0):
     """(bins, kmer lanes) from reduced key columns."""
     if fuse:
@@ -977,6 +997,7 @@ class DeviceKmerStore:
         self.skm_acc = jnp.zeros((2,), jnp.uint32)  # (lo, hi) super-k-mers
         self.prev_sig = jnp.full((1,), INVALID_SIG, jnp.uint32)
         self._since_compact = 0
+        self.n_autocompacts = 0
         self.spilled = []  # host-side spilled compacted (cols tuple, counts)
         self.total_appended_rows = 0
         # conservative host-side bound on total occurrences (every ingest
@@ -1022,7 +1043,7 @@ class DeviceKmerStore:
             self._resolve_base()
         if self._since_compact + s > self.capacity - self._base_rows():
             if not self._grow(self._base_rows() + self._since_compact + s):
-                self.compact()
+                self.compact_effective()
                 if self._pending_base is not None:
                     if self._pending_appends + s <= self._slack:
                         self._pending_appends += s
@@ -1075,13 +1096,14 @@ class DeviceKmerStore:
             *feed_args, self.key_cols, self.n_used, self.occ_acc,
             self.skm_acc, self.prev_sig, *map_args, **self._ing_statics(s))
         if had_counts:
-            # rare: ingest after a compaction/resume materialized counts —
+            # ingest after a compaction/resume materialized counts —
             # pad the new raw rows with unit counts
             ones = jnp.ones((s,), jnp.uint32)
             start = self.n_used - s
             self.counts = jax.lax.dynamic_update_slice(
                 self.counts, ones, (start,))
         self._since_compact += s
+        self._maybe_autocompact()
 
     def ingest_packed(self, packed, mask, *, s: int, k: int | None = None,
                       sig_len: int | None = None,
@@ -1135,6 +1157,60 @@ class DeviceKmerStore:
 
     def _wide(self) -> bool:
         return self._occ_upper >= (1 << 31)
+
+    def _autocompact_rows(self) -> int:
+        """KMC_TPU_AUTOCOMPACT_ROWS: appended rows between voluntary
+        mid-run compactions.  Default 0 (OFF) — measured on the bench
+        workload (fast host parse, store fits HBM) compaction strictly
+        adds device sort work it cannot hide: off 6.77 s, one compact
+        8.77 s, three compacts 10.89 s (finalize exec does drop 2.06 ->
+        1.40 s, but the compactions cost more than they save; see
+        docs/PERFORMANCE.md).  Enable for slow-parse inputs (gz/BAM on a
+        weak host) where device idle during stage 1 dwarfs the sort cost,
+        sized so a compact's rows fit the idle window."""
+        import os as _os
+
+        return max(0, int(_os.environ.get("KMC_TPU_AUTOCOMPACT_ROWS", "0")))
+
+    def _maybe_autocompact(self):
+        if self._pending_base is not None:
+            return  # a compaction is already in flight
+        thr = self._autocompact_rows()
+        if thr and self._since_compact >= thr:
+            self.compact_effective()
+
+    def compact_effective(self):
+        """Voluntary mid-run compaction at the grain-rounded used width.
+
+        compact() sorts the full allocation (the dead tail costs the same
+        ~5 ns/row as live data); this slices to the effective width first
+        and stitches the result back, so a half-full 2^28 store dedups in
+        half the time.  Like compact() the result-size fetch is deferred
+        (appends ride the slack region), so the whole thing queues
+        asynchronously behind the last ingest dispatch and overlaps the
+        host's parsing of the next batches — the finalize then sorts the
+        deduped row count instead of every appended row.  The reference's
+        analogue is per-bin stage-1 sorting while readers still run
+        (kmc.h:234-294); here the 'bin' is the whole HBM store."""
+        eff_cols, eff_counts = self._effective_finalize_cols()
+        X = int(self.key_cols[0].shape[0])
+        eff = int(eff_cols[0].shape[0])
+        if eff >= X:
+            return self.compact()
+        if eff_counts is None:
+            part_cols, part_counts, n = _compact_unit(eff_cols, self.n_used)
+            self.key_cols, self.counts = _stitch_unit(
+                self.key_cols, part_cols, part_counts)
+        else:
+            part_cols, part_counts, n = _compact_counted(
+                eff_cols, eff_counts, self.n_used, wide=self._wide())
+            self.key_cols, self.counts = _stitch_counted(
+                self.key_cols, self.counts, part_cols, part_counts)
+        self.n_used = n
+        self.n_autocompacts += 1
+        self._pending_base = n
+        self._pending_appends = 0
+        self._since_compact = 0
 
     def compact(self, blocking: bool = False):
         if self.counts is None:

@@ -76,6 +76,34 @@ def test_group_reduce_wide_payloads():
     assert got_pay[0] in (10, 11) and got_pay[1] in (50, 51) and got_pay[2] == 90
 
 
+def test_compact_effective_stitches_partial_width(monkeypatch):
+    """Voluntary mid-run compaction (compact_effective) slices to the
+    grain-rounded used width, dedups there, and stitches the result back
+    over the full-width store: totals/uniques must survive across the
+    unit->counted transition and repeated compactions."""
+    monkeypatch.setenv("KMC_TPU_FINALIZE_GRAIN", "64")
+    from kmc_tpu.ops.store import DeviceKmerStore
+
+    st = DeviceKmerStore(1024, k=21, sig_len=7, both_strands=True,
+                         n_bins=64, initial_rows=1024)
+    X = st.key_cols[0].shape[0]
+    keys = np.arange(100, dtype=np.uint32) % 40  # duplicates
+    st.append((keys, keys), np.ones(100, np.uint32))
+    st.compact_effective()  # eff=128 << X -> the stitch branch
+    assert st.n_autocompacts == 1
+    assert st.key_cols[0].shape[0] == X  # still full width
+    keys2 = (np.arange(60, dtype=np.uint32) % 40) + 20
+    st.append((keys2, keys2), np.ones(60, np.uint32))
+    st.compact_effective()  # counted stitch branch
+    assert st.n_autocompacts == 2
+    st.compact(blocking=True)
+    runs = st._host_runs()
+    total = sum(int(c[c > 0].sum()) for _, c in runs)
+    uniq = sum(int((c > 0).sum()) for _, c in runs)
+    assert total == 160
+    assert uniq == 60  # 0..39 union 20..59
+
+
 def test_spill_realloc_includes_slack_region(monkeypatch):
     """Regression (ADVICE round 1): spill() must reallocate capacity+slack
     rows.  With KMC_TPU_STORE_SLACK_DIV set, a post-spill deferred

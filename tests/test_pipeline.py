@@ -322,6 +322,36 @@ def test_tiled_finalize_matches_classic(tmp_path, monkeypatch):
                 assert a.read() == b.read(), (tag, suf)
 
 
+def test_autocompact_matches_default(tmp_path, monkeypatch):
+    """Voluntary mid-run compaction (KMC_TPU_AUTOCOMPACT_ROWS) dedups the
+    store while ingest streams; the output DB must be byte-identical to a
+    run that defers all merging to the finalize."""
+    import kmc_tpu.ops.store as st
+
+    reads = random_reads(400, 100, seed=73, genome_len=2000)
+    inp = write_fastq(tmp_path / "in73.fastq", reads)
+    out_d = str(tmp_path / "d")
+    out_a = str(tmp_path / "a")
+    count([inp], out_d, k=21, cutoff_min=2, batch_positions=512)
+
+    calls = []
+    orig = st.DeviceKmerStore.compact_effective
+
+    def spy(self):
+        calls.append(int(self._since_compact))
+        return orig(self)
+
+    monkeypatch.setattr(st.DeviceKmerStore, "compact_effective", spy)
+    monkeypatch.setenv("KMC_TPU_AUTOCOMPACT_ROWS", "2048")
+    monkeypatch.setenv("KMC_TPU_FINALIZE_GRAIN", "64")
+    count([inp], out_a, k=21, cutoff_min=2, batch_positions=512,
+          device_store_rows=1 << 15)
+    assert len(calls) >= 2, "autocompact never triggered"
+    for suf in (".kmc_pre", ".kmc_suf"):
+        with open(out_d + suf, "rb") as a, open(out_a + suf, "rb") as b:
+            assert a.read() == b.read(), suf
+
+
 def test_bitonic_grouping_sort_matches_default(tmp_path, monkeypatch):
     """KMC_TPU_BITONIC_SORT swaps the phase-A grouping sort for the
     blocked Pallas bitonic; at an engaging store shape (>= 2^19 rows,
