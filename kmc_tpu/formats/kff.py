@@ -122,11 +122,41 @@ class KffMeta:
     ordered: bool = False  # every 'r' section internally sorted
     # (False unless the file's variables say so — matches the reader)
     sections: list = None  # [(byte offset of first record, n_records)]
+    minimizer_size: int | None = None  # 'm' variable when declared
+    # minimizer sections: [(data start, nb_blocks, minimizer bytes)].
+    # Displayable (kmc_tools info parity, kmc_tools.cpp:174-210) but NOT
+    # decodable — the reference's own KFF db reader doesn't consume them
+    # either (kff_db_reader.h:16); data paths must refuse such files.
+    m_sections: list = None
+
+
+def _read_vars(f, variables):
+    (nb,) = struct.unpack(">Q", f.read(8))
+    for _ in range(nb):
+        name = b""
+        while True:
+            ch = f.read(1)
+            if ch == b"\x00":
+                break
+            name += ch
+        (val,) = struct.unpack(">Q", f.read(8))
+        variables[name.decode()] = val
 
 
 def read_kff_meta(path: str) -> KffMeta:
-    """Walk a KFF file's section headers (variables + 'r' section table)
-    without loading record payloads."""
+    """Walk a KFF file's section headers (variables + section table)
+    without loading record payloads.
+
+    Indexed files (a 'footer_size'-terminated footer pointing at
+    'first_index', the shape both this writer and the reference's
+    kff_writer.cpp:141-188 produce) are walked via the index — exactly
+    the reference's CKFFInfoReader flow — so minimizer sections, whose
+    block sizes the header alone doesn't determine, are recorded without
+    being decoded.  Unindexed files fall back to a sequential walk,
+    where an 'm' section cannot be skipped and raises."""
+    import os
+
+    size = os.path.getsize(path)
     with open(path, "rb") as f:
         head = f.read(8)
         if head[:3] != b"KFF":
@@ -137,37 +167,55 @@ def read_kff_meta(path: str) -> KffMeta:
         f.seek(free_size, 1)
         variables = {"max": 1, "data_size": 0, "k": 0}
         sections = []
-        import os
+        m_sections = []
 
-        end = os.path.getsize(path) - 3
-        while f.tell() < end:
-            sec = f.read(1)
-            if sec == b"v":
-                (nb,) = struct.unpack(">Q", f.read(8))
-                for _ in range(nb):
-                    name = b""
-                    while True:
-                        ch = f.read(1)
-                        if ch == b"\x00":
-                            break
-                        name += ch
-                    (val,) = struct.unpack(">Q", f.read(8))
-                    variables[name.decode()] = val
-            elif sec == b"r":
-                (nb,) = struct.unpack(">Q", f.read(8))
-                if variables.get("max", 1) != 1:
-                    raise NotImplementedError("KFF max>1 blocks")
-                kb = (variables["k"] + 3) // 4
-                rec = kb + variables["data_size"]
-                sections.append((f.tell(), nb))
-                f.seek(nb * rec, 1)
-            elif sec == b"i":
-                (nb,) = struct.unpack(">Q", f.read(8))
-                f.seek(nb * 9 + 8, 1)
-            elif sec == b"m":
-                raise NotImplementedError("KFF minimizer sections")
-            else:
-                raise ValueError(f"unknown KFF section {sec!r}")
+        def read_r():
+            (nb,) = struct.unpack(">Q", f.read(8))
+            if variables.get("max", 1) != 1:
+                raise NotImplementedError("KFF max>1 blocks")
+            sections.append((f.tell(), nb))
+            return nb
+
+        def read_m():
+            mb = (int(variables.get("m", 0)) + 3) // 4
+            mini = f.read(mb)
+            (nb,) = struct.unpack(">Q", f.read(8))
+            m_sections.append((f.tell(), nb, mini))
+
+        # -- indexed walk (the reference's CKFFInfoReader flow) --
+        positions = _index_positions(f, size)
+        if positions is not None:
+            for pos in positions:
+                f.seek(pos)
+                sec = f.read(1)
+                if sec == b"v":
+                    _read_vars(f, variables)
+                elif sec == b"r":
+                    read_r()
+                elif sec == b"m":
+                    read_m()
+                elif sec == b"i":
+                    continue
+                else:
+                    raise ValueError(f"unknown KFF section {sec!r}")
+        else:
+            end = size - 3
+            while f.tell() < end:
+                sec = f.read(1)
+                if sec == b"v":
+                    _read_vars(f, variables)
+                elif sec == b"r":
+                    nb = read_r()
+                    kb = (variables["k"] + 3) // 4
+                    f.seek(nb * (kb + variables["data_size"]), 1)
+                elif sec == b"i":
+                    (nb,) = struct.unpack(">Q", f.read(8))
+                    f.seek(nb * 9 + 8, 1)
+                elif sec == b"m":
+                    raise NotImplementedError(
+                        "KFF minimizer section in an unindexed file")
+                else:
+                    raise ValueError(f"unknown KFF section {sec!r}")
     return KffMeta(
         k=variables["k"],
         counter_size=variables["data_size"],
@@ -177,7 +225,43 @@ def read_kff_meta(path: str) -> KffMeta:
         max_count=variables.get("max_count", 1 << 32),
         ordered=bool(variables.get("ordered", 0)),
         sections=sections,
+        minimizer_size=int(variables["m"]) if "m" in variables else None,
+        m_sections=m_sections,
     )
+
+
+def _index_positions(f, size):
+    """Absolute positions of every data section, from the footer's
+    first_index and the index-section chain (entries are offsets relative
+    to the index END, reference kff_writer.cpp:159); None when the file
+    has no parseable footer/index."""
+    try:
+        f.seek(size - 3 - 8)
+        (footer_size,) = struct.unpack(">Q", f.read(8))
+        footer_pos = size - 3 - footer_size
+        if not (0 < footer_pos < size):
+            return None
+        f.seek(footer_pos)
+        if f.read(1) != b"v":
+            return None
+        fvars = {}
+        _read_vars(f, fvars)
+        idx = int(fvars["first_index"])
+    except (struct.error, KeyError, UnicodeDecodeError):
+        return None
+    positions = []
+    while idx > 0:
+        f.seek(idx)
+        if f.read(1) != b"i":
+            return None
+        (nb,) = struct.unpack(">Q", f.read(8))
+        entries = [struct.unpack(">cq", f.read(9)) for _ in range(nb)]
+        (next_rel,) = struct.unpack(">q", f.read(8))
+        index_end = f.tell()
+        for _t, rel in entries:
+            positions.append(index_end + rel)
+        idx = index_end + next_rel if next_rel else 0
+    return positions
 
 
 def read_kff(path: str) -> KffData:

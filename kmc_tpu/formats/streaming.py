@@ -160,6 +160,12 @@ class DbStreamReader:
         from .kff import read_kff_meta
 
         self._kff = read_kff_meta(self.path)
+        if self._kff.m_sections:
+            # parity with the reference: kmc_tools displays minimizer
+            # sections (info) but its KFF db reader does not consume them
+            # (kff_db_reader.h:16)
+            raise NotImplementedError(
+                "KFF minimizer sections cannot be read as k-mer data")
         if not self._kff.ordered:
             # the windowed merge requires internally sorted sections; the
             # in-memory reader (read_kff + lexsort) handles unsorted files

@@ -408,16 +408,36 @@ def db_compare(db1: str, db2: str) -> bool:
 
 def db_info_text(db_path: str) -> str:
     if str(db_path).endswith(".kff"):
-        from ..formats.kff import read_kff
+        from ..formats.kff import read_kff_meta
 
-        kf = read_kff(str(db_path))
-        return (
-            f"k                 : {kf.k}\n"
-            f"total k-mers      : {len(kf.kmers)}\n"
-            f"counter size      : {kf.counter_size} bytes\n"
-            f"both strands      : {'yes' if kf.canonical else 'no'}\n"
-            f"database format   : KFF\n"
-        )
+        # header/index walk only — also works on files with minimizer
+        # sections, which are displayable but not readable as k-mer data
+        # (parity with the reference: kmc_tools.cpp:174-210 lists them,
+        # kff_db_reader.h:16 cannot consume them)
+        kf = read_kff_meta(str(db_path))
+        total = sum(n for _, n in kf.sections)
+        out = [
+            f"k                 : {kf.k}",
+            f"total k-mers      : {total}",
+            f"counter size      : {kf.counter_size} bytes",
+            f"both strands      : {'yes' if kf.canonical else 'no'}",
+            "database format   : KFF",
+        ]
+        if kf.minimizer_size is not None:
+            out.append(f"m                 : {kf.minimizer_size}")
+        if kf.m_sections:
+            out.append("Data sections:")
+            for off, n in kf.sections:
+                out.append(f"\ttype            : raw")
+                out.append(f"\tdata_start      : {off}")
+                out.append(f"\tnb_blocks       : {n}")
+            for off, n, mini in kf.m_sections:
+                out.append(f"\ttype            : minimizer")
+                out.append(f"\tdata_start      : {off}")
+                out.append(f"\tnb_blocks       : {n}")
+                out.append("\tminimizer (HEX) : "
+                           + " ".join(f"{b:x}" for b in mini))
+        return "\n".join(out) + "\n"
     # byte-for-byte the reference's layout (kmc_tools.cpp:139-151) so
     # scripts parsing `kmc_tools info` keep working
     info = read_db(db_path).info

@@ -3,6 +3,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -66,3 +67,67 @@ def test_tools_kff_roundtrip(tmp_path):
     # info on a KFF file
     text = db_ops.db_info_text(kff_out)
     assert "KFF" in text and f"k                 : {k}" in text
+
+
+def test_kff_minimizer_sections_display_but_refuse_data(tmp_path):
+    """Parity with the reference on KFF minimizer sections: `info` lists
+    them (kmc_tools.cpp:174-210) via the footer/index walk, while every
+    k-mer data path refuses them (the reference's KFF db reader cannot
+    consume them either, kff_db_reader.h:16)."""
+    import struct
+
+    from kmc_tpu.formats.kff import read_kff_meta
+    from kmc_tpu.formats.streaming import DbStreamReader
+    from kmc_tpu.tools import db_ops
+
+    k, m = 21, 7
+    path = str(tmp_path / "mini.kff")
+    buf = bytearray()
+
+    def be(x):
+        return struct.pack(">Q", x)
+
+    index = []
+    buf += b"KFF" + bytes([1, 0, 0b00011011, 1, 1]) + struct.pack(">I", 0)
+    index.append(len(buf))
+    pairs = [(b"k", k), (b"m", m), (b"max", 1), (b"data_size", 1),
+             (b"ordered", 1)]
+    buf += b"v" + be(len(pairs))
+    for name, val in pairs:
+        buf += name + b"\x00" + be(val)
+    # one minimizer section: packed minimizer, nb_blocks, then opaque
+    # block payload (the walker must not need to understand it)
+    index.append(len(buf))
+    buf += b"m" + bytes([0xAB, 0xCD]) + be(3) + b"\x00" * 17
+    # index + footer exactly like KffWriter.close()
+    nb_sections = len(index) + 1
+    index_start = len(buf)
+    index_end = index_start + 1 + 8 + nb_sections * 9 + 8
+    buf += b"i" + be(nb_sections)
+    buf += b"v" + struct.pack(">q", index[0] - index_end)
+    buf += b"m" + struct.pack(">q", index[1] - index_end)
+    buf += b"v" + struct.pack(">q", 0)
+    buf += struct.pack(">q", 0)  # next_index
+    footer = [(b"first_index", index_start), (b"min_count", 1),
+              (b"max_count", 255), (b"counter_size", 1)]
+    footer_size = 1 + 8 + sum(len(n) + 1 + 8 for n, _ in footer)
+    footer_size += len(b"footer_size") + 1 + 8
+    footer.append((b"footer_size", footer_size))
+    buf += b"v" + be(len(footer))
+    for name, val in footer:
+        buf += name + b"\x00" + be(val)
+    buf += b"KFF"
+    open(path, "wb").write(bytes(buf))
+
+    meta = read_kff_meta(path)
+    assert meta.k == k and meta.minimizer_size == m
+    assert len(meta.m_sections) == 1
+    off, nb, mini = meta.m_sections[0]
+    assert nb == 3 and mini == bytes([0xAB, 0xCD])
+
+    text = db_ops.db_info_text(path)
+    assert "minimizer" in text and f"m                 : {m}" in text
+    assert "ab cd" in text
+
+    with pytest.raises(NotImplementedError):
+        DbStreamReader(path)
