@@ -136,6 +136,8 @@ def _read_vars(f, variables):
         name = b""
         while True:
             ch = f.read(1)
+            if not ch:
+                raise ValueError("truncated KFF variable section")
             if ch == b"\x00":
                 break
             name += ch
@@ -165,6 +167,7 @@ def read_kff_meta(path: str) -> KffMeta:
         canonical = bool(head[7])
         (free_size,) = struct.unpack(">I", f.read(4))
         f.seek(free_size, 1)
+        first_section = f.tell()
         variables = {"max": 1, "data_size": 0, "k": 0}
         sections = []
         m_sections = []
@@ -199,6 +202,7 @@ def read_kff_meta(path: str) -> KffMeta:
                 else:
                     raise ValueError(f"unknown KFF section {sec!r}")
         else:
+            f.seek(first_section)  # the index probe moved the cursor
             end = size - 3
             while f.tell() < end:
                 sec = f.read(1)
@@ -236,6 +240,8 @@ def _index_positions(f, size):
     to the index END, reference kff_writer.cpp:159); None when the file
     has no parseable footer/index."""
     try:
+        if size < 3 + 8:
+            return None
         f.seek(size - 3 - 8)
         (footer_size,) = struct.unpack(">Q", f.read(8))
         footer_pos = size - 3 - footer_size
@@ -247,20 +253,26 @@ def _index_positions(f, size):
         fvars = {}
         _read_vars(f, fvars)
         idx = int(fvars["first_index"])
-    except (struct.error, KeyError, UnicodeDecodeError):
+        positions = []
+        seen = set()
+        while 0 < idx < size:
+            if idx in seen:  # malformed index cycle
+                return None
+            seen.add(idx)
+            f.seek(idx)
+            if f.read(1) != b"i":
+                return None
+            (nb,) = struct.unpack(">Q", f.read(8))
+            if nb > size // 9:
+                return None
+            entries = [struct.unpack(">cq", f.read(9)) for _ in range(nb)]
+            (next_rel,) = struct.unpack(">q", f.read(8))
+            index_end = f.tell()
+            for _t, rel in entries:
+                positions.append(index_end + rel)
+            idx = index_end + next_rel if next_rel else 0
+    except (struct.error, KeyError, UnicodeDecodeError, ValueError, OSError):
         return None
-    positions = []
-    while idx > 0:
-        f.seek(idx)
-        if f.read(1) != b"i":
-            return None
-        (nb,) = struct.unpack(">Q", f.read(8))
-        entries = [struct.unpack(">cq", f.read(9)) for _ in range(nb)]
-        (next_rel,) = struct.unpack(">q", f.read(8))
-        index_end = f.tell()
-        for _t, rel in entries:
-            positions.append(index_end + rel)
-        idx = index_end + next_rel if next_rel else 0
     return positions
 
 
