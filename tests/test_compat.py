@@ -131,3 +131,34 @@ def test_kff_minimizer_sections_display_but_refuse_data(tmp_path):
 
     with pytest.raises(NotImplementedError):
         DbStreamReader(path)
+
+
+def test_kff_meta_mutation_fuzz(tmp_path):
+    """Single-byte corruptions of a valid KFF must make read_kff_meta
+    either parse or raise cleanly — never hang or exhaust memory (the
+    index walk guards cycles/absurd counts, variable names fail fast at
+    EOF)."""
+    from kmc_tpu.formats.kff import KffWriter, read_kff_meta
+
+    path = str(tmp_path / "seed.kff")
+    w = KffWriter(path, canonical=True, k=9, counter_size=1,
+                  min_count=1, max_count=255)
+    kmers = np.arange(12, dtype=np.uint64)
+    kb = (9 + 3) // 4
+    arr = np.zeros((12, kb), np.uint8)
+    arr[:, -1] = kmers.astype(np.uint8)
+    w.store_section(arr, np.full(12, 2, np.uint32))
+    w.close()
+    seed = bytearray(open(path, "rb").read())
+
+    rng = np.random.default_rng(0)
+    mpath = str(tmp_path / "mut.kff")
+    for _ in range(300):
+        buf = bytearray(seed)
+        pos = int(rng.integers(0, len(buf)))
+        buf[pos] ^= int(rng.integers(1, 256))
+        open(mpath, "wb").write(bytes(buf))
+        try:
+            read_kff_meta(mpath)
+        except Exception:
+            pass  # clean failure is fine; hangs/OOM are the bug
