@@ -206,7 +206,6 @@ def pallas_bitonic_sort(cols, n_keys: int = 1, interpret: bool = False):
         return list(outs)
 
     log_n = _log2(N)
-    log_r = _log2(R)
     for k in range(1, log_n + 1):  # merge level: direction bit k
         # level log_n: bit log_n of p (< N) is always 0 -> all ascending
         level_bit = k if k < log_n else 31
