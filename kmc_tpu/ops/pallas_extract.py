@@ -28,11 +28,13 @@ STATUS — two variants:
   template and the negative-lowering witness.
 - pallas_extract2d (below): WIRED into the ingest (ops/store.py,
   KMC_TPU_PALLAS_EXTRACT, default auto = on for TPU when the batch aligns
-  to 128*TILE_R positions).  The rewrite makes every data-window shift a
-  SUBLANE-dimension slice of (rows, 128) blocks — a lowering path Mosaic
-  handles correctly: bit-exact against the XLA extract COMPILED on the
-  real chip for k=21/27/55 (tools/validate_pallas_extract_tpu.py) and through the full
-  pipeline (byte-identical DBs, tests/test_pallas_extract.py).
+  to pallas2d_align(k) positions).  The rewrite makes every data-window
+  shift a SUBLANE-dimension slice of (rows, 128) blocks — a lowering path
+  Mosaic handles correctly: bit-exact against the XLA extract COMPILED on
+  the real chip across the full k range (k=21/27/55 at 1024-row tiles,
+  k=77/128/200/256 at the W-adaptive 512-row tiles,
+  tools/validate_pallas_extract_tpu.py) and through the full pipeline
+  (byte-identical DBs, tests/test_pallas_extract.py).
 """
 from __future__ import annotations
 
@@ -206,7 +208,23 @@ def pallas_batch_len(s: int, k: int) -> int:
 # ---------------------------------------------------------------------------
 
 LANES = 128
-TILE_R = 1024  # rows per grid step (fits the 16 MiB scoped-VMEM budget with all intermediates)
+TILE_R = 1024  # rows per grid step at W<=4 (fits the 16 MiB scoped-VMEM budget with all intermediates)
+
+
+def tile_rows(k: int) -> int:
+    """Rows per grid step for pallas_extract2d, sized to the 16 MiB
+    scoped-VMEM budget: the kernel holds (1+W) double-buffered output
+    blocks plus ~3W lane intermediates of (rows, 128) u32, so rows must
+    shrink as W = ceil(k/16) grows.  1024 rows is chip-validated for
+    W<=4 (k<=64); 512 for W<=16 (k<=256, chip-validated at k=77/128/200/
+    256 by tools/validate_pallas_extract_tpu.py).  Must stay a multiple
+    of _halo_rows(k) (the halo BlockSpec indexes in halo-block units)."""
+    return TILE_R if k <= 64 else 512
+
+
+def pallas2d_align(k: int) -> int:
+    """Batch-length alignment required by pallas_extract2d for this k."""
+    return LANES * tile_rows(k)
 
 
 def _halo_rows(k: int) -> int:
@@ -220,10 +238,10 @@ def _halo_rows(k: int) -> int:
 
 
 def _kernel2d(a_ref, halo_ref, sig_ref, *rest, k: int, sig_len: int,
-              both_strands: bool, W: int, hr: int):
+              both_strands: bool, W: int, hr: int, rows: int):
     lane_refs = rest[:W]
     cbuf = rest[W]
-    S = TILE_R
+    S = rows
     n_codes = S + hr
 
     cbuf[0:S, :] = a_ref[:, :].astype(jnp.int32)
@@ -295,9 +313,10 @@ def pallas_extract2d(codes, *, s: int, k: int, sig_len: int,
                      both_strands: bool, interpret: bool = False):
     """Same contract as pallas_extract (sig + canonical k-mer lanes in
     POSITION order), via the 2-D sublane-layout kernel.  Requires
-    s % (128 * TILE_R) == 0 and len(codes) >= pallas2d_batch_len(s, k)."""
-    assert s % (LANES * TILE_R) == 0, (
-        f"s must be a multiple of {LANES * TILE_R}")
+    s % pallas2d_align(k) == 0 and len(codes) >= pallas2d_batch_len(s, k)."""
+    R = tile_rows(k)
+    assert s % (LANES * R) == 0, (
+        f"s must be a multiple of {LANES * R}")
     W = (k + 15) // 16
     hr = _halo_rows(k)
     seg = s // LANES
@@ -311,21 +330,21 @@ def pallas_extract2d(codes, *, s: int, k: int, sig_len: int,
 
     kernel = functools.partial(
         _kernel2d, k=k, sig_len=sig_len, both_strands=both_strands, W=W,
-        hr=hr,
+        hr=hr, rows=R,
     )
-    nb = seg // TILE_R
+    nb = seg // R
     outs = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((TILE_R, LANES), lambda i: (i, 0),
+            pl.BlockSpec((R, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hr, LANES),
-                         lambda i: ((i + 1) * (TILE_R // hr), 0),
+                         lambda i: ((i + 1) * (R // hr), 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_R, LANES), lambda i: (i, 0),
+            pl.BlockSpec((R, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(1 + W)
         ],
@@ -333,7 +352,7 @@ def pallas_extract2d(codes, *, s: int, k: int, sig_len: int,
             _out_struct((seg, LANES), codes)
             for _ in range(1 + W)
         ],
-        scratch_shapes=[pltpu.VMEM((TILE_R + hr, LANES), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((R + hr, LANES), jnp.int32)],
         interpret=interpret,
     )(H, H)
     # back to position order (cheap u32 transposes)

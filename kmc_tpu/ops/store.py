@@ -143,23 +143,22 @@ def _pallas_extract_mode() -> str:
 
 
 def _use_pallas_extract(s: int, k: int) -> str | None:
-    from .pallas_extract import LANES, TILE_R
+    from .pallas_extract import pallas2d_align
 
     mode = _pallas_extract_mode()
     if mode in ("0", "off", "false"):
         return None
-    if s % (LANES * TILE_R):
+    if s % pallas2d_align(k):
         return None
     if mode == "interpret":
         return "interpret"
     if mode in ("auto", "1", "on", "true"):
         import jax as _jax
 
-        # compiled on-chip validation covers k<=55 (W<=4,
-        # tools/validate_pallas_extract_tpu.py); larger W also multiplies the kernel's
-        # VMEM footprint toward the 16 MiB scoped budget — stay on the
-        # XLA extract there
-        if k > 64:
+        # compiled on-chip validation covers the full k range via the
+        # W-adaptive tile height (tools/validate_pallas_extract_tpu.py:
+        # k=21/27/55 at 1024 rows, k=77/128/200/256 at 512 rows)
+        if k > 256:
             return None
         return "compiled" if _jax.default_backend() == "tpu" else None
     return None

@@ -35,18 +35,19 @@ def test_pallas_extract_matches_xla(k, both):
 
 
 @pytest.mark.parametrize("k,both", [(27, True), (21, False), (55, True),
-                                    (129, True)])
+                                    (129, True), (256, True)])
 def test_pallas_extract2d_matches_xla(k, both):
     """The 2-D sublane-layout kernel (position (r,c) = c*seg + r; every
-    window shift a sublane slice) must match the XLA extract exactly."""
+    window shift a sublane slice) must match the XLA extract exactly —
+    including k>64, where tile_rows(k) shrinks the grid block to fit
+    scoped VMEM."""
     from kmc_tpu.ops.pallas_extract import (
-        LANES,
-        TILE_R,
+        pallas2d_align,
         pallas2d_batch_len,
         pallas_extract2d,
     )
 
-    s, m = LANES * TILE_R, 9
+    s, m = pallas2d_align(k), 9
     rng = np.random.default_rng(1000 + k)
     codes = rng.integers(0, 5, pallas2d_batch_len(s, k)).astype(np.uint8)
 

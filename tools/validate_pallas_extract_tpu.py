@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """On-chip exactness check for the 2-D sublane Pallas extract: compiles
 pallas_extract2d on the attached TPU and bit-compares sig + k-mer lanes
-against the XLA extract for k in {27, 21, 55}.  (The interpret-mode
+against the XLA extract for k in {27, 21, 55} (1024-row tiles)
+and {77, 128, 200, 256} (512-row tiles, W-adaptive VMEM budget).  (The interpret-mode
 equivalent runs in CI: tests/test_pallas_extract.py.)"""
 import sys
 from pathlib import Path
@@ -12,7 +13,7 @@ import numpy as np, jax.numpy as jnp
 from kmc_tpu.ops.extract import position_sigs, _kmer_words, batch_len, INVALID_SIG
 from kmc_tpu.ops.pallas_extract import pallas_extract2d, pallas2d_batch_len
 
-for k in (27, 21, 55):
+for k in (27, 21, 55, 77, 128, 200, 256):
     s, sig_len = 1 << 19, 9
     rng = np.random.default_rng(k)
     codes = rng.integers(0, 5, pallas2d_batch_len(s, k)).astype(np.uint8)
