@@ -125,13 +125,14 @@ class _FileRA:
     CKMCFile::CheckKmer (kmc_file.cpp:1321) — so membership queries on a
     100 GB database touch a handful of pages instead of materializing it."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, meta=None):
         import os
 
         from .formats.kmc_db import read_pre_meta
 
-        self.info, self.luts, self.sig_map = read_pre_meta(
-            path, mmap_luts=True)
+        if meta is None:
+            meta = read_pre_meta(path, mmap_luts=True)
+        self.info, self.luts, self.sig_map = meta
         rb = self.info.record_bytes
         if rb:
             n = (os.path.getsize(path + ".kmc_suf") - 8) // rb
@@ -273,12 +274,12 @@ class KMCFile:
             try:
                 from .formats.kmc_db import read_pre_meta
 
-                n_stored = read_pre_meta(path, mmap_luts=True)[0].n_unique_stored
+                meta = read_pre_meta(path, mmap_luts=True)
             except (OSError, ValueError):
                 return False
-            if n_stored > _ra_threshold():
+            if meta[0].n_unique_stored > _ra_threshold():
                 try:
-                    self._file_ra = _FileRA(path)
+                    self._file_ra = _FileRA(path, meta=meta)
                 except (OSError, ValueError):
                     return False
                 self._info = self._file_ra.info

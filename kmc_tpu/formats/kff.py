@@ -130,8 +130,17 @@ class KffMeta:
     m_sections: list = None
 
 
+def _read_exact(f, n):
+    """Read exactly n bytes or raise ValueError (struct.error from a short
+    read would escape the ValueError contract callers catch)."""
+    b = f.read(n)
+    if len(b) != n:
+        raise ValueError("truncated KFF file")
+    return b
+
+
 def _read_vars(f, variables):
-    (nb,) = struct.unpack(">Q", f.read(8))
+    (nb,) = struct.unpack(">Q", _read_exact(f, 8))
     for _ in range(nb):
         name = b""
         while True:
@@ -141,7 +150,7 @@ def _read_vars(f, variables):
             if ch == b"\x00":
                 break
             name += ch
-        (val,) = struct.unpack(">Q", f.read(8))
+        (val,) = struct.unpack(">Q", _read_exact(f, 8))
         variables[name.decode()] = val
 
 
@@ -161,11 +170,15 @@ def read_kff_meta(path: str) -> KffMeta:
     size = os.path.getsize(path)
     with open(path, "rb") as f:
         head = f.read(8)
-        if head[:3] != b"KFF":
+        if len(head) != 8 or head[:3] != b"KFF":
             raise ValueError("bad KFF marker")
+        f.seek(size - 3)
+        if f.read(3) != b"KFF":  # same contract as read_kff: a file
+            raise ValueError("bad KFF markers")  # truncated before any
+        f.seek(8)  # section must not parse as a valid empty database
         encoding = head[5]
         canonical = bool(head[7])
-        (free_size,) = struct.unpack(">I", f.read(4))
+        (free_size,) = struct.unpack(">I", _read_exact(f, 4))
         f.seek(free_size, 1)
         first_section = f.tell()
         variables = {"max": 1, "data_size": 0, "k": 0}
@@ -173,7 +186,7 @@ def read_kff_meta(path: str) -> KffMeta:
         m_sections = []
 
         def read_r():
-            (nb,) = struct.unpack(">Q", f.read(8))
+            (nb,) = struct.unpack(">Q", _read_exact(f, 8))
             if variables.get("max", 1) != 1:
                 raise NotImplementedError("KFF max>1 blocks")
             sections.append((f.tell(), nb))
@@ -181,8 +194,8 @@ def read_kff_meta(path: str) -> KffMeta:
 
         def read_m():
             mb = (int(variables.get("m", 0)) + 3) // 4
-            mini = f.read(mb)
-            (nb,) = struct.unpack(">Q", f.read(8))
+            mini = _read_exact(f, mb)
+            (nb,) = struct.unpack(">Q", _read_exact(f, 8))
             m_sections.append((f.tell(), nb, mini))
 
         # -- indexed walk (the reference's CKFFInfoReader flow) --
@@ -213,7 +226,7 @@ def read_kff_meta(path: str) -> KffMeta:
                     kb = (variables["k"] + 3) // 4
                     f.seek(nb * (kb + variables["data_size"]), 1)
                 elif sec == b"i":
-                    (nb,) = struct.unpack(">Q", f.read(8))
+                    (nb,) = struct.unpack(">Q", _read_exact(f, 8))
                     f.seek(nb * 9 + 8, 1)
                 elif sec == b"m":
                     raise NotImplementedError(
@@ -273,7 +286,9 @@ def _index_positions(f, size):
             idx = index_end + next_rel if next_rel else 0
     except (struct.error, KeyError, UnicodeDecodeError, ValueError, OSError):
         return None
-    return positions
+    # a footer whose first_index is 0/garbage yields no entries — treat as
+    # unindexed (sequential walk) rather than as a valid empty database
+    return positions or None
 
 
 def read_kff(path: str) -> KffData:

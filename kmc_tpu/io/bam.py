@@ -79,14 +79,16 @@ def bgzf_block_spans(path: str):
 
 
 def _parallel_inflated_chunks(path: str, n_threads: int,
-                              blocks_per_batch: int = 512):
+                              blocks_per_batch: int = 512,
+                              spans=None):
     """Yield inflated byte chunks of a BGZF file IN ORDER, inflating blocks
     on a thread pool (each BGZF member is an independent gzip stream and
     zlib.decompress releases the GIL) — the TPU-side analogue of the
     reference's CBamTaskManager parallel BGZF pipeline (queues.h:2148)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    spans = bgzf_block_spans(path)
+    if spans is None:
+        spans = bgzf_block_spans(path)
 
     def inflate_batch(batch):
         with open(path, "rb") as f:
@@ -132,12 +134,19 @@ def bam_code_chunks(path: str, both_strands: bool = True,
         try:
             # probe: a parallel walk requires real BGZF members (BSIZE
             # extra field); plain-gzip BAMs fall back to the serial reader
-            bgzf_block_spans(path)
+            spans = bgzf_block_spans(path)
         except (ValueError, OSError):
-            reader = NativeGzReader(path)
+            try:
+                reader = NativeGzReader(path)
+            except (RuntimeError, OSError):
+                # same fallback contract as the serial branch above
+                yield from _bam_code_chunks_py(path, both_strands,
+                                               chunk_reads)
+                return
         else:
             prev_reads = 0
-            for chunk in _parallel_inflated_chunks(path, n_threads):
+            for chunk in _parallel_inflated_chunks(path, n_threads,
+                                                   spans=spans):
                 codes = parser.parse(np.frombuffer(chunk, dtype=np.uint8))
                 if len(codes):
                     n_now = parser.n_reads

@@ -276,6 +276,12 @@ def _run_complex_streaming(inputs, out_path, expr, p):
     for name, (db, ip) in inputs.items():
         with DbStreamReader(db) as r:
             infos[name] = r.info
+    ks = {i.kmer_len for i in infos.values()}
+    if len(ks) > 1:
+        # same check as the in-memory path's _aligned_merge: numpy 'S{kb}'
+        # keys of different widths would NUL-pad and spuriously compare
+        # equal instead of erroring
+        raise ValueError("k-mer length mismatch between databases")
 
     def factory(db, ip):
         def make():

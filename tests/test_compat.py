@@ -162,3 +162,54 @@ def test_kff_meta_mutation_fuzz(tmp_path):
             read_kff_meta(mpath)
         except Exception:
             pass  # clean failure is fine; hangs/OOM are the bug
+
+
+def test_kff_meta_truncation_raises_valueerror(tmp_path):
+    """Truncated KFF files must raise ValueError from read_kff_meta — not
+    struct.error (which escapes the OSError/ValueError contract callers
+    catch), and never parse as a valid empty database (the 13-byte
+    header+free_size+'v' stub used to return KffMeta(k=0, sections=[]))."""
+    from kmc_tpu.formats.kff import KffWriter, read_kff_meta
+
+    path = str(tmp_path / "seed.kff")
+    w = KffWriter(path, canonical=True, k=9, counter_size=1,
+                  min_count=1, max_count=255)
+    kb = (9 + 3) // 4
+    arr = np.zeros((12, kb), np.uint8)
+    arr[:, -1] = np.arange(12, dtype=np.uint8)
+    w.store_section(arr, np.full(12, 2, np.uint32))
+    w.close()
+    seed = open(path, "rb").read()
+
+    tpath = str(tmp_path / "trunc.kff")
+    for cut in (5, 13, 60, len(seed) - 5):
+        open(tpath, "wb").write(seed[:cut])
+        with pytest.raises(ValueError):
+            read_kff_meta(tpath)
+
+
+def test_kff_meta_zeroed_first_index_falls_back(tmp_path):
+    """A footer whose first_index is zeroed (single-byte corruption) must
+    not read as an empty database: the indexed walk yields no positions,
+    and the meta walk falls back to the sequential scan."""
+    from kmc_tpu.formats.kff import KffWriter, read_kff_meta
+
+    path = str(tmp_path / "seed.kff")
+    w = KffWriter(path, canonical=True, k=9, counter_size=1,
+                  min_count=1, max_count=255)
+    kb = (9 + 3) // 4
+    arr = np.zeros((12, kb), np.uint8)
+    arr[:, -1] = np.arange(12, dtype=np.uint8)
+    w.store_section(arr, np.full(12, 2, np.uint32))
+    w.close()
+    good = read_kff_meta(path)
+
+    raw = bytearray(open(path, "rb").read())
+    i = raw.rindex(b"first_index\x00") + len(b"first_index\x00")
+    raw[i : i + 8] = (0).to_bytes(8, "big")
+    zpath = str(tmp_path / "zero_idx.kff")
+    open(zpath, "wb").write(bytes(raw))
+
+    meta = read_kff_meta(zpath)
+    assert meta.k == good.k == 9
+    assert [n for _, n in meta.sections] == [n for _, n in good.sections]

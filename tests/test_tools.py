@@ -207,3 +207,30 @@ def test_complex_expression_streaming_matches(two_dbs, tmp_path, monkeypatch):
         for suf in (".kmc_pre", ".kmc_suf"):
             with open(outs[0] + suf, "rb") as a, open(outs[1] + suf, "rb") as b:
                 assert a.read() == b.read(), (expr, suf)
+
+
+def test_complex_streaming_rejects_k_mismatch(tmp_path, monkeypatch):
+    """Review finding: the streaming complex evaluator must refuse inputs
+    with different k like the in-memory path does — numpy 'S{kb}' keys of
+    different widths NUL-pad and spuriously compare equal, so a silent
+    garbage database would result."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from util import random_reads, write_fastq
+
+    from kmc_tpu.runner import count
+    from kmc_tpu.tools.complex_ops import run_complex_file
+
+    inp = write_fastq(tmp_path / "km.fastq", random_reads(40, 80, seed=11))
+    db1 = str(tmp_path / "km21")
+    db2 = str(tmp_path / "km25")
+    count([inp], db1, k=21, cutoff_min=1, batch_positions=1 << 12)
+    count([inp], db2, k=25, cutoff_min=1, batch_positions=1 << 12)
+    ops_file = tmp_path / "ops.txt"
+    out = tmp_path / "cx_mismatch"
+    ops_file.write_text(
+        f"INPUT:\na = {db1}\nb = {db2}\nOUTPUT:\n{out} = a + b\n")
+    for thr in ("99999999999", "0"):  # in-memory and streaming delegation
+        monkeypatch.setenv("KMC_TPU_STREAM_THRESHOLD", thr)
+        with pytest.raises(ValueError, match="mismatch"):
+            run_complex_file(str(ops_file))
