@@ -348,6 +348,26 @@ class KmcDb:
         return (lut_idx >> np.uint64(2 * self.info.lut_prefix_len)).astype(np.int64)
 
 
+def _check_header_fields(kmer_len, mode, counter_size, lut_prefix_len,
+                         signature_len):
+    """Range checks on .kmc_pre header fields (corrupted values otherwise
+    drive absurd allocations or effectively-unbounded loops downstream —
+    the reference's readers bound these the same way via its parameter
+    validation ranges, kmc_runner.cpp:189-258)."""
+    if not 1 <= kmer_len <= 256:
+        raise ValueError(f"bad .kmc_pre header (k={kmer_len})")
+    if mode not in (0, 1):
+        raise ValueError(f"bad .kmc_pre header (mode={mode})")
+    if not 0 <= counter_size <= 8:
+        raise ValueError(f"bad .kmc_pre header (counter_size={counter_size})")
+    if not 0 <= lut_prefix_len <= 16 or lut_prefix_len > kmer_len:
+        raise ValueError(
+            f"bad .kmc_pre header (lut_prefix_len={lut_prefix_len})")
+    if signature_len is not None and not 5 <= signature_len <= 11:
+        raise ValueError(
+            f"bad .kmc_pre header (signature_len={signature_len})")
+
+
 def read_pre_meta(path_prefix: str, mmap_luts: bool = False):
     """Parse a .kmc_pre file: (info, luts, sig_map) — no .kmc_suf access.
     By default the LUTs load into RAM like the reference's CKMC2DbReader
@@ -358,13 +378,17 @@ def read_pre_meta(path_prefix: str, mmap_luts: bool = False):
     p = Path(path_prefix + ".kmc_pre")
     size = p.stat().st_size
     with open(p, "rb") as f:
-        if f.read(4) != PRE_MARKER:
+        if size < 16 or f.read(4) != PRE_MARKER:
             raise ValueError("bad .kmc_pre markers")
         f.seek(size - 12)
         version, header_offset, marker = struct.unpack("<II4s", f.read(12))
         if marker != PRE_MARKER:
             raise ValueError("bad .kmc_pre markers")
         hstart = size - 8 - header_offset
+        # corrupted header_offset: too small for any header layout, or the
+        # header block would overlap the leading marker
+        if header_offset < 40 or hstart < 4:
+            raise ValueError("bad .kmc_pre header offset")
         f.seek(hstart)
         hdr = f.read(header_offset)
 
@@ -380,13 +404,19 @@ def read_pre_meta(path_prefix: str, mmap_luts: bool = False):
              cutoff_min, cutoff_max, n_unique_stored) = struct.unpack_from(
                 "<IIIIIIIQ", hdr, 0)
             both_flag = hdr[36]
+            _check_header_fields(kmer_len, mode, counter_size,
+                                 lut_prefix_len, signature_len)
             sig_map_size = (1 << (2 * signature_len)) + 1
             sig_map_start = hstart - sig_map_size * 4
+            if sig_map_start < 4 + 8:
+                raise ValueError("bad .kmc_pre layout (sig_map overlap)")
             f.seek(sig_map_start)
             sig_map = np.frombuffer(f.read(sig_map_size * 4), dtype="<u4").copy()
             # lut area includes the trailing n_recs uint64
             luts = _lut_at(4, (sig_map_start - 4) // 8)
             n_luts = (len(luts) - 1) >> (2 * lut_prefix_len)
+            if n_luts < 1 or (n_luts << (2 * lut_prefix_len)) != len(luts) - 1:
+                raise ValueError("bad .kmc_pre layout (LUT area size)")
         elif version == KMC1_VER:
             (kmer_len, mode, counter_size, lut_prefix_len,
              cutoff_min, cutoff_max_lo, n_unique_stored) = struct.unpack_from(
@@ -396,7 +426,11 @@ def read_pre_meta(path_prefix: str, mmap_luts: bool = False):
             cutoff_max = cutoff_max_lo | (cutoff_max_hi << 32)
             signature_len = 0
             sig_map = None
+            _check_header_fields(kmer_len, mode, counter_size,
+                                 lut_prefix_len, None)
             lut_size = 1 << (2 * lut_prefix_len)
+            if 4 + lut_size * 8 > hstart:
+                raise ValueError("bad .kmc_pre layout (LUT overlap)")
             if mmap_luts:
                 # no appended n_recs sentinel (would force materializing);
                 # consumers take the record count from info.n_unique_stored
@@ -437,6 +471,9 @@ def read_db(path_prefix: str) -> KmcDb:
     if rec_size == 0:
         records = np.zeros((info.n_unique_stored, 0), dtype=np.uint8)
     else:
+        if len(body) != info.n_unique_stored * rec_size:
+            raise ValueError(
+                ".kmc_suf size does not match the header's record count")
         n_recs = len(body) // rec_size
         records = np.frombuffer(body, dtype=np.uint8, count=n_recs * rec_size).reshape(n_recs, rec_size).copy()
     return KmcDb(info=info, luts=luts, sig_map=sig_map, records=records)

@@ -213,3 +213,51 @@ def test_kff_meta_zeroed_first_index_falls_back(tmp_path):
     meta = read_kff_meta(zpath)
     assert meta.k == good.k == 9
     assert [n for _, n in meta.sections] == [n for _, n in good.sections]
+
+
+def test_kmc_pre_mutation_fuzz(tmp_path):
+    """Single-byte corruptions of a valid .kmc_pre must make read_pre_meta /
+    read_db either parse or raise cleanly — never hang or allocate absurd
+    buffers (header range checks bound every size the way the reference's
+    parameter validation does, kmc_runner.cpp:189-258)."""
+    from kmc_tpu.formats.kmc_db import read_db, read_pre_meta
+
+    _, db, _ = _make_db(tmp_path, seed=11, k=13)
+    seed = bytearray(open(db + ".kmc_pre", "rb").read())
+
+    rng = np.random.default_rng(1)
+    for _ in range(300):
+        buf = bytearray(seed)
+        pos = int(rng.integers(0, len(buf)))
+        buf[pos] ^= int(rng.integers(1, 256))
+        open(db + ".kmc_pre", "wb").write(bytes(buf))
+        try:
+            read_pre_meta(db)
+            read_db(db)
+        except Exception:
+            pass  # clean failure is fine; hangs/OOM are the bug
+    open(db + ".kmc_pre", "wb").write(bytes(seed))
+    read_db(db)  # seed must still parse
+
+
+def test_kmc_pre_truncation_and_suf_mismatch(tmp_path):
+    """Truncated .kmc_pre raises ValueError (not struct.error), and a
+    .kmc_suf whose size disagrees with the header's record count is
+    rejected instead of silently reading fewer records."""
+    from kmc_tpu.formats.kmc_db import read_db, read_pre_meta
+
+    _, db, _ = _make_db(tmp_path, seed=12, k=13)
+    pre = open(db + ".kmc_pre", "rb").read()
+    suf = open(db + ".kmc_suf", "rb").read()
+
+    for cut in (0, 3, 8, 40, len(pre) - 5):
+        open(db + ".kmc_pre", "wb").write(pre[:cut])
+        with pytest.raises((ValueError, OSError)):
+            read_pre_meta(db)
+    open(db + ".kmc_pre", "wb").write(pre)
+
+    open(db + ".kmc_suf", "wb").write(suf[: len(suf) - 8])
+    with pytest.raises(ValueError):
+        read_db(db)
+    open(db + ".kmc_suf", "wb").write(suf)
+    read_db(db)

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Measured multi-process (multi-controller SPMD) run at scale on the CPU
+mesh: the same distributed_count program as a multi-host TPU pod, executed
+as 1x8 / 2x4 / 4x2 (processes x devices-per-process) over one shared
+8-device mesh, byte-compared across layouts and against the single-chip
+pipeline.
+
+The host has one core, so wall time does NOT scale down with processes —
+the measurement demonstrates correctness and mechanism overhead at scale
+(the numbers feed docs/SCALING.md).  Usage:
+
+    python tools/measure_multiprocess.py [n_reads] [read_len]
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+HERE = Path(__file__).resolve().parent
+K = 27
+BATCH = 1 << 20
+CAP = 1 << 22
+
+
+def free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def make_input(path, n_reads, read_len, genome_len):
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    genome = rng.integers(0, 4, genome_len)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    with open(path, "wb") as f:
+        qual = b"I" * read_len
+        for i in range(n_reads):
+            start = int(rng.integers(0, genome_len - read_len))
+            seq = lut[genome[start : start + read_len]].tobytes()
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, seq, qual))
+    return path
+
+
+def run_layout(n_procs, dpp, reads, out):
+    port = free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    t0 = time.perf_counter()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(HERE / "multiproc_bench_worker.py"),
+             f"localhost:{port}", str(n_procs), str(pid), str(dpp),
+             reads, out, str(K), str(BATCH), str(CAP)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(n_procs)
+    ]
+    outs = [p.communicate()[0].decode(errors="replace") for p in procs]
+    wall = time.perf_counter() - t0
+    for p, o in zip(procs, outs):
+        if p.returncode != 0:
+            print(o[-4000:])
+            raise SystemExit(f"worker failed (layout {n_procs}x{dpp})")
+    stats = json.load(open(f"{out}.stats.0"))
+    stats["wall_s"] = round(wall, 2)
+    return stats
+
+
+def main():
+    n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
+    read_len = int(sys.argv[2]) if len(sys.argv) > 2 else 150
+    base = Path("/tmp/kmc_tpu_mp_scale")
+    base.mkdir(exist_ok=True)
+    reads = str(base / f"reads_{n_reads}_{read_len}.fastq")
+    if not os.path.exists(reads):
+        make_input(reads, n_reads, read_len, genome_len=4_000_000)
+    print(f"input: {n_reads} reads x {read_len} bp "
+          f"(~{n_reads*(read_len-K+1)/1e6:.1f}M {K}-mers)", flush=True)
+
+    results = {}
+    dbs = {}
+    for n_procs, dpp in ((1, 8), (2, 4), (4, 2)):
+        out = str(base / f"db_{n_procs}x{dpp}")
+        stats = run_layout(n_procs, dpp, reads, out)
+        results[f"{n_procs}x{dpp}"] = stats
+        dbs[f"{n_procs}x{dpp}"] = out
+        print(f"{n_procs} procs x {dpp} devices: wall={stats['wall_s']}s "
+              f"count={stats['t_count_s']}s init={stats['t_init_s']}s "
+              f"unique={stats['n_unique']} total={stats['n_total']}",
+              flush=True)
+
+    ref = dbs["1x8"]
+    for name, db in dbs.items():
+        if name == "1x8":
+            continue
+        for suf in (".kmc_pre", ".kmc_suf"):
+            same = (open(ref + suf, "rb").read()
+                    == open(db + suf, "rb").read())
+            print(f"{name}{suf} identical to 1x8: {same}", flush=True)
+            if not same:
+                raise SystemExit("layout divergence")
+
+    # single-chip pipeline (one CPU device) must agree too
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    sc = str(base / "db_single")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.path.insert(0, '.');"
+        "from kmc_tpu.runner import count;"
+        f"count([{reads!r}], {sc!r}, k={K}, cutoff_min=1, "
+        f"batch_positions={BATCH})"
+    )
+    t0 = time.perf_counter()
+    subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                   cwd=str(HERE.parent))
+    print(f"single-chip pipeline: {time.perf_counter()-t0:.2f}s", flush=True)
+    for suf in (".kmc_pre", ".kmc_suf"):
+        same = open(ref + suf, "rb").read() == open(sc + suf, "rb").read()
+        print(f"single-chip{suf} identical to 1x8: {same}", flush=True)
+        if not same:
+            raise SystemExit("single-chip divergence")
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
