@@ -215,14 +215,15 @@ def test_kff_meta_zeroed_first_index_falls_back(tmp_path):
     assert [n for _, n in meta.sections] == [n for _, n in good.sections]
 
 
-def test_kmc_pre_mutation_fuzz(tmp_path):
+@pytest.mark.parametrize("k", [13, 21])  # 13 → KMC1 header, 21 → KMC2
+def test_kmc_pre_mutation_fuzz(tmp_path, k):
     """Single-byte corruptions of a valid .kmc_pre must make read_pre_meta /
     read_db either parse or raise cleanly — never hang or allocate absurd
     buffers (header range checks bound every size the way the reference's
     parameter validation does, kmc_runner.cpp:189-258)."""
     from kmc_tpu.formats.kmc_db import read_db, read_pre_meta
 
-    _, db, _ = _make_db(tmp_path, seed=11, k=13)
+    _, db, _ = _make_db(tmp_path, seed=11, k=k)
     seed = bytearray(open(db + ".kmc_pre", "rb").read())
 
     rng = np.random.default_rng(1)
