@@ -9,11 +9,60 @@ import numpy as np
 
 from .kmc_db import KmcDb, kmers_bytes_to_strings, read_db, sorted_records
 
+# 256-entry LUT: the 4 ACGT chars of one 2-bit-packed byte, packed into a
+# little-endian uint32 so the whole decode is ONE flat gather
+_CHAR_LUT32 = np.zeros(256, np.uint32)
+_acgt = np.frombuffer(b"ACGT", np.uint8)
+_b = np.arange(256, dtype=np.uint32)
+for _j in range(4):
+    _CHAR_LUT32 |= _acgt[(_b >> (2 * (3 - _j))) & 3].astype(np.uint32) << (8 * _j)
+del _acgt, _b, _j
 
-def dump_records(kmers: np.ndarray, counts: np.ndarray, k: int) -> str:
-    strs = kmers_bytes_to_strings(kmers, k)
+
+def dump_records_bytes(kmers: np.ndarray, counts: np.ndarray, k: int,
+                       chunk_rows: int = 1 << 20):
+    """Yield the dump text as ASCII byte chunks — vectorized line assembly
+    (the reference's dump hot loop, dump_writer.h:120-160, is a tight byte
+    writer; a per-row Python f-string join is far slower at millions of
+    rows).  Rows are built in a fixed-width byte matrix
+    `[kmer k][\\t][gap][digits][\\n]` with counts right-aligned and the gap
+    bytes NUL-filled, then one C-level translate() pass strips the gaps;
+    memory stays bounded by chunking."""
     counts = np.asarray(counts)
-    return "".join(f"{s}\t{int(c)}\n" for s, c in zip(strs, counts))
+    n = len(counts)
+    kb = kmers.shape[1]
+    pad = kb * 4 - k
+    for i in range(0, n, chunk_rows):
+        c = counts[i : i + chunk_rows].astype(np.uint64)
+        m = len(c)
+        maxd = len(str(int(c.max())))
+        width = k + 2 + maxd
+        buf = np.empty((m, width), np.uint8)
+        chars32 = np.take(_CHAR_LUT32, kmers[i : i + chunk_rows])
+        buf[:, :k] = chars32.view(np.uint8).reshape(m, kb * 4)[:, pad:]
+        buf[:, k] = 0x09
+        buf[:, width - 1] = 0x0A
+        t = c if int(c.max()) >= 1 << 32 else c.astype(np.uint32)
+        for jd in range(maxd):  # rightmost digit lands at column k+maxd
+            col = buf[:, k + maxd - jd]
+            col[:] = 0x30 + (t % 10).astype(np.uint8)
+            if jd:  # leading zeros become NULs, stripped below
+                col[c < np.uint64(10**jd)] = 0
+            t = t // 10
+        yield buf.tobytes().translate(None, b"\x00")
+
+
+def dump_records(kmers: np.ndarray, counts: np.ndarray, k: int,
+                 chunk_rows: int = 1 << 20) -> str:
+    counts = np.asarray(counts)
+    if len(counts) == 0:
+        return ""
+    if counts.dtype.kind == "f":  # quality-mode counters: keep exact repr
+        strs = kmers_bytes_to_strings(kmers, k)
+        return "".join(f"{s}\t{c}\n" for s, c in zip(strs, counts))
+    return b"".join(
+        dump_records_bytes(kmers, counts, k, chunk_rows)
+    ).decode("ascii")
 
 
 def dump_db(db: KmcDb, sorted_output: bool = True) -> str:

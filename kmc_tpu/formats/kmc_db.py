@@ -495,10 +495,9 @@ def sorted_records(db: KmcDb):
     return kmers, counts
 
 
-def kmers_bytes_to_strings(kmers: np.ndarray, k: int) -> list[str]:
-    """Decode (N, KB) right-aligned big-endian k-mer bytes to ACGT strings."""
-    if len(kmers) == 0:
-        return []
+def kmer_char_matrix(kmers: np.ndarray, k: int) -> np.ndarray:
+    """Decode (N, KB) right-aligned big-endian k-mer bytes to an (N, k)
+    uint8 matrix of ACGT characters."""
     kb = kmers.shape[1]
     # per-byte 4-symbol decode, then cut the left padding
     lut = np.empty((256, 4), dtype=np.uint8)
@@ -508,6 +507,12 @@ def kmers_bytes_to_strings(kmers: np.ndarray, k: int) -> list[str]:
         lut[:, j] = acgt[(b >> (2 * (3 - j))) & 3]
     chars = lut[kmers].reshape(len(kmers), kb * 4)
     pad = kb * 4 - k
-    chars = np.ascontiguousarray(chars[:, pad:])
-    flat = chars.tobytes().decode("ascii")
+    return np.ascontiguousarray(chars[:, pad:])
+
+
+def kmers_bytes_to_strings(kmers: np.ndarray, k: int) -> list[str]:
+    """Decode (N, KB) right-aligned big-endian k-mer bytes to ACGT strings."""
+    if len(kmers) == 0:
+        return []
+    flat = kmer_char_matrix(kmers, k).tobytes().decode("ascii")
     return [flat[i * k : (i + 1) * k] for i in range(len(kmers))]

@@ -520,13 +520,16 @@ def stream_simple_op(op: str, db1: str, db2: str, out: str,
 def stream_dump(db: str, out_path: str,
                 block_records: int = DEFAULT_BLOCK) -> int:
     """Bounded-memory sorted text dump (kmc_tools transform db dump -s)."""
-    from .dump import dump_records
+    from .dump import dump_records_bytes
 
     r = DbStreamReader(db, block_records)
     n = 0
-    with r, open(out_path, "w") as f:
+    with r, open(out_path, "wb") as f:
         for kmers, counts in r.blocks():
-            f.write(dump_records(kmers, counts, r.info.kmer_len))
+            if len(counts):
+                for part in dump_records_bytes(kmers, counts,
+                                               r.info.kmer_len):
+                    f.write(part)
             n += len(counts)
     return n
 

@@ -122,3 +122,29 @@ def test_pick_lut_prefix_len_suffix_multiple_of_4():
         lpl = pick_lut_prefix_len(k, 512, 1_000_000)
         assert 2 <= lpl <= 15
         assert (k - lpl) % 4 == 0
+
+
+def test_dump_records_vectorized_matches_fstring():
+    """The vectorized dump (fixed-width rows + NUL-gap translate) must be
+    char-identical to the naive per-row formatter across digit-count
+    boundaries (0, 9/10, 99/100, u32/u64 edge) and chunk boundaries."""
+    from kmc_tpu.formats.dump import dump_records
+
+    rng = np.random.default_rng(3)
+    for k in (1, 13, 27, 256):
+        kb = (k + 3) // 4
+        n = 300
+        km = rng.integers(0, 256, (n, kb), dtype=np.uint8)
+        pad = kb * 4 - k
+        if pad:
+            km[:, 0] &= (1 << (2 * (4 - pad))) - 1 if pad < 4 else 0
+        cnts = np.concatenate([
+            np.array([0, 1, 9, 10, 11, 99, 100, 101, 255, 256, 999, 1000,
+                      65535, 2**32 - 1, 2**32, 2**63], dtype=np.uint64),
+            rng.integers(0, 10**6, n - 16, dtype=np.uint64)])
+        strs = kmers_bytes_to_strings(km, k)
+        want = "".join(f"{s}\t{int(c)}\n" for s, c in zip(strs, cnts))
+        assert dump_records(km, cnts, k) == want
+        assert dump_records(km, cnts, k, chunk_rows=7) == want
+    assert dump_records(np.zeros((0, 7), np.uint8),
+                        np.zeros(0, np.uint64), 27) == ""
