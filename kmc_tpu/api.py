@@ -17,10 +17,11 @@ from .signatures import kmer_signatures_numpy
 
 def _canonicalize_codes(codes: np.ndarray) -> np.ndarray:
     rc = (3 - codes)[::-1]
-    for a, b in zip(codes, rc):
-        if a != b:
-            return codes if a < b else rc
-    return codes
+    diff = codes != rc
+    if not diff.any():
+        return codes
+    i = int(np.argmax(diff))
+    return codes if codes[i] < rc[i] else rc
 
 
 def _codes_to_bytes(codes: np.ndarray) -> np.ndarray:

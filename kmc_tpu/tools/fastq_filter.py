@@ -91,7 +91,9 @@ def filter_fastq(
                 mask = np.ones(len(seq), dtype=bool)
                 for i in np.flatnonzero(counters < thr):
                     mask[i : i + k] = False
-                seq = "".join(c if m else "N" for c, m in zip(seq, mask))
+                b = np.frombuffer(seq.encode("ascii"), np.uint8).copy()
+                b[~mask] = 0x4E  # 'N'
+                seq = b.tobytes().decode("ascii")
             else:
                 n_present = int((counters > 0).sum())
                 # float bounds are fractions of the k-mer count, floored
