@@ -191,6 +191,96 @@ class _FileRA:
             c = (c << 8) | int(self.records[i, self.sb + j])
         return c
 
+    def lookup_batch(self, rows: np.ndarray, sigs, valid: np.ndarray):
+        """Vectorized form of lookup() for all k-mers of one read
+        (the reference runs GetCountersForRead's per-k-mer CheckKmer loop
+        in C++, kmc_file.cpp:1193; a per-k-mer Python loop over a memmap is
+        ~20x slower).  rows: (n, kb) canonical big-endian k-mer bytes;
+        sigs: per-window signatures of the same windows (signatures are
+        strand-invariant, so forward-read windows give the same values);
+        valid: (n,) bool.  Returns uint64 counters, 0 where absent or
+        invalid.  All n binary searches advance together: log2(max range)
+        masked gather steps against the record memmap."""
+        info = self.info
+        n = len(rows)
+        if n == 0:
+            return np.zeros(0, np.uint64)
+        kb = rows.shape[1]
+        pb = kb - self.sb
+        prefix = np.zeros(n, np.uint64)
+        for j in range(pb):
+            prefix = (prefix << np.uint64(8)) | rows[:, j].astype(np.uint64)
+        if info.version == 0x200:
+            sig_c = np.minimum(np.asarray(sigs, np.int64),
+                               len(self.sig_map) - 1)
+            bin_id = np.asarray(self.sig_map)[sig_c].astype(np.uint64)
+            idx = (bin_id << np.uint64(2 * info.lut_prefix_len)) | prefix
+        else:
+            idx = prefix
+        idx = np.where(valid, idx, 0).astype(np.int64)
+        luts = self.luts
+        lo = np.asarray(luts[idx]).astype(np.int64)
+        hi = np.where(
+            idx + 1 < len(luts),
+            np.asarray(luts[np.minimum(idx + 1, len(luts) - 1)]).astype(np.int64),
+            self.n_records,
+        )
+        if self.sb == 0:
+            # prefix-only records: presence == non-empty range
+            found = np.where(valid & (hi > lo), lo, -1)
+            return self._counters_at(found)
+        want = self._suffix_words(rows[:, pb:])
+        lo_s, hi_s = lo.copy(), hi
+        found = np.full(n, -1, np.int64)
+        active = valid & (hi_s > lo_s)
+        span = int((hi_s - lo_s).max()) if n else 0
+        for _ in range(max(1, span).bit_length()):
+            if not active.any():
+                break
+            mid = (lo_s + hi_s) >> 1
+            got = self._suffix_words(
+                self.records[np.where(active, mid, 0), : self.sb])
+            less = np.zeros(n, bool)
+            greater = np.zeros(n, bool)
+            decided = np.zeros(n, bool)
+            for gw, ww in zip(got, want):  # MSW-first lexicographic compare
+                lt = gw < ww
+                gt = gw > ww
+                less |= ~decided & lt
+                greater |= ~decided & gt
+                decided |= lt | gt
+            found = np.where(active & ~decided, mid, found)
+            lo_s = np.where(active & less, mid + 1, lo_s)
+            hi_s = np.where(active & greater, mid, hi_s)
+            active = active & decided & (hi_s > lo_s)
+        return self._counters_at(found)
+
+    @staticmethod
+    def _suffix_words(b: np.ndarray):
+        """(n, sb) big-endian suffix bytes -> list of MSW-first uint64
+        word columns (short tail word zero-padded on the right; order-
+        preserving for equal-length keys)."""
+        n, sb = b.shape
+        words = []
+        for w0 in range(0, sb, 8):
+            w = np.zeros(n, np.uint64)
+            for j in range(w0, min(w0 + 8, sb)):
+                w |= b[:, j].astype(np.uint64) << np.uint64(
+                    8 * (7 - (j - w0)))
+            words.append(w)
+        return words
+
+    def _counters_at(self, found: np.ndarray) -> np.ndarray:
+        ok = found >= 0
+        if self.cs == 0:
+            return np.where(ok, np.uint64(1), np.uint64(0))
+        raw = self.records[np.where(ok, found, 0),
+                           self.sb : self.sb + self.cs].astype(np.uint64)
+        c = np.zeros(len(found), np.uint64)
+        for j in range(self.cs):  # stored little-endian
+            c |= raw[:, j] << np.uint64(8 * j)
+        return np.where(ok, c, np.uint64(0))
+
 
 def _ra_threshold() -> int:
     import os
@@ -491,26 +581,26 @@ class KMCFile:
         """Counters for every k-mer of a read, 0 where absent or broken by
         non-ACGT symbols (reference kmc_file.cpp:1193).  RA mode only."""
         if self._file_ra is not None:
-            # on-disk RA: per-k-mer bin-range binary searches, exactly the
-            # reference's GetSuperKmers + per-bin lookups
+            # on-disk RA: all the read's bin-range binary searches advance
+            # together over the memmaps (the per-query semantics of the
+            # reference's GetSuperKmers + per-bin lookups)
             k = self._info.kmer_len
             codes = CODE_LUT[np.frombuffer(read.upper().encode(),
                                            dtype=np.uint8)]
             n = len(codes) - k + 1
             if n <= 0:
                 return True, []
-            out = []
-            for i in range(n):
-                w = codes[i : i + k]
-                if (w >= 4).any():
-                    out.append(0)
-                    continue
-                if self._info.both_strands:
-                    w = _canonicalize_codes(w)
-                c = self._file_ra.lookup(w)
-                out.append(int(c) if c is not None
-                           and self._min_count <= c <= self._max_count else 0)
-            return True, out
+            rows, valid = _batch_kmer_rows(codes, k, self._info.both_strands)
+            if self._info.version == 0x200:
+                sigs = kmer_signatures_numpy(codes, k,
+                                             self._info.signature_len)
+            else:
+                sigs = None
+            counters = self._file_ra.lookup_batch(rows, sigs, valid)
+            counters = np.where(
+                (counters >= self._min_count) & (counters <= self._max_count),
+                counters, 0)
+            return True, [int(c) for c in counters]
         if self._kmers is None:
             return False, []
         k = self._info.kmer_len

@@ -309,9 +309,15 @@ def test_file_ra_matches_inmemory(tmp_path, monkeypatch):
         mem.ResetMinMaxCounts()
         fra.ResetMinMaxCounts()
 
-        ok_m, per_m = mem.GetCountersForRead(reads[0])
-        ok_f, per_f = fra.GetCountersForRead(reads[0])
-        assert ok_m and ok_f and list(per_m) == list(per_f)
+        probe_reads = list(reads[:8])
+        probe_reads.append(reads[0][:10] + "N" + reads[0][11:])  # broken kmers
+        probe_reads.append("N" * len(reads[0]))                  # all invalid
+        probe_reads.append(reads[0][: cfg["k"] - 1])             # too short
+        probe_reads.append(reads[0][: cfg["k"]])                 # exactly one
+        for rd in probe_reads:
+            ok_m, per_m = mem.GetCountersForRead(rd)
+            ok_f, per_f = fra.GetCountersForRead(rd)
+            assert ok_m and ok_f and list(per_m) == list(per_f), (cfg, rd)
         assert fra.KmerCount() == mem.KmerCount()
         # RA mode does not list (reference semantics)
         km = KmerAPI(cfg["k"])
