@@ -58,55 +58,72 @@ def filter_fastq(
     is_fasta = None
     n_kept = 0
     n_total = 0
+    BATCH = 256  # reads per lookup: one vectorized DB pass per batch
     with _open(input_path, "rt") as fin, _open(output_path, "wt") as fout:
-        while True:
-            header = fin.readline()
-            if not header:
+        eof = False
+        while not eof:
+            recs = []
+            while len(recs) < BATCH:
+                header = fin.readline()
+                if not header:
+                    eof = True
+                    break
+                if is_fasta is None:
+                    is_fasta = header.startswith(">")
+                seq = fin.readline().rstrip("\n")
+                if is_fasta:
+                    qual = None
+                else:
+                    fin.readline()  # '+'
+                    qual = fin.readline().rstrip("\n")
+                recs.append((header, seq, qual))
+            if not recs:
                 break
-            if is_fasta is None:
-                is_fasta = header.startswith(">")
-            seq = fin.readline().rstrip("\n")
-            if is_fasta:
-                qual = None
-            else:
-                fin.readline()  # '+'
-                qual = fin.readline().rstrip("\n")
-            n_total += 1
-            _, counters = db.GetCountersForRead(seq)
-            counters = np.asarray(counters)
-            n_kmers = len(counters)
-            if n_kmers == 0:
-                continue
-            if trim:
-                # longest prefix of k-mers with counter >= thr -> keep
-                # run + k - 1 bases (FilterReadTrim, :134-152)
-                good = counters >= thr
-                if not good[0]:
+            n_total += len(recs)
+            # join the batch with 'N' separators: windows crossing a
+            # separator are invalid by construction, and read i's windows
+            # are a contiguous slice of the joined read's counter vector
+            _, joined = db.GetCountersForRead(
+                "N".join(seq for _, seq, _ in recs))
+            joined = np.asarray(joined)
+            off = 0
+            for header, seq, qual in recs:
+                nk = len(seq) - k + 1
+                counters = joined[off : off + nk] if nk > 0 else joined[:0]
+                off += len(seq) + 1
+                n_kmers = len(counters)
+                if n_kmers == 0:
                     continue
-                run = int(np.argmin(good)) if not good.all() else n_kmers
-                seq = seq[: run + k - 1]
-                if qual is not None:
-                    qual = qual[: run + k - 1]
-            elif hard_mask:
-                mask = np.ones(len(seq), dtype=bool)
-                for i in np.flatnonzero(counters < thr):
-                    mask[i : i + k] = False
-                b = np.frombuffer(seq.encode("ascii"), np.uint8).copy()
-                b[~mask] = 0x4E  # 'N'
-                seq = b.tobytes().decode("ascii")
-            else:
-                n_present = int((counters > 0).sum())
-                # float bounds are fractions of the k-mer count, floored
-                # (uint32 casts at fastq_filter.cpp:119-120)
-                lo = (int(min_kmers * n_kmers) if isinstance(min_kmers, float)
-                      else min_kmers)
-                hi = (int(max_kmers * n_kmers) if isinstance(max_kmers, float)
-                      else max_kmers)
-                if not (lo <= n_present <= hi):
-                    continue
-            n_kept += 1
-            if is_fasta:
-                fout.write(f"{header.rstrip()}\n{seq}\n")
-            else:
-                fout.write(f"{header.rstrip()}\n{seq}\n+\n{qual}\n")
+                if trim:
+                    # longest prefix of k-mers with counter >= thr -> keep
+                    # run + k - 1 bases (FilterReadTrim, :134-152)
+                    good = counters >= thr
+                    if not good[0]:
+                        continue
+                    run = int(np.argmin(good)) if not good.all() else n_kmers
+                    seq = seq[: run + k - 1]
+                    if qual is not None:
+                        qual = qual[: run + k - 1]
+                elif hard_mask:
+                    mask = np.ones(len(seq), dtype=bool)
+                    for i in np.flatnonzero(counters < thr):
+                        mask[i : i + k] = False
+                    b = np.frombuffer(seq.encode("ascii"), np.uint8).copy()
+                    b[~mask] = 0x4E  # 'N'
+                    seq = b.tobytes().decode("ascii")
+                else:
+                    n_present = int((counters > 0).sum())
+                    # float bounds are fractions of the k-mer count, floored
+                    # (uint32 casts at fastq_filter.cpp:119-120)
+                    lo = (int(min_kmers * n_kmers)
+                          if isinstance(min_kmers, float) else min_kmers)
+                    hi = (int(max_kmers * n_kmers)
+                          if isinstance(max_kmers, float) else max_kmers)
+                    if not (lo <= n_present <= hi):
+                        continue
+                n_kept += 1
+                if is_fasta:
+                    fout.write(f"{header.rstrip()}\n{seq}\n")
+                else:
+                    fout.write(f"{header.rstrip()}\n{seq}\n+\n{qual}\n")
     return n_kept, n_total
