@@ -304,6 +304,7 @@ class KMCFile:
         self._db: KmcDb | None = None
         self._info = None
         self._kmers = None  # (N, KB) sorted (RA mode)
+        self._kmers_keys = None  # cached _rows_search_keys(self._kmers)
         self._counts = None
         self._pos = 0
         self._min_count = 1
@@ -342,6 +343,7 @@ class KMCFile:
             order = np.lexsort(tuple(
                 kf.kmers[:, j] for j in range(kf.kmers.shape[1] - 1, -1, -1)))
             self._kmers = kf.kmers[order]
+            self._kmers_keys = None
             self._counts = kf.counts[order]
             self._info = DbInfo(
                 kmer_len=kf.k,
@@ -376,7 +378,7 @@ class KMCFile:
                 self._info = self._file_ra.info
                 self._path = path
                 self._db = None
-                self._kmers = self._counts = None
+                self._kmers = self._counts = self._kmers_keys = None
                 self._min_count = self._info.cutoff_min
                 self._max_count = self._info.cutoff_max
                 return True
@@ -386,6 +388,7 @@ class KMCFile:
                 return False
             self._info = self._db.info
             self._kmers, self._counts = sorted_records(self._db)
+            self._kmers_keys = None
             self._pos = 0
         else:
             from .formats.streaming import DbStreamReader
@@ -441,7 +444,7 @@ class KMCFile:
               or self._file_ra is not None)
         self._db = None
         self._file_ra = None
-        self._kmers = self._counts = None
+        self._kmers = self._counts = self._kmers_keys = None
         if self._reader is not None:
             self._reader.close()
             self._reader = None
@@ -567,12 +570,18 @@ class KMCFile:
                 return False, 0
             return True, c
         row = _codes_to_bytes(codes)
-        idx = _searchsorted_rows(self._kmers, row[None, :])[0]
+        idx = _searchsorted_rows(self._kmers, row[None, :],
+                                 haystack_keys=self._hay_keys())[0]
         if idx < len(self._kmers) and (self._kmers[idx] == row).all():
             c = int(self._counts[idx])
             if self._min_count <= c <= self._max_count:
                 return True, c
         return False, 0
+
+    def _hay_keys(self):
+        if self._kmers_keys is None and self._kmers is not None:
+            self._kmers_keys = _rows_search_keys(self._kmers)
+        return self._kmers_keys
 
     def IsKmer(self, kmer) -> bool:
         return self.CheckKmer(kmer)[0]
@@ -609,7 +618,8 @@ class KMCFile:
         if n <= 0:
             return True, []
         rows, valid = _batch_kmer_rows(codes, k, self._info.both_strands)
-        idx = _searchsorted_rows(self._kmers, rows)
+        idx = _searchsorted_rows(self._kmers, rows,
+                                 haystack_keys=self._hay_keys())
         idx_c = np.minimum(idx, len(self._kmers) - 1)
         if len(self._kmers):
             found = (self._kmers[idx_c] == rows).all(axis=1) & (idx < len(self._kmers))
@@ -632,12 +642,34 @@ def _bytes_to_codes(row: np.ndarray, k: int) -> np.ndarray:
     return codes[kb * 4 - k :]
 
 
-def _searchsorted_rows(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
-    """Vectorized lexicographic searchsorted over (N, KB) uint8 rows."""
-    kb = haystack.shape[1]
-    void_h = np.ascontiguousarray(haystack).view([("", np.uint8)] * kb).ravel()
-    void_n = np.ascontiguousarray(needles).view([("", np.uint8)] * kb).ravel()
-    return np.searchsorted(void_h, void_n)
+def _rows_to_u64(rows: np.ndarray) -> np.ndarray:
+    """(N, KB<=8) big-endian rows packed into one uint64 key each
+    (right-padded with zero bytes; order-preserving for equal widths)."""
+    kb = rows.shape[1]
+    out = np.zeros(len(rows), np.uint64)
+    for j in range(kb):
+        out |= rows[:, j].astype(np.uint64) << np.uint64(8 * (7 - j))
+    return out
+
+
+def _rows_search_keys(rows: np.ndarray):
+    """Sortable 1-D key array for (N, KB) uint8 rows: native uint64 for
+    KB<=8 (k<=32; numpy void-dtype comparisons are ~10x slower than scalar
+    u64 compares), void records otherwise."""
+    kb = rows.shape[1]
+    if kb <= 8:
+        return _rows_to_u64(rows)
+    return np.ascontiguousarray(rows).view([("", np.uint8)] * kb).ravel()
+
+
+def _searchsorted_rows(haystack: np.ndarray, needles: np.ndarray,
+                       haystack_keys=None) -> np.ndarray:
+    """Vectorized lexicographic searchsorted over (N, KB) uint8 rows.
+    Pass haystack_keys=_rows_search_keys(haystack) to amortize the
+    haystack packing across calls."""
+    if haystack_keys is None:
+        haystack_keys = _rows_search_keys(haystack)
+    return np.searchsorted(haystack_keys, _rows_search_keys(needles))
 
 
 def _batch_kmer_rows(codes: np.ndarray, k: int, both_strands: bool):
