@@ -14,6 +14,8 @@ from .formats.kmc_db import KmcDb, read_db, sorted_records
 from .io.readers import CODE_LUT
 from .signatures import kmer_signatures_numpy
 
+CODE_LUT_INV = np.frombuffer(b"ACGT", dtype=np.uint8)
+
 
 def _canonicalize_codes(codes: np.ndarray) -> np.ndarray:
     rc = (3 - codes)[::-1]
@@ -51,7 +53,7 @@ class KmerAPI:
         return True
 
     def to_string(self) -> str:
-        return "".join("ACGT"[c] for c in self.codes)
+        return CODE_LUT_INV[self.codes].tobytes().decode("ascii")
 
     def reverse(self):
         """In-place reverse complement (kmer_api.h reverse())."""
