@@ -21,12 +21,90 @@
 #include <cstdlib>
 #include <zlib.h>
 
+#if defined(__SSE2__)
+#include <immintrin.h>
+#endif
+
+// ---------------------------------------------------------------------------
+// SIMD inner loops (x86).  The library is built with -march=native into a
+// per-machine content-hash-keyed cache (kmc_tpu/io/native.py), so
+// compile-time feature macros are the right dispatch: the binary never
+// travels to another microarchitecture.  Scalar tails/fallbacks keep
+// non-x86 builds working unchanged.
+// ---------------------------------------------------------------------------
+
+static uint8_t CODE_LUT[256];
+
+// byte -> A/C/G/T code translation, len bytes; returns bytes processed
+// (callers run the scalar LUT over the remainder).
+static inline int64_t translate_simd(const uint8_t* in, int64_t len,
+                                     uint8_t* out) {
+#if defined(__SSE2__)
+    const __m128i case_mask = _mm_set1_epi8((char)0xDF);
+    const __m128i vA = _mm_set1_epi8('A'), vC = _mm_set1_epi8('C');
+    const __m128i vG = _mm_set1_epi8('G'), vT = _mm_set1_epi8('T');
+    const __m128i v1 = _mm_set1_epi8(1), v2 = _mm_set1_epi8(2),
+                  v3 = _mm_set1_epi8(3), v4 = _mm_set1_epi8(4);
+    int64_t j = 0;
+    for (; j + 16 <= len; j += 16) {
+        __m128i v = _mm_loadu_si128((const __m128i*)(in + j));
+        __m128i u = _mm_and_si128(v, case_mask);  // a/c/g/t -> A/C/G/T
+        __m128i eqA = _mm_cmpeq_epi8(u, vA);
+        __m128i eqC = _mm_cmpeq_epi8(u, vC);
+        __m128i eqG = _mm_cmpeq_epi8(u, vG);
+        __m128i eqT = _mm_cmpeq_epi8(u, vT);
+        __m128i code = _mm_and_si128(eqC, v1);
+        code = _mm_or_si128(code, _mm_and_si128(eqG, v2));
+        code = _mm_or_si128(code, _mm_and_si128(eqT, v3));
+        __m128i valid = _mm_or_si128(_mm_or_si128(eqA, eqC),
+                                     _mm_or_si128(eqG, eqT));
+        code = _mm_or_si128(code, _mm_andnot_si128(valid, v4));
+        _mm_storeu_si128((__m128i*)(out + j), code);
+    }
+    return j;
+#else
+    (void)in; (void)len; (void)out;
+    return 0;
+#endif
+}
+
+static inline void translate_codes(const uint8_t* in, int64_t len,
+                                   uint8_t* out) {
+    int64_t j = translate_simd(in, len, out);
+    for (; j < len; ++j) out[j] = CODE_LUT[in[j]];
+}
+
+#if defined(__SSSE3__)
+// 16 codes -> 4 packed bytes (2 bits each, big-endian within byte) via the
+// madd ladder: pairs*(64,16)+(4,1), add adjacent, take low bytes.
+static inline uint32_t pack16_ssse3(__m128i v) {
+    const __m128i W = _mm_set1_epi32(0x01041040);  // bytes {64,16,4,1}
+    const __m128i SHUF = _mm_setr_epi8(0, 4, 8, 12, -1, -1, -1, -1, -1, -1,
+                                       -1, -1, -1, -1, -1, -1);
+    __m128i x = _mm_and_si128(v, _mm_set1_epi8(3));
+    __m128i t = _mm_maddubs_epi16(x, W);
+    __m128i s = _mm_madd_epi16(t, _mm_set1_epi16(1));
+    return (uint32_t)_mm_cvtsi128_si32(_mm_shuffle_epi8(s, SHUF));
+}
+
+// bit-reverse of a byte (movemask bit i = lane i, the mask format wants
+// MSB-first)
+static const uint8_t BITREV8[256] = {
+#define R2(n) n, n + 2 * 64, n + 1 * 64, n + 3 * 64
+#define R4(n) R2(n), R2(n + 2 * 16), R2(n + 1 * 16), R2(n + 3 * 16)
+#define R6(n) R4(n), R4(n + 2 * 4), R4(n + 1 * 4), R4(n + 3 * 4)
+    R6(0), R6(2), R6(1), R6(3)
+#undef R2
+#undef R4
+#undef R6
+};
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
-// byte -> code LUT
+// byte -> code LUT (declared above the SIMD helpers)
 // ---------------------------------------------------------------------------
-static uint8_t CODE_LUT[256];
 static bool lut_init_done = false;
 
 static void init_lut() {
@@ -61,7 +139,8 @@ int64_t parse_fastq(const uint8_t* buf, int64_t n, uint8_t* out,
             // copy sequence bytes until newline
             const uint8_t* nl = (const uint8_t*)memchr(buf + i, '\n', (size_t)(n - i));
             int64_t end = nl ? (int64_t)(nl - buf) : n;
-            for (int64_t j = i; j < end; ++j) out[m++] = CODE_LUT[buf[j]];
+            translate_codes(buf + i, end - i, out + m);
+            m += end - i;
             if (nl) {
                 out[m++] = 4;  // record separator
                 phase = 2;
@@ -118,7 +197,8 @@ int64_t parse_fasta(const uint8_t* buf, int64_t n, uint8_t* out,
             // sequence bytes until newline or '>'
             const uint8_t* nl = (const uint8_t*)memchr(buf + i, '\n', (size_t)(n - i));
             int64_t end = nl ? (int64_t)(nl - buf) : n;
-            for (int64_t j = i; j < end; ++j) out[m++] = CODE_LUT[buf[j]];
+            translate_codes(buf + i, end - i, out + m);
+            m += end - i;
             i = end;  // newline handled next iteration
         }
     }
@@ -231,7 +311,19 @@ void gz_close(void* handle) {
 // ---------------------------------------------------------------------------
 void pack_codes(const uint8_t* codes, int64_t n, uint8_t* packed,
                 uint8_t* mask) {
-    for (int64_t i = 0; i < n; i += 8) {
+    int64_t i = 0;
+#if defined(__SSSE3__)
+    const __m128i v4 = _mm_set1_epi8(4);
+    for (; i + 16 <= n; i += 16) {
+        __m128i v = _mm_loadu_si128((const __m128i*)(codes + i));
+        *(uint32_t*)(packed + (i >> 2)) = pack16_ssse3(v);
+        // valid = code < 4; movemask bit j = lane j, mask wants MSB-first
+        int mm = _mm_movemask_epi8(_mm_cmplt_epi8(v, v4));
+        mask[i >> 3] = BITREV8[mm & 0xFF];
+        mask[(i >> 3) + 1] = BITREV8[(mm >> 8) & 0xFF];
+    }
+#endif
+    for (; i < n; i += 8) {
         uint8_t c0 = codes[i], c1 = codes[i + 1], c2 = codes[i + 2],
                 c3 = codes[i + 3], c4 = codes[i + 4], c5 = codes[i + 5],
                 c6 = codes[i + 6], c7 = codes[i + 7];
@@ -380,7 +472,14 @@ int64_t pack_codes_boundaries(const uint8_t* codes, int64_t n,
     int64_t tail_start = n;
     while (tail_start > 0 && codes[tail_start - 1] >= 4) tail_start--;
     *tail_start_out = tail_start;
-    for (int64_t i = 0; i < n; i += 8) {
+    int64_t i = 0;
+#if defined(__SSSE3__)
+    for (; i + 16 <= n; i += 16) {
+        __m128i v = _mm_loadu_si128((const __m128i*)(codes + i));
+        *(uint32_t*)(out + (i >> 2)) = pack16_ssse3(v);
+    }
+#endif
+    for (; i < n; i += 8) {
         uint8_t c0 = codes[i], c1 = codes[i + 1], c2 = codes[i + 2],
                 c3 = codes[i + 3], c4 = codes[i + 4], c5 = codes[i + 5],
                 c6 = codes[i + 6], c7 = codes[i + 7];
@@ -392,7 +491,27 @@ int64_t pack_codes_boundaries(const uint8_t* codes, int64_t n,
     uint8_t* deltas = out + (n >> 2);
     int64_t b = 0;
     int64_t prev = -1;
-    for (int64_t i = 0; i < tail_start; ++i) {
+    i = 0;
+#if defined(__SSSE3__)
+    // sentinels are one-per-read (sparse): skip 16 codes at a time when the
+    // block holds none, walk set bits via ctz otherwise
+    const __m128i v3s = _mm_set1_epi8(3);
+    for (; i + 16 <= tail_start; i += 16) {
+        __m128i v = _mm_loadu_si128((const __m128i*)(codes + i));
+        int mm = _mm_movemask_epi8(_mm_cmpgt_epi8(v, v3s));
+        while (mm) {
+            int64_t pos = i + __builtin_ctz((unsigned)mm);
+            mm &= mm - 1;
+            int64_t gap = pos - prev;
+            if (b >= max_b || gap > 65535) return -1;
+            deltas[2 * b] = (uint8_t)(gap & 0xFF);
+            deltas[2 * b + 1] = (uint8_t)(gap >> 8);
+            prev = pos;
+            b++;
+        }
+    }
+#endif
+    for (; i < tail_start; ++i) {
         if (codes[i] >= 4) {
             int64_t gap = i - prev;
             if (b >= max_b || gap > 65535) return -1;
