@@ -704,26 +704,33 @@ def _tiled_reduce_a(key_cols, store_counts, n_used, *, has_counts,
 
 
 def _tiled_gather_groups(keys_s, before, src_t, offs, n_groups, n_live, *,
-                         out, has_counts):
+                         out, has_counts, start=None):
     """Phase-B front half: gather the group representatives (OUT-sized) and
-    their totals from the phase-A artifacts."""
+    their totals from the phase-A artifacts.  With `start` (a traced i32
+    scalar) the gather covers output rows [start, start+out) — the chunked
+    pipelined-D2H path; start=None is the classic full-output call."""
     T = _TILE_T
     X128 = src_t.shape[0]
-    r = jnp.arange(out, dtype=jnp.int32)
+    s0 = jnp.int32(0) if start is None else start.astype(jnp.int32)
+    # out+1 rows: the extra probe row yields src_next for the chunk's last
+    # row without peeking into the next chunk
+    r1 = s0 + jnp.arange(out + 1, dtype=jnp.int32)
     # tile index per output row: searchsorted(offs, r, 'right')-1, but for
     # CONSECUTIVE needles that's a scatter+cumsum (jnp.searchsorted costs
-    # ~1.3 s at this scale — a 20-round gather loop; this is ~40 ms)
-    marks = jnp.zeros((out + 1,), jnp.int32).at[
-        jnp.minimum(offs, out)].add(1)
-    t = jnp.cumsum(marks[:out]) - 1
+    # ~1.3 s at this scale — a 20-round gather loop; this is ~40 ms).
+    # Tiles starting at or before `start` clip to slot 0 and are counted
+    # for every row of the chunk, preserving t(r) = #{offs <= r} - 1.
+    marks = jnp.zeros((out + 2,), jnp.int32).at[
+        jnp.clip(offs - s0, 0, out + 1)].add(1)
+    t = jnp.cumsum(marks[:out + 1]) - 1
     t = jnp.clip(t, 0, offs.shape[0] - 1)
-    within = jnp.clip(r - offs[t], 0, T - 1)
-    src = src_t[t * T + within].astype(jnp.int32)
+    within = jnp.clip(r1 - offs[t], 0, T - 1)
+    src1 = src_t[t * T + within].astype(jnp.int32)
+    r = r1[:out]
+    src = src1[:out]
     valid_r = r < n_groups
     keys_r = [k[src] for k in keys_s]
-    src_next = jnp.concatenate(
-        [src[1:], jnp.full((1,), X128, jnp.int32)])
-    src_next = jnp.where(r + 1 < n_groups, src_next, X128)
+    src_next = jnp.where(r1[1:] < n_groups, src1[1:], X128)
     if has_counts:
         totals = before[jnp.minimum(src_next, X128)] - before[src]
     else:
@@ -736,13 +743,17 @@ def _tiled_gather_groups(keys_s, before, src_t, offs, n_groups, n_live, *,
 
 def _finalize_groups_core(keys_r, totals, n_groups, *, cutoff_min,
                           cutoff_max, counter_max, k, lut_prefix_len,
-                          counter_size, n_bins, fuse):
+                          counter_size, n_bins, fuse, start=None):
     """The completer back half of _finalize_core, over already-compacted
-    group arrays of any (static) length."""
+    group arrays of any (static) length.  With `start` (traced i32) the
+    rows are global output rows [start, start+out): stats and the LUT are
+    chunk-local (callers sum them across chunks)."""
     out = keys_r[0].shape[0]
     W = (k + 15) // 16
     r0 = k - 16 * (W - 1)
     idx = jnp.arange(out, dtype=jnp.int32)
+    if start is not None:
+        idx = start.astype(jnp.int32) + idx
     bins_r, wr = _split_bins(keys_r, fuse=fuse, r0=r0)
     group_valid = (idx < n_groups) & (totals > 0) & (bins_r < jnp.uint32(n_bins))
     n_unique = jnp.sum(group_valid.astype(jnp.int32))
@@ -820,6 +831,42 @@ def _tiled_finalize_b(keys_s, before, src_t, offs, n_groups, n_live, *,
     cols, keep_bits, lut, stats = _finalize_groups_core(
         keys_r, totals, n_groups, **kw)
     return cols, keep_bits, lut, stats
+
+
+_TILED_B_CHUNK_STATICS = (
+    "chunk", "has_counts", "cutoff_min", "cutoff_max", "counter_max", "k",
+    "lut_prefix_len", "counter_size", "n_bins", "fuse",
+)
+
+
+@functools.partial(jax.jit, static_argnames=_TILED_B_CHUNK_STATICS)
+def _tiled_finalize_b_chunk(keys_s, before, src_t, offs, n_groups, n_live,
+                            start, *, chunk, has_counts, **kw):
+    """Chunked phase B: produce output rows [start, start+chunk).  `start`
+    is a TRACED scalar so every chunk reuses one compiled executable, and
+    inputs are NOT donated (they feed every chunk).  The driver overlaps
+    each chunk's D2H with the next chunk's execution — the transfer of the
+    DB payload rides under device compute instead of after it."""
+    keys_r, totals = _tiled_gather_groups(
+        tuple(keys_s), before, src_t, offs, n_groups, n_live,
+        out=chunk, has_counts=has_counts, start=start)
+    cols, keep_bits, lut, stats = _finalize_groups_core(
+        keys_r, totals, n_groups, start=start, **kw)
+    return cols, keep_bits, lut, stats
+
+
+def _pipeline_chunks() -> int:
+    """KMC_TPU_PIPELINE_D2H: 0 disables the chunked finalize (single
+    phase-B dispatch); otherwise the chunk row count (default = the
+    phase-B output grain, see KMC_TPU_TILED_OUT_GRAIN)."""
+    import os as _os
+
+    v = _os.environ.get("KMC_TPU_PIPELINE_D2H", "1")
+    if v in ("0", "false", "no"):
+        return 0
+    if v in ("1", "true", "yes", ""):
+        return _out_grain()
+    return max(32, (int(v) + 31) & ~31)
 
 
 def _use_tiled_finalize() -> bool:
@@ -1457,6 +1504,13 @@ class DeviceKmerStore:
                 sort_mode=_grouping_sort_mode())
             n = int(n_groups_d)  # sync point (phase B shape depends on it)
             X128 = int(src_t.shape[0])
+            chunk = _pipeline_chunks()
+            if chunk:
+                return self._finalize_records_pipelined(
+                    keys_s, before, src_t, offs, n_groups_d, n_live,
+                    n=n, chunk=min(chunk, X128), has=has, kw=kw,
+                    lut_prefix_len=lut_prefix_len,
+                    counter_size=counter_size, t0=t0)
             grain = _out_grain()
             out = min(X128, ((max(n, 1) + grain - 1) // grain) * grain)
             cols, keep_bits, lut, stats = _tiled_finalize_b(
@@ -1504,6 +1558,69 @@ class DeviceKmerStore:
         self.t_finalize_d2h = _time.perf_counter() - t0
         self.key_cols = self.counts = None
         return np.ascontiguousarray(rec_h[keep_h]), lut_h, tuple(int(x) for x in stats)
+
+    def _finalize_records_pipelined(self, keys_s, before, src_t, offs,
+                                    n_groups_d, n_live, *, n, chunk, has,
+                                    kw, lut_prefix_len, counter_size, t0):
+        """Chunked phase B with D2H/exec overlap: every chunk is the SAME
+        compiled executable (traced start scalar), all chunks are
+        dispatched up front with their D2H copies queued async, then
+        consumed in order — chunk c's transfer and host assembly run while
+        chunk c+1 executes on device.  Byte-identical to the single
+        phase-B dispatch (per-chunk stats/LUT sum to the global ones)."""
+        import time as _time
+
+        n_eff = max(n, 1)
+        n_chunks = -(-n_eff // chunk)
+        parts = []
+        for c in range(n_chunks):
+            cols_c, keep_c, lut_c, st_c = _tiled_finalize_b_chunk(
+                keys_s, before, src_t, offs, n_groups_d, n_live,
+                jnp.int32(c * chunk), chunk=chunk, has_counts=has, **kw)
+            for a in (keep_c, *cols_c, lut_c, *st_c):
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
+            parts.append((cols_c, keep_c, lut_c, st_c))
+        # chunk-0 completion = the exec side of the timer split (the
+        # remaining chunks' exec overlaps the consumption loop below)
+        n_unique = int(parts[0][3][0])
+        self.t_finalize_exec = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        k_ = self.k
+        suffix_bytes = ((k_ - lut_prefix_len) // 4 if lut_prefix_len
+                        else (k_ + 3) // 4)
+        record_bytes = suffix_bytes + counter_size
+        rec_parts = []
+        lut_h = None
+        n_below = n_above = 0
+        for c, (cols_c, keep_c, lut_c, st_c) in enumerate(parts):
+            rows_c = min(chunk, n_eff - c * chunk)
+            keep_h = np.unpackbits(
+                np.asarray(keep_c).astype(">u4").view(np.uint8)
+            )[:rows_c].astype(bool)
+            rec_h = np.empty((rows_c, record_bytes), dtype=np.uint8)
+            off = 0
+            for col in cols_c:
+                a = np.asarray(col)[:rows_c]
+                w = a.dtype.itemsize
+                rec_h[:, off : off + w] = (
+                    a.astype(">u%d" % w).view(np.uint8).reshape(rows_c, w)
+                )
+                off += w
+            rec_parts.append(rec_h[keep_h])
+            lc = np.asarray(lut_c).astype(np.uint64)
+            lut_h = lc if lut_h is None else lut_h + lc
+            if c:
+                n_unique += int(st_c[0])
+            n_below += int(st_c[1])
+            n_above += int(st_c[2])
+        self.t_finalize_d2h = _time.perf_counter() - t0
+        self.key_cols = self.counts = None
+        rec = (np.concatenate(rec_parts) if len(rec_parts) > 1
+               else np.ascontiguousarray(rec_parts[0]))
+        return rec, lut_h, (n_unique, n_below, n_above)
 
     def _finalize_records_host(self, *, cutoff_min, cutoff_max, counter_max,
                                lut_prefix_len, counter_size):

@@ -322,6 +322,30 @@ def test_tiled_finalize_matches_classic(tmp_path, monkeypatch):
                 assert a.read() == b.read(), (tag, suf)
 
 
+def test_pipelined_finalize_chunks_match_single_dispatch(tmp_path, monkeypatch):
+    """The chunked pipelined-D2H phase B (KMC_TPU_PIPELINE_D2H=<rows>)
+    must produce a byte-identical DB to the single phase-B dispatch
+    (=0) with MANY chunks engaged — the cross-chunk risks are the group
+    straddling a chunk boundary (probe-row src_next), tiles starting
+    before the chunk (clipped marks scatter), and the per-chunk LUT and
+    stats summation.  Both the unit-count and counted paths."""
+    for seed, store_rows, tag in ((74, 1 << 22, "unit"), (75, 2048, "cnt")):
+        reads = random_reads(150, 100, seed=seed, genome_len=800)
+        inp = write_fastq(tmp_path / f"in{seed}.fastq", reads)
+        out_p = str(tmp_path / f"piped_{tag}")
+        out_s = str(tmp_path / f"single_{tag}")
+        monkeypatch.setenv("KMC_TPU_TILED_FINALIZE", "1")
+        monkeypatch.setenv("KMC_TPU_PIPELINE_D2H", "64")
+        count([inp], out_p, k=21, cutoff_min=2, batch_positions=512,
+              device_store_rows=store_rows)
+        monkeypatch.setenv("KMC_TPU_PIPELINE_D2H", "0")
+        count([inp], out_s, k=21, cutoff_min=2, batch_positions=512,
+              device_store_rows=store_rows)
+        for suf in (".kmc_pre", ".kmc_suf"):
+            with open(out_p + suf, "rb") as a, open(out_s + suf, "rb") as b:
+                assert a.read() == b.read(), (tag, suf)
+
+
 def test_autocompact_matches_default(tmp_path, monkeypatch):
     """Voluntary mid-run compaction (KMC_TPU_AUTOCOMPACT_ROWS) dedups the
     store while ingest streams; the output DB must be byte-identical to a
