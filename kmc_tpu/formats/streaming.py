@@ -462,9 +462,12 @@ _STREAM_OPS = {
 
 def stream_simple_op(op: str, db1: str, db2: str, out: str,
                      mode: str | None = None, out_params=None,
-                     block_records: int = DEFAULT_BLOCK) -> int:
+                     block_records: int = DEFAULT_BLOCK,
+                     in1_cut=(None, None), in2_cut=(None, None)) -> int:
     """Bounded-memory two-database set operation -> KMC1-format DB (what
-    kmc_tools writes for simple ops).  Returns output record count."""
+    kmc_tools writes for simple ops).  in1_cut/in2_cut: per-input (ci, cx)
+    applied at the cursor (the reference filters inside the db readers).
+    Returns output record count."""
     from ..tools.db_ops import DEFAULT_COUNTER_MODE, OutputParams
 
     if op not in _STREAM_OPS:
@@ -472,10 +475,13 @@ def stream_simple_op(op: str, db1: str, db2: str, out: str,
     if op.startswith("reverse_"):
         return stream_simple_op(op[len("reverse_"):], db2, db1, out,
                                 mode=mode, out_params=out_params,
-                                block_records=block_records)
-    r1 = DbStreamReader(db1, block_records)
+                                block_records=block_records,
+                                in1_cut=in2_cut, in2_cut=in1_cut)
+    r1 = DbStreamReader(db1, block_records,
+                        cutoff_min=in1_cut[0], cutoff_max=in1_cut[1])
     try:
-        r2 = DbStreamReader(db2, block_records)
+        r2 = DbStreamReader(db2, block_records,
+                            cutoff_min=in2_cut[0], cutoff_max=in2_cut[1])
     except BaseException:
         r1.close()
         raise
@@ -484,7 +490,14 @@ def stream_simple_op(op: str, db1: str, db2: str, out: str,
         r2.close()
         raise ValueError("k-mer length mismatch")
     mode = mode or DEFAULT_COUNTER_MODE.get(op, "sum")
-    op_params = out_params or OutputParams()
+    if out_params is None:
+        from ..tools.db_ops import default_output_params, effective_input_cut
+
+        op_params = default_output_params(
+            [db1, db2], [effective_input_cut(db1, in1_cut),
+                         effective_input_cut(db2, in2_cut)])
+    else:
+        op_params = out_params
     kb = r1.info.kmer_bytes
 
     from ..defs import calc_counter_size
@@ -518,11 +531,13 @@ def stream_simple_op(op: str, db1: str, db2: str, out: str,
 
 
 def stream_dump(db: str, out_path: str,
-                block_records: int = DEFAULT_BLOCK) -> int:
+                block_records: int = DEFAULT_BLOCK,
+                in_cut=(None, None)) -> int:
     """Bounded-memory sorted text dump (kmc_tools transform db dump -s)."""
     from .dump import dump_records_bytes
 
-    r = DbStreamReader(db, block_records)
+    r = DbStreamReader(db, block_records,
+                       cutoff_min=in_cut[0], cutoff_max=in_cut[1])
     n = 0
     with r, open(out_path, "wb") as f:
         for kmers, counts in r.blocks():
@@ -535,10 +550,12 @@ def stream_dump(db: str, out_path: str,
 
 
 def stream_transform(db: str, out: str, out_params, *, set_value=None,
-                     compact=False, block_records: int = DEFAULT_BLOCK) -> int:
+                     compact=False, block_records: int = DEFAULT_BLOCK,
+                     in_cut=(None, None)) -> int:
     """Bounded-memory single-input transform (sort/reduce/compact/
     set_counts) -> KMC1 DB; mirrors db_ops.transform_* semantics."""
-    r = DbStreamReader(db, block_records)
+    r = DbStreamReader(db, block_records,
+                       cutoff_min=in_cut[0], cutoff_max=in_cut[1])
     from ..defs import calc_counter_size
     from ..tools.db_ops import tools_lut_prefix_len
 
@@ -575,9 +592,11 @@ def stream_transform(db: str, out: str, out_params, *, set_value=None,
 
 def stream_histogram(db: str, out_path: str, cutoff_min: int = 1,
                      cutoff_max: int | None = None,
-                     block_records: int = DEFAULT_BLOCK) -> None:
+                     block_records: int = DEFAULT_BLOCK,
+                     in_cut=(None, None)) -> None:
     """Bounded-memory counter histogram (histogram_writer.h:20-84)."""
-    r = DbStreamReader(db, block_records)
+    r = DbStreamReader(db, block_records,
+                       cutoff_min=in_cut[0], cutoff_max=in_cut[1])
     info = r.info
     if cutoff_max is None:
         cutoff_max = min(info.cutoff_max, 10000)

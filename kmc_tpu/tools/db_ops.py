@@ -120,34 +120,50 @@ def _combine(a1, a2, mode: str):
     raise ValueError(f"unknown counter mode {mode}")
 
 
-def op_union(k1, c1, k2, c2, mode: str = "sum"):
-    kk, a1, a2, in1, in2 = _aligned_merge(k1, c1, k2, c2)
+def _eval_aligned(aligned, op: str, mode: str | None):
+    """One simple-set operation over already-aligned merge artifacts —
+    lets a multi-output invocation share a single merge pass (the
+    reference computes every output of one `simple` run from one
+    streamed merge)."""
+    kk, a1, a2, in1, in2 = aligned
+    if op.startswith("reverse_"):
+        return _eval_aligned((kk, a2, a1, in2, in1), op[len("reverse_"):],
+                             mode)
     both = in1 & in2
-    counts = np.where(both, _combine(a1, a2, mode), np.where(in1, a1, a2))
-    keep = counts > 0
+    if op == "union":
+        counts = np.where(both, _combine(a1, a2, mode or "sum"),
+                          np.where(in1, a1, a2))
+        keep = counts > 0
+    elif op == "intersect":
+        counts = _combine(a1, a2, mode or "min")
+        keep = both & (counts > 0)
+    elif op == "kmers_subtract":
+        counts = a1
+        keep = in1 & ~in2
+    elif op == "counters_subtract":
+        counts = np.where(both, _combine(a1, a2, mode or "diff"), a1)
+        keep = in1 & (counts > 0)
+    else:
+        raise ValueError(op)
     return kk[keep], counts[keep]
+
+
+def op_union(k1, c1, k2, c2, mode: str = "sum"):
+    return _eval_aligned(_aligned_merge(k1, c1, k2, c2), "union", mode)
 
 
 def op_intersect(k1, c1, k2, c2, mode: str = "min"):
-    kk, a1, a2, in1, in2 = _aligned_merge(k1, c1, k2, c2)
-    both = in1 & in2
-    counts = _combine(a1, a2, mode)
-    keep = both & (counts > 0)
-    return kk[keep], counts[keep]
+    return _eval_aligned(_aligned_merge(k1, c1, k2, c2), "intersect", mode)
 
 
 def op_kmers_subtract(k1, c1, k2, c2):
-    kk, a1, a2, in1, in2 = _aligned_merge(k1, c1, k2, c2)
-    keep = in1 & ~in2
-    return kk[keep], a1[keep]
+    return _eval_aligned(_aligned_merge(k1, c1, k2, c2), "kmers_subtract",
+                         None)
 
 
 def op_counters_subtract(k1, c1, k2, c2, mode: str = "diff"):
-    kk, a1, a2, in1, in2 = _aligned_merge(k1, c1, k2, c2)
-    both = in1 & in2
-    counts = np.where(both, _combine(a1, a2, mode), a1)
-    keep = in1 & (counts > 0)
-    return kk[keep], counts[keep]
+    return _eval_aligned(_aligned_merge(k1, c1, k2, c2),
+                         "counters_subtract", mode)
 
 
 SIMPLE_OPS = {
@@ -183,6 +199,64 @@ def _stream_threshold() -> int:
     return int(v) if v is not None else STREAM_THRESHOLD
 
 
+def _header_params(path: str):
+    """(min_count, max_count, counter_size) from the database header —
+    the reference defaults unset input -ci/-cx from these and sizes the
+    default output counter_max from the widest input counter
+    (parameters_parser.cpp:842-848, 738-749)."""
+    if str(path).endswith(".kff"):
+        from ..formats.kff import read_kff_meta
+
+        m = read_kff_meta(str(path))
+        return m.min_count, m.max_count, m.counter_size
+    from ..formats.kmc_db import read_pre_meta
+
+    info = read_pre_meta(str(path))[0]
+    return info.cutoff_min, info.cutoff_max, info.counter_size
+
+
+def effective_input_cut(path: str, cut=None):
+    """Resolve a per-input (-ci, -cx) pair: None (or 0, the reference's
+    'not set' sentinel) falls back to the input header's min/max count."""
+    ci, cx = cut if cut is not None else (None, None)
+    h_ci, h_cx, _ = _header_params(path)
+    return (h_ci if not ci else ci, h_cx if not cx else cx)
+
+
+def default_output_params(paths, eff_cuts, overrides=None) -> OutputParams:
+    """Reference output-parameter defaulting (parameters_parser.cpp:
+    851-892): unset -ci = min effective input ci, unset -cx = max
+    effective input cx, unset -cs = the max value the widest input
+    counter can hold.  `overrides` holds explicitly-given values under
+    keys ci/cx/cs (0 counts as unset, like the reference)."""
+    overrides = overrides or {}
+    cs_max = max(_header_params(p)[2] for p in paths)
+    return OutputParams(
+        cutoff_min=overrides.get("ci") or min(c for c, _ in eff_cuts),
+        cutoff_max=overrides.get("cx") or max(x for _, x in eff_cuts),
+        counter_max=overrides.get("cs")
+        or ((1 << (8 * cs_max)) - 1 if cs_max else 1),
+    )
+
+
+def _apply_input_cut(kmers, counts, cut):
+    """Read-time input filtering (the reference applies the per-input
+    ci/cx inside the db readers, kmc1_db_reader.h:574-618)."""
+    ci, cx = cut
+    keep = (counts.astype(np.uint64) >= ci) & (counts.astype(np.uint64) <= cx)
+    if keep.all():
+        return kmers, counts
+    return kmers[keep], counts[keep]
+
+
+def _resolve_out_params(out_params, paths, eff_cuts) -> OutputParams:
+    """out_params: OutputParams = use verbatim (legacy API); dict of
+    explicit overrides or None = reference defaulting from the inputs."""
+    if isinstance(out_params, OutputParams):
+        return out_params
+    return default_output_params(paths, eff_cuts, out_params)
+
+
 def _stored_count(path: str) -> int:
     try:
         if str(path).endswith(".kff"):
@@ -197,14 +271,23 @@ def _stored_count(path: str) -> int:
 
 
 def run_simple_op(op: str, db1: str, db2: str, out: str, mode: str | None = None,
-                  out_params: OutputParams | None = None):
+                  out_params: OutputParams | dict | None = None,
+                  in1_cut=None, in2_cut=None):
+    """2-database set operation.  in1_cut/in2_cut: per-input (-ci, -cx)
+    pairs applied at read time; out_params: an OutputParams (used
+    verbatim) or a dict of explicit -ci/-cx/-cs overrides completed by
+    the reference's input-derived defaulting (default_output_params)."""
+    eff1 = effective_input_cut(db1, in1_cut)
+    eff2 = effective_input_cut(db2, in2_cut)
+    out_params = _resolve_out_params(out_params, [db1, db2], [eff1, eff2])
     if (not str(out).endswith(".kff")
             and _stored_count(db1) + _stored_count(db2) > _stream_threshold()):
         from ..formats.streaming import stream_simple_op
 
         try:
             return stream_simple_op(op, db1, db2, out, mode=mode,
-                                    out_params=out_params)
+                                    out_params=out_params,
+                                    in1_cut=eff1, in2_cut=eff2)
         except NotImplementedError:
             pass  # e.g. unsorted KFF input: materialize instead
     info1, k1, c1 = load_sorted(db1)
@@ -213,17 +296,51 @@ def run_simple_op(op: str, db1: str, db2: str, out: str, mode: str | None = None
         raise ValueError(
             f"k-mer length mismatch: {info1.kmer_len} vs {info2.kmer_len}"
         )
+    k1, c1 = _apply_input_cut(k1, c1, eff1)
+    k2, c2 = _apply_input_cut(k2, c2, eff2)
     fn = SIMPLE_OPS[op]
     if op in DEFAULT_COUNTER_MODE:
         kmers, counts = fn(k1, c1, k2, c2, mode or DEFAULT_COUNTER_MODE[op])
     else:
         kmers, counts = fn(k1, c1, k2, c2)
-    out_params = out_params or OutputParams()
     kmers, counts = out_params.apply(kmers, counts)
     write_sorted_db(out, info1.kmer_len, kmers, counts, out_params,
                     both_strands=info1.both_strands,
                     input_ns=[info1.n_unique_stored, info2.n_unique_stored])
     return len(kmers)
+
+
+def run_simple_ops(db1: str, db2: str, ops, in1_cut=None, in2_cut=None):
+    """Every output of one `kmc_tools simple` invocation from a SINGLE
+    load + aligned merge of the two inputs (the reference streams all
+    simple outputs off one merge pass, kmc_tools.cpp/bundle.h).
+    ops: [(op, mode|None, out_path, overrides_dict|OutputParams)].
+    Falls back to per-op streaming above the memory threshold."""
+    if (_stored_count(db1) + _stored_count(db2) > _stream_threshold()
+            or any(str(o[2]).endswith(".kff") for o in ops)):
+        for op, mode, out, params in ops:
+            run_simple_op(op, db1, db2, out, mode, params,
+                          in1_cut=in1_cut, in2_cut=in2_cut)
+        return
+    eff1 = effective_input_cut(db1, in1_cut)
+    eff2 = effective_input_cut(db2, in2_cut)
+    info1, k1, c1 = load_sorted(db1)
+    info2, k2, c2 = load_sorted(db2)
+    if info1.kmer_len != info2.kmer_len:
+        raise ValueError(
+            f"k-mer length mismatch: {info1.kmer_len} vs {info2.kmer_len}")
+    k1, c1 = _apply_input_cut(k1, c1, eff1)
+    k2, c2 = _apply_input_cut(k2, c2, eff2)
+    aligned = _aligned_merge(k1, c1, k2, c2)
+    for op, mode, out, params in ops:
+        out_params = _resolve_out_params(params, [db1, db2], [eff1, eff2])
+        kmers, counts = _eval_aligned(
+            aligned, op, mode or DEFAULT_COUNTER_MODE.get(op))
+        kmers, counts = out_params.apply(kmers, counts)
+        write_sorted_db(out, info1.kmer_len, kmers, counts, out_params,
+                        both_strands=info1.both_strands,
+                        input_ns=[info1.n_unique_stored,
+                                  info2.n_unique_stored])
 
 
 def tools_lut_prefix_len(k: int, input_ns) -> int:
@@ -301,71 +418,76 @@ def _stream_single(db, out) -> bool:
             and _stored_count(db) > _stream_threshold())
 
 
-def transform_sort(db: str, out: str, out_params: OutputParams | None = None):
+def transform_sort(db: str, out: str,
+                   out_params: OutputParams | dict | None = None,
+                   in_cut=None):
+    eff = effective_input_cut(db, in_cut)
+    p = _resolve_out_params(out_params, [db], [eff])
     if _stream_single(db, out):
-        from ..formats.streaming import DbStreamReader, stream_transform
+        from ..formats.streaming import stream_transform
 
-        if out_params is None:
-            with DbStreamReader(db) as r:
-                info = r.info
-            out_params = OutputParams(
-                cutoff_min=info.cutoff_min, cutoff_max=info.cutoff_max,
-                counter_max=(1 << (8 * info.counter_size)) - 1
-                if info.counter_size else 1)
-        stream_transform(db, out, out_params)
+        stream_transform(db, out, p, in_cut=eff)
         return
     info, kmers, counts = load_sorted(db)
-    p = out_params or OutputParams(cutoff_min=info.cutoff_min,
-                                   cutoff_max=info.cutoff_max,
-                                   counter_max=(1 << (8 * info.counter_size)) - 1
-                                   if info.counter_size else 1)
+    kmers, counts = _apply_input_cut(kmers, counts, eff)
     kmers, counts = p.apply(kmers, counts)
     write_sorted_db(out, info.kmer_len, kmers, counts, p, info.both_strands,
                     input_ns=[info.n_unique_stored])
 
 
-def transform_reduce(db: str, out: str, out_params: OutputParams):
-    transform_sort(db, out, out_params)
+def transform_reduce(db: str, out: str, out_params: OutputParams | dict,
+                     in_cut=None):
+    transform_sort(db, out, out_params, in_cut=in_cut)
 
 
-def transform_compact(db: str, out: str):
+def transform_compact(db: str, out: str, in_cut=None):
+    eff = effective_input_cut(db, in_cut)
     p = OutputParams(cutoff_min=1, cutoff_max=10**9, counter_max=1)
     if _stream_single(db, out):
         from ..formats.streaming import stream_transform
 
-        stream_transform(db, out, p, compact=True)
+        stream_transform(db, out, p, compact=True, in_cut=eff)
         return
     info, kmers, counts = load_sorted(db)
+    kmers, counts = _apply_input_cut(kmers, counts, eff)
     counts = np.ones(len(kmers), np.uint32)
     write_sorted_db(out, info.kmer_len, kmers, counts, p, info.both_strands,
                     input_ns=[info.n_unique_stored])
 
 
-def transform_set_counts(db: str, out: str, value: int):
+def transform_set_counts(db: str, out: str, value: int, in_cut=None):
+    eff = effective_input_cut(db, in_cut)
     p = OutputParams(cutoff_min=1, cutoff_max=max(10**9, value), counter_max=max(255, value))
     if _stream_single(db, out):
         from ..formats.streaming import stream_transform
 
-        stream_transform(db, out, p, set_value=value)
+        stream_transform(db, out, p, set_value=value, in_cut=eff)
         return
     info, kmers, counts = load_sorted(db)
+    kmers, counts = _apply_input_cut(kmers, counts, eff)
     counts = np.full(len(kmers), value, np.uint32)
     write_sorted_db(out, info.kmer_len, kmers, counts, p, info.both_strands,
                     input_ns=[info.n_unique_stored])
 
 
-def transform_histogram(db: str, out_path: str, cutoff_min: int = 1,
-                        cutoff_max: int | None = None) -> None:
+def transform_histogram(db: str, out_path: str, cutoff_min: int | None = None,
+                        cutoff_max: int | None = None, in_cut=None) -> None:
     """Histogram of counter values (histogram_writer.h:20-84):
-    lines `value\\tnumber_of_kmers_with_that_counter`.  The default upper
-    bound mirrors the reference (parameters_parser.cpp:882-884):
-    min(db max_count, 10000, largest value a counter byte can hold)."""
+    lines `value\\tnumber_of_kmers_with_that_counter`.  Unset bounds mirror
+    the reference defaulting (parameters_parser.cpp:869-889): lower = the
+    effective input ci, upper = min(db max_count, 10000, largest value a
+    counter byte can hold)."""
+    eff = effective_input_cut(db, in_cut)
+    if cutoff_min is None:
+        cutoff_min = eff[0]
     if _stream_single(db, out_path):
         from ..formats.streaming import stream_histogram
 
-        stream_histogram(db, out_path, cutoff_min, cutoff_max)
+        stream_histogram(db, out_path, cutoff_min, cutoff_max, in_cut=eff)
         return
     info, _, counts = load_sorted(db)
+    counts = counts[(counts.astype(np.uint64) >= eff[0])
+                    & (counts.astype(np.uint64) <= eff[1])]
     if cutoff_max is None:
         cutoff_max = min(info.cutoff_max, 10000)
         if info.counter_size:
@@ -376,12 +498,25 @@ def transform_histogram(db: str, out_path: str, cutoff_min: int = 1,
             f.write(f"{v}\t{hist[v] if v < len(hist) else 0}\n")
 
 
-def transform_dump(db: str, out_path: str, sorted_output: bool = True):
+def transform_dump(db: str, out_path: str, sorted_output: bool = True,
+                   in_cut=None):
+    explicit_cut = in_cut is not None and any(v for v in in_cut)
     if sorted_output and not str(db).endswith(".kff") \
             and _stored_count(db) > _stream_threshold():
         from ..formats.streaming import stream_dump
 
-        stream_dump(db, str(out_path))
+        stream_dump(db, str(out_path),
+                    in_cut=effective_input_cut(db, in_cut)
+                    if explicit_cut else (None, None))
+        return
+    if explicit_cut:
+        from ..formats.dump import dump_records
+
+        info, kmers, counts = load_sorted(db)
+        kmers, counts = _apply_input_cut(
+            kmers, counts, effective_input_cut(db, in_cut))
+        with open(out_path, "w") as f:
+            f.write(dump_records(kmers, counts, info.kmer_len))
         return
     from ..formats.dump import dump_db_file
 

@@ -14,9 +14,10 @@ from .tools.db_ops import OutputParams
 USAGE = """kmc_tools (kmc_tpu) — database algebra on KMC databases
 Usage: kmc_tools <operation> [operation parameters]
 Operations:
-  transform <db> <oper [oper_params] output> [...]
+  transform <db> [-ci<v>] [-cx<v>] <oper [oper_params] output> [...]
       opers: sort, reduce, compact, histogram, dump [-s], set_counts <value>
-  simple <db1> <db2> <oper [-oc<mode>] output [-ci<v>] [-cx<v>] [-cs<v>]> [...]
+  simple <db1 [-ci<v>] [-cx<v>]> <db2 [-ci<v>] [-cx<v>]>
+         <oper [-oc<mode>] output [-ci<v>] [-cx<v>] [-cs<v>]> [...]
       opers: intersect, union, kmers_subtract, counters_subtract,
              reverse_kmers_subtract, reverse_counters_subtract
       -oc<min|max|sum|diff|left|right> - counter calculation mode
@@ -26,6 +27,36 @@ Operations:
   check <db> <kmer>
   filter [-t] <kmc_db> <input_fastq> [-ci<v>] [-cx<v>] <output_fastq>
 """
+
+
+def _parse_input_cut(args, i):
+    """Consume per-input -ci/-cx tokens at position i (the reference's
+    input_params, parameters_parser.cpp:842-848 default the unset ones
+    from the input header).  Returns ((ci|None, cx|None), next_i)."""
+    ci = cx = None
+    while i < len(args) and (args[i].startswith("-ci")
+                             or args[i].startswith("-cx")):
+        if args[i].startswith("-ci"):
+            ci = int(args[i][3:])
+        else:
+            cx = int(args[i][3:])
+        i += 1
+    return (ci, cx), i
+
+
+def _parse_out_overrides(args):
+    """Explicit per-output -ci/-cx/-cs values as an overrides dict; unset
+    keys take the reference's input-derived defaults
+    (db_ops.default_output_params)."""
+    ov = {}
+    for a in args:
+        if a.startswith("-ci"):
+            ov["ci"] = int(a[3:])
+        elif a.startswith("-cx"):
+            ov["cx"] = int(a[3:])
+        elif a.startswith("-cs"):
+            ov["cs"] = int(a[3:])
+    return ov
 
 
 def _parse_output_params(args, defaults=None):
@@ -48,13 +79,19 @@ def cmd_transform(args) -> int:
         print(USAGE)
         return 1
     db = args[0]
-    i = 1
+    in_cut, i = _parse_input_cut(args, 1)
     while i < len(args):
         op = args[i]
         i += 1
         if op == "sort":
-            db_ops.transform_sort(db, args[i])
+            out = args[i]
             i += 1
+            opts = []
+            while i < len(args) and args[i].startswith("-"):
+                opts.append(args[i])
+                i += 1
+            db_ops.transform_sort(db, out, _parse_out_overrides(opts),
+                                  in_cut=in_cut)
         elif op == "reduce":
             # reduce <output> [-ci -cx -cs]
             out = args[i]
@@ -63,33 +100,33 @@ def cmd_transform(args) -> int:
             while i < len(args) and args[i].startswith("-"):
                 opts.append(args[i])
                 i += 1
-            p, _ = _parse_output_params(opts)
-            db_ops.transform_reduce(db, out, p)
+            db_ops.transform_reduce(db, out, _parse_out_overrides(opts),
+                                    in_cut=in_cut)
         elif op == "compact":
-            db_ops.transform_compact(db, args[i])
+            db_ops.transform_compact(db, args[i], in_cut=in_cut)
             i += 1
         elif op == "histogram":
             out = args[i]
             i += 1
-            lo, hi = 1, None
+            lo, hi = None, None  # unset -> reference input-derived defaults
             while i < len(args) and args[i].startswith("-"):
                 if args[i].startswith("-ci"):
                     lo = int(args[i][3:])
                 elif args[i].startswith("-cx"):
                     hi = int(args[i][3:])
                 i += 1
-            db_ops.transform_histogram(db, out, lo, hi)
+            db_ops.transform_histogram(db, out, lo, hi, in_cut=in_cut)
         elif op == "dump":
             sorted_out = False
             if i < len(args) and args[i] == "-s":
                 sorted_out = True
                 i += 1
-            db_ops.transform_dump(db, args[i], sorted_out)
+            db_ops.transform_dump(db, args[i], sorted_out, in_cut=in_cut)
             i += 1
         elif op == "set_counts":
             value = int(args[i])
             out = args[i + 1]
-            db_ops.transform_set_counts(db, out, value)
+            db_ops.transform_set_counts(db, out, value, in_cut=in_cut)
             i += 2
         else:
             print(f"Error: unknown transform operation {op}", file=sys.stderr)
@@ -101,8 +138,11 @@ def cmd_simple(args) -> int:
     if len(args) < 4:
         print(USAGE)
         return 1
-    db1, db2 = args[0], args[1]
-    i = 2
+    db1 = args[0]
+    in1_cut, i = _parse_input_cut(args, 1)
+    db2 = args[i]
+    in2_cut, i = _parse_input_cut(args, i + 1)
+    ops = []
     while i < len(args):
         op = args[i]
         i += 1
@@ -119,8 +159,9 @@ def cmd_simple(args) -> int:
         while i < len(args) and args[i].startswith("-"):
             opts.append(args[i])
             i += 1
-        out_params, _ = _parse_output_params(opts)
-        db_ops.run_simple_op(op, db1, db2, out, mode, out_params)
+        ops.append((op, mode, out, _parse_out_overrides(opts)))
+    # every output computed from ONE load + merge of the inputs
+    db_ops.run_simple_ops(db1, db2, ops, in1_cut=in1_cut, in2_cut=in2_cut)
     return 0
 
 

@@ -234,3 +234,114 @@ def test_complex_streaming_rejects_k_mismatch(tmp_path, monkeypatch):
         monkeypatch.setenv("KMC_TPU_STREAM_THRESHOLD", thr)
         with pytest.raises(ValueError, match="mismatch"):
             run_complex_file(str(ops_file))
+
+
+# ---------------- per-input -ci/-cx (reference input_params) ----------------
+
+
+def test_simple_input_cuts_cli(two_dbs, tmp_path, monkeypatch):
+    """Per-input -ci/-cx filter each database at read time
+    (kmc1_db_reader.h:574-618) before the set operation; the in-memory and
+    streaming paths must produce byte-identical DBs."""
+    db1, db2, c1, c2 = two_dbs
+    f1 = {km: c for km, c in c1.items() if c >= 2}
+    f2 = {km: c for km, c in c2.items() if c <= 3}
+    cases = [
+        ("intersect", {km: min(f1[km], f2[km]) for km in set(f1) & set(f2)}),
+        ("union", {km: min(f1.get(km, 0) + f2.get(km, 0), 255)
+                   for km in set(f1) | set(f2)}),
+        ("kmers_subtract", {km: f1[km] for km in set(f1) - set(f2)}),
+    ]
+    for op, expect in cases:
+        out_m = str(tmp_path / f"m_{op}")
+        out_s = str(tmp_path / f"s_{op}")
+        assert tools_cli.main(
+            ["simple", db1, "-ci2", db2, "-cx3", op, out_m]) == 0
+        monkeypatch.setenv("KMC_TPU_STREAM_THRESHOLD", "0")
+        assert tools_cli.main(
+            ["simple", db1, "-ci2", db2, "-cx3", op, out_s]) == 0
+        monkeypatch.delenv("KMC_TPU_STREAM_THRESHOLD")
+        assert _dump_dict(out_m) == expect, op
+        for suf in (".kmc_pre", ".kmc_suf"):
+            with open(out_m + suf, "rb") as a, open(out_s + suf, "rb") as b:
+                assert a.read() == b.read(), (op, suf)
+
+
+def test_output_defaults_from_inputs(two_dbs, tmp_path):
+    """Unset output -ci defaults to the min effective input ci
+    (parameters_parser.cpp:851-865): counters_subtract results below that
+    bound are dropped."""
+    db1, db2, c1, c2 = two_dbs
+    out = str(tmp_path / "cs")
+    # input1 read with ci=2 -> output ci defaults to min(2, header ci=1)=1
+    assert tools_cli.main(
+        ["simple", db1, "-ci2", db2, "counters_subtract", out]) == 0
+    f1 = {km: c for km, c in c1.items() if c >= 2}
+    expect = {}
+    for km, c in f1.items():
+        v = c - c2.get(km, 0) if km in c2 else c
+        if v >= 1:
+            expect[km] = v
+    assert _dump_dict(out) == expect
+    # explicit output -ci3 overrides the default
+    out2 = str(tmp_path / "cs3")
+    assert tools_cli.main(
+        ["simple", db1, "-ci2", db2, "counters_subtract", out2, "-ci3"]) == 0
+    assert _dump_dict(out2) == {km: v for km, v in expect.items() if v >= 3}
+
+
+def test_transform_input_cut(two_dbs, tmp_path, monkeypatch):
+    """transform <db> -ci<v>: the input filter applies to every operation
+    of the invocation (dump, histogram, sort, compact, set_counts)."""
+    db1, _, c1, _ = two_dbs
+    f1 = {km: c for km, c in c1.items() if c >= 2}
+    d = str(tmp_path / "d.txt")
+    h = str(tmp_path / "h.txt")
+    s = str(tmp_path / "srt")
+    assert tools_cli.main(
+        ["transform", db1, "-ci2", "dump", "-s", d,
+         "histogram", h, "sort", s]) == 0
+    got = {ln.split("\t")[0]: int(ln.split("\t")[1])
+           for ln in open(d).read().splitlines()}
+    assert got == f1
+    assert _dump_dict(s) == f1
+    hist = {int(ln.split("\t")[0]): int(ln.split("\t")[1])
+            for ln in open(h).read().splitlines()}
+    from collections import Counter
+    want_hist = Counter(f1.values())
+    assert all(hist.get(v, 0) == want_hist.get(v, 0)
+               for v in range(1, max(want_hist) + 1))
+    # streaming paths byte/text-identical
+    monkeypatch.setenv("KMC_TPU_STREAM_THRESHOLD", "0")
+    d2, h2, s2 = d + "2", h + "2", s + "2"
+    assert tools_cli.main(
+        ["transform", db1, "-ci2", "dump", "-s", d2,
+         "histogram", h2, "sort", s2]) == 0
+    assert open(d).read() == open(d2).read()
+    assert open(h).read() == open(h2).read()
+    for suf in (".kmc_pre", ".kmc_suf"):
+        with open(s + suf, "rb") as a, open(s2 + suf, "rb") as b:
+            assert a.read() == b.read()
+
+
+def test_simple_multi_output_single_pass(two_dbs, tmp_path):
+    """One CLI invocation with several outputs (computed off ONE aligned
+    merge, run_simple_ops) must byte-match separate per-op invocations."""
+    db1, db2, _, _ = two_dbs
+    multi = [str(tmp_path / f"mo_{j}") for j in range(3)]
+    single = [str(tmp_path / f"so_{j}") for j in range(3)]
+    assert tools_cli.main(
+        ["simple", db1, "-ci2", db2,
+         "intersect", "-ocmax", multi[0],
+         "union", multi[1], "-ci2",
+         "reverse_counters_subtract", multi[2]]) == 0
+    for args, out in (
+        (["intersect", "-ocmax", single[0]], single[0]),
+        (["union", single[1], "-ci2"], single[1]),
+        (["reverse_counters_subtract", single[2]], single[2]),
+    ):
+        assert tools_cli.main(["simple", db1, "-ci2", db2, *args]) == 0
+    for m, s in zip(multi, single):
+        for suf in (".kmc_pre", ".kmc_suf"):
+            with open(m + suf, "rb") as a, open(s + suf, "rb") as b:
+                assert a.read() == b.read(), (m, suf)

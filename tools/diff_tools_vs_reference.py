@@ -133,6 +133,35 @@ def main():
         check(tag, ref_dump(kmc_tools, rout, workdir),
               tpu_dump(tout, workdir))
 
+    # per-input -ci/-cx (reference input_params) + input-derived output
+    # defaulting: counters_subtract is the op whose results can fall below
+    # the defaulted output ci, so it pins the defaulting semantics too
+    input_cut_cases = [
+        ("intersect", ["-ci3"], []),
+        ("union", ["-ci2"], ["-cx4"]),
+        ("counters_subtract", ["-ci2"], []),
+        ("kmers_subtract", [], ["-cx3"]),
+    ]
+    for op, cut1, cut2 in input_cut_cases:
+        tag = f"simple {' '.join(cut1)} / {' '.join(cut2)} {op}"
+        rout = workdir / f"ref_ic_{op}"
+        tout = workdir / f"tpu_ic_{op}"
+        run([kmc_tools, "simple", ref1, *cut1, ref2, *cut2, op, rout])
+        assert tpu_tools(["simple", tpu1, *cut1, tpu2, *cut2, op, tout]) == 0
+        check(tag, ref_dump(kmc_tools, rout, workdir),
+              tpu_dump(tout, workdir))
+
+    # transform with input params: the filter applies to every output op
+    rout, tout = workdir / "ref_tic", workdir / "tpu_tic"
+    rh, th = workdir / "ref_tic.hist", workdir / "tpu_tic.hist"
+    run([kmc_tools, "transform", ref1, "-ci3", "sort", rout,
+         "histogram", rh])
+    assert tpu_tools(["transform", tpu1, "-ci3", "sort", tout,
+                      "histogram", th]) == 0
+    check("transform -ci3 sort", ref_dump(kmc_tools, rout, workdir),
+          tpu_dump(tout, workdir))
+    check("transform -ci3 histogram", rh.read_text(), th.read_text())
+
     # transform reduce (re-threshold)
     rout, tout = workdir / "ref_red", workdir / "tpu_red"
     run([kmc_tools, "transform", ref1, "reduce", rout, "-ci3"])
