@@ -313,6 +313,7 @@ class KMCFile:
         self._max_count = (1 << 32) - 1
         self._reader = None  # listing mode
         self._file_ra = None  # on-disk RA mode (big databases)
+        self._sym_map = None  # ACGT code -> file symbol (non-default KFF)
         self._path = None
         self._it = None
         self._buf_k = None
@@ -355,7 +356,17 @@ class KMCFile:
                 cutoff_max=kf.max_count,
                 both_strands=kf.canonical,
                 n_unique_stored=len(self._counts),
+                encoding=kf.encoding,
             )
+            if kf.encoding != 0b00011011:
+                # query strings must be re-encoded into the file's symbol
+                # space before lookup (the reference's enocde_reads_map,
+                # kff_random_access.h:118-140)
+                self._sym_map = np.array(
+                    [(kf.encoding >> 6) & 3, (kf.encoding >> 4) & 3,
+                     (kf.encoding >> 2) & 3, kf.encoding & 3], np.uint8)
+            else:
+                self._sym_map = None
             self._db = None
             self._pos = 0
             self._min_count = self._info.cutoff_min
@@ -564,6 +575,8 @@ class KMCFile:
             codes = CODE_LUT[np.frombuffer(str(kmer).encode(), dtype=np.uint8)]
         if (codes >= 4).any() or len(codes) != self._info.kmer_len:
             return False, 0
+        if self._sym_map is not None:  # non-default KFF encoding
+            codes = self._sym_map[codes]
         if self._info.both_strands:
             codes = _canonicalize_codes(codes)
         if self._file_ra is not None:
@@ -616,6 +629,8 @@ class KMCFile:
             return False, []
         k = self._info.kmer_len
         codes = CODE_LUT[np.frombuffer(read.upper().encode(), dtype=np.uint8)]
+        if self._sym_map is not None:  # non-default KFF encoding
+            codes = np.where(codes < 4, self._sym_map[codes & 3], codes)
         n = len(codes) - k + 1
         if n <= 0:
             return True, []

@@ -5,22 +5,45 @@ Format: one `KMER\\tCOUNT\\n` line per stored k-mer, in ascending k-mer order
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 from .kmc_db import KmcDb, kmers_bytes_to_strings, read_db, sorted_records
 
-# 256-entry LUT: the 4 ACGT chars of one 2-bit-packed byte, packed into a
-# little-endian uint32 so the whole decode is ONE flat gather
-_CHAR_LUT32 = np.zeros(256, np.uint32)
-_acgt = np.frombuffer(b"ACGT", np.uint8)
-_b = np.arange(256, dtype=np.uint32)
-for _j in range(4):
-    _CHAR_LUT32 |= _acgt[(_b >> (2 * (3 - _j))) & 3].astype(np.uint32) << (8 * _j)
-del _acgt, _b, _j
+DEFAULT_ENCODING = 0b00011011  # A->0 C->1 G->2 T->3
+
+
+@lru_cache(maxsize=None)
+def _char_lut32(encoding: int = DEFAULT_ENCODING) -> np.ndarray:
+    """256-entry LUT: the 4 base chars of one 2-bit-packed byte, packed into
+    a little-endian uint32 so the whole decode is ONE flat gather.  The
+    symbol->char map comes from the database's encoding byte (the
+    reference's DumpOpt, dump_writer.h:85-94: bits 7..6 are A's symbol,
+    5..4 C's, 3..2 G's, 1..0 T's)."""
+    syms = ((encoding >> 6) & 3, (encoding >> 4) & 3,
+            (encoding >> 2) & 3, encoding & 3)
+    if sorted(syms) != [0, 1, 2, 3]:
+        raise ValueError(f"encoding {encoding:#010b} is not a permutation "
+                         "of the four 2-bit symbols")
+    codes = bytearray(4)
+    for sym, ch in zip(syms, b"ACGT"):
+        codes[sym] = ch
+    lut = np.zeros(256, np.uint32)
+    chars = np.frombuffer(bytes(codes), np.uint8)
+    b = np.arange(256, dtype=np.uint32)
+    for j in range(4):
+        lut |= chars[(b >> (2 * (3 - j))) & 3].astype(np.uint32) << (8 * j)
+    lut.setflags(write=False)
+    return lut
+
+
+_CHAR_LUT32 = _char_lut32()
 
 
 def dump_records_bytes(kmers: np.ndarray, counts: np.ndarray, k: int,
-                       chunk_rows: int = 1 << 20):
+                       chunk_rows: int = 1 << 20,
+                       encoding: int = DEFAULT_ENCODING):
     """Yield the dump text as ASCII byte chunks — vectorized line assembly
     (the reference's dump hot loop, dump_writer.h:120-160, is a tight byte
     writer; a per-row Python f-string join is far slower at millions of
@@ -32,13 +55,14 @@ def dump_records_bytes(kmers: np.ndarray, counts: np.ndarray, k: int,
     n = len(counts)
     kb = kmers.shape[1]
     pad = kb * 4 - k
+    lut = _char_lut32(encoding)
     for i in range(0, n, chunk_rows):
         c = counts[i : i + chunk_rows].astype(np.uint64)
         m = len(c)
         maxd = len(str(int(c.max())))
         width = k + 2 + maxd
         buf = np.empty((m, width), np.uint8)
-        chars32 = np.take(_CHAR_LUT32, kmers[i : i + chunk_rows])
+        chars32 = np.take(lut, kmers[i : i + chunk_rows])
         buf[:, :k] = chars32.view(np.uint8).reshape(m, kb * 4)[:, pad:]
         buf[:, k] = 0x09
         buf[:, width - 1] = 0x0A
@@ -53,7 +77,8 @@ def dump_records_bytes(kmers: np.ndarray, counts: np.ndarray, k: int,
 
 
 def dump_records(kmers: np.ndarray, counts: np.ndarray, k: int,
-                 chunk_rows: int = 1 << 20) -> str:
+                 chunk_rows: int = 1 << 20,
+                 encoding: int = DEFAULT_ENCODING) -> str:
     counts = np.asarray(counts)
     if len(counts) == 0:
         return ""
@@ -61,7 +86,7 @@ def dump_records(kmers: np.ndarray, counts: np.ndarray, k: int,
         strs = kmers_bytes_to_strings(kmers, k)
         return "".join(f"{s}\t{c}\n" for s, c in zip(strs, counts))
     return b"".join(
-        dump_records_bytes(kmers, counts, k, chunk_rows)
+        dump_records_bytes(kmers, counts, k, chunk_rows, encoding)
     ).decode("ascii")
 
 

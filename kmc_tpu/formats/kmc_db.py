@@ -40,6 +40,10 @@ class DbInfo:
     cutoff_max: int = 1_000_000_000
     n_unique_stored: int = 0  # k-mers within [cutoff_min, cutoff_max]
     both_strands: bool = True
+    # 2-bit symbol for each of A,C,G,T (bits 7..6 = A, ... 1..0 = T); KMC
+    # databases are always A->0 C->1 G->2 T->3, KFF files may differ
+    # (kmer_file_header.h:66-74)
+    encoding: int = 0b00011011
     version: int = KMC2_VER
     n_bins: int = 0
     # full stats (not all stored in the file header)

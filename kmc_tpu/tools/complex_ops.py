@@ -231,10 +231,22 @@ def _parse_complex_file(path: str):
 
 def run_complex_file(path: str):
     inputs, out_path, expr, out_params_tokens = _parse_complex_file(path)
-    p, _ = _parse_out_params(out_params_tokens)
+    p, rest = _parse_out_params(out_params_tokens)
+    # OUTPUT_PARAMS may carry -o<kmc|kff> (parser.cpp:222-227); the
+    # reference's KFF writer appends ".kff" itself (kff_db_writer.h:79)
+    for tok in rest:
+        if tok.startswith("-o"):
+            t = tok[2:]
+            if t == "kff":
+                if not str(out_path).endswith(".kff"):
+                    out_path = str(out_path) + ".kff"
+            elif t != "kmc":
+                raise ValueError(f"unknown output type {tok}")
 
+    encoding = db_ops._check_encodings([db for db, _ in inputs.values()])
     total = sum(db_ops._stored_count(db) for db, _ in inputs.values())
     if (total > db_ops._stream_threshold()
+            and encoding == db_ops.DEFAULT_ENCODING
             and not str(out_path).endswith(".kff")):
         try:
             return _run_complex_streaming(inputs, out_path, expr, p)
@@ -254,7 +266,8 @@ def run_complex_file(path: str):
     db_ops.write_sorted_db(
         out_path, some_info.kmer_len, kmers, counts, p,
         some_info.both_strands,
-        input_ns=[i.n_unique_stored for i in input_infos])
+        input_ns=[i.n_unique_stored for i in input_infos],
+        encoding=encoding)
     return out_path
 
 

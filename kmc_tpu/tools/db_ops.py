@@ -36,6 +36,7 @@ def load_sorted(path_prefix: str):
             cutoff_max=kf.max_count,
             both_strands=kf.canonical,
             n_unique_stored=len(kf.kmers),
+            encoding=kf.encoding,
         )
         return info, kf.kmers[order], kf.counts[order]
     db = read_db(path_prefix)
@@ -199,6 +200,29 @@ def _stream_threshold() -> int:
     return int(v) if v is not None else STREAM_THRESHOLD
 
 
+DEFAULT_ENCODING = 0b00011011
+
+
+def _input_encoding(path: str) -> int:
+    """Encoding byte of an input database from its header alone (KMC
+    databases are always the default; KFF files carry theirs,
+    kmer_file_header.h:66-74)."""
+    if str(path).endswith(".kff"):
+        from ..formats.kff import read_kff_meta
+
+        return read_kff_meta(str(path)).encoding
+    return DEFAULT_ENCODING
+
+
+def _check_encodings(paths) -> int:
+    """The reference rejects input sets with differing k-mer encodings
+    (parameters_parser.cpp:778-784).  Returns the common encoding."""
+    encs = [_input_encoding(p) for p in paths]
+    if len(set(encs)) > 1:
+        raise ValueError("different k-mers encodings across input databases")
+    return encs[0]
+
+
 def _header_params(path: str):
     """(min_count, max_count, counter_size) from the database header —
     the reference defaults unset input -ci/-cx from these and sizes the
@@ -279,8 +303,9 @@ def run_simple_op(op: str, db1: str, db2: str, out: str, mode: str | None = None
     the reference's input-derived defaulting (default_output_params)."""
     eff1 = effective_input_cut(db1, in1_cut)
     eff2 = effective_input_cut(db2, in2_cut)
+    encoding = _check_encodings([db1, db2])
     out_params = _resolve_out_params(out_params, [db1, db2], [eff1, eff2])
-    if (not str(out).endswith(".kff")
+    if (not str(out).endswith(".kff") and encoding == DEFAULT_ENCODING
             and _stored_count(db1) + _stored_count(db2) > _stream_threshold()):
         from ..formats.streaming import stream_simple_op
 
@@ -306,7 +331,8 @@ def run_simple_op(op: str, db1: str, db2: str, out: str, mode: str | None = None
     kmers, counts = out_params.apply(kmers, counts)
     write_sorted_db(out, info1.kmer_len, kmers, counts, out_params,
                     both_strands=info1.both_strands,
-                    input_ns=[info1.n_unique_stored, info2.n_unique_stored])
+                    input_ns=[info1.n_unique_stored, info2.n_unique_stored],
+                    encoding=encoding)
     return len(kmers)
 
 
@@ -324,6 +350,7 @@ def run_simple_ops(db1: str, db2: str, ops, in1_cut=None, in2_cut=None):
         return
     eff1 = effective_input_cut(db1, in1_cut)
     eff2 = effective_input_cut(db2, in2_cut)
+    encoding = _check_encodings([db1, db2])
     info1, k1, c1 = load_sorted(db1)
     info2, k2, c2 = load_sorted(db2)
     if info1.kmer_len != info2.kmer_len:
@@ -340,7 +367,8 @@ def run_simple_ops(db1: str, db2: str, ops, in1_cut=None, in2_cut=None):
         write_sorted_db(out, info1.kmer_len, kmers, counts, out_params,
                         both_strands=info1.both_strands,
                         input_ns=[info1.n_unique_stored,
-                                  info2.n_unique_stored])
+                                  info2.n_unique_stored],
+                        encoding=encoding)
 
 
 def tools_lut_prefix_len(k: int, input_ns) -> int:
@@ -366,15 +394,28 @@ def tools_lut_prefix_len(k: int, input_ns) -> int:
 
 def write_sorted_db(path_prefix: str, k: int, kmers, counts,
                     out_params: OutputParams, both_strands: bool = True,
-                    input_ns=None):
+                    input_ns=None, encoding: int = DEFAULT_ENCODING):
     """Write globally sorted records as a KMC1 database (what kmc_tools
     produces for transform/simple outputs, kmc1_db_writer.h:55), or as a KFF
     file when the output path ends in .kff (reference -o kff option).
 
     input_ns: record counts of the INPUT databases — the reference sizes
     the output LUT from those headers (it streams, so the output count is
-    unknown upfront); omitted -> sized from the actual output."""
+    unknown upfront); omitted -> sized from the actual output.
+
+    encoding: the inputs' common symbol encoding.  The KMC format only
+    supports the default A->0 C->1 G->2 T->3; for any other encoding the
+    KFF format is enforced for the output, with a warning — exactly the
+    reference's behavior (parameters_parser.cpp:796-838)."""
     counter_size = calc_counter_size(out_params.cutoff_max, out_params.counter_max)
+    if encoding != DEFAULT_ENCODING and not str(path_prefix).endswith(".kff"):
+        import sys
+
+        print("Warning: only A -> 0, C -> 1, G -> 2, T -> 3 encoding is "
+              "supported by KMC format. Because different encoding was used "
+              "for input database(s) KKF file format is enforced for each "
+              "output", file=sys.stderr)
+        path_prefix = str(path_prefix) + ".kff"
     if str(path_prefix).endswith(".kff"):
         from ..formats.kff import KffWriter
 
@@ -385,6 +426,7 @@ def write_sorted_db(path_prefix: str, k: int, kmers, counts,
             counter_size=counter_size,
             min_count=out_params.cutoff_min,
             max_count=out_params.cutoff_max,
+            encoding=encoding,
         )
         w.store_section(np.asarray(kmers), np.asarray(counts, np.uint32))
         w.close()
@@ -432,7 +474,7 @@ def transform_sort(db: str, out: str,
     kmers, counts = _apply_input_cut(kmers, counts, eff)
     kmers, counts = p.apply(kmers, counts)
     write_sorted_db(out, info.kmer_len, kmers, counts, p, info.both_strands,
-                    input_ns=[info.n_unique_stored])
+                    input_ns=[info.n_unique_stored], encoding=info.encoding)
 
 
 def transform_reduce(db: str, out: str, out_params: OutputParams | dict,
@@ -452,7 +494,7 @@ def transform_compact(db: str, out: str, in_cut=None):
     kmers, counts = _apply_input_cut(kmers, counts, eff)
     counts = np.ones(len(kmers), np.uint32)
     write_sorted_db(out, info.kmer_len, kmers, counts, p, info.both_strands,
-                    input_ns=[info.n_unique_stored])
+                    input_ns=[info.n_unique_stored], encoding=info.encoding)
 
 
 def transform_set_counts(db: str, out: str, value: int, in_cut=None):
@@ -467,7 +509,7 @@ def transform_set_counts(db: str, out: str, value: int, in_cut=None):
     kmers, counts = _apply_input_cut(kmers, counts, eff)
     counts = np.full(len(kmers), value, np.uint32)
     write_sorted_db(out, info.kmer_len, kmers, counts, p, info.both_strands,
-                    input_ns=[info.n_unique_stored])
+                    input_ns=[info.n_unique_stored], encoding=info.encoding)
 
 
 def transform_histogram(db: str, out_path: str, cutoff_min: int | None = None,
@@ -509,14 +551,18 @@ def transform_dump(db: str, out_path: str, sorted_output: bool = True,
                     in_cut=effective_input_cut(db, in_cut)
                     if explicit_cut else (None, None))
         return
-    if explicit_cut:
+    if explicit_cut or str(db).endswith(".kff"):
+        # KFF inputs go through load_sorted (db_reader_factory analogue);
+        # dump_db_file only understands .kmc_pre/.kmc_suf layouts
         from ..formats.dump import dump_records
 
         info, kmers, counts = load_sorted(db)
-        kmers, counts = _apply_input_cut(
-            kmers, counts, effective_input_cut(db, in_cut))
+        if explicit_cut:
+            kmers, counts = _apply_input_cut(
+                kmers, counts, effective_input_cut(db, in_cut))
         with open(out_path, "w") as f:
-            f.write(dump_records(kmers, counts, info.kmer_len))
+            f.write(dump_records(kmers, counts, info.kmer_len,
+                                 encoding=info.encoding))
         return
     from ..formats.dump import dump_db_file
 
@@ -525,6 +571,7 @@ def transform_dump(db: str, out_path: str, sorted_output: bool = True,
 
 def db_compare(db1: str, db2: str) -> bool:
     """kmc_tools compare: record-level equality (operations.h:258)."""
+    _check_encodings([db1, db2])
     if _stored_count(db1) + _stored_count(db2) > _stream_threshold():
         from ..formats.streaming import stream_compare
 

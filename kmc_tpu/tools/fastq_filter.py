@@ -41,6 +41,10 @@ def filter_fastq(
     hard_mask: bool = False,
     min_fraction: float | None = None,  # deprecated aliases
     max_fraction: float | None = None,
+    db_cutoff_min: int | None = None,
+    db_cutoff_max: int | None = None,
+    in_format: str | None = None,
+    out_format: str | None = None,
 ):
     # deprecated aliases kept the old rule: values <= 1.0 are fractions,
     # larger values are absolute counts
@@ -51,11 +55,18 @@ def filter_fastq(
     db = KMCFile()
     if not db.OpenForRA(db_path):
         raise FileNotFoundError(f"cannot open database {db_path}")
+    # DB-side cutoffs: k-mers whose counter falls outside [min, max] read
+    # as absent (SetMinCount/SetMaxCount applied by kmc_tools.cpp:307-308)
+    if db_cutoff_min is not None:
+        db.SetMinCount(db_cutoff_min)
+    if db_cutoff_max is not None:
+        db.SetMaxCount(db_cutoff_max)
     k = db.KmerLength()
     # trim/hard-mask use min_kmers as an absolute per-k-mer counter bar
     thr = int(min_kmers) if not isinstance(min_kmers, float) else max(int(min_kmers), 1)
 
-    is_fasta = None
+    is_fasta = None if in_format is None else (in_format == "a")
+    out_fasta = None if out_format is None else (out_format == "a")
     n_kept = 0
     n_total = 0
     BATCH = 256  # reads per lookup: one vectorized DB pass per batch
@@ -122,8 +133,16 @@ def filter_fastq(
                     if not (lo <= n_present <= hi):
                         continue
                 n_kept += 1
-                if is_fasta:
-                    fout.write(f"{header.rstrip()}\n{seq}\n")
+                write_fasta = is_fasta if out_fasta is None else out_fasta
+                if write_fasta:
+                    hdr = header.rstrip()
+                    if not is_fasta:  # FASTQ record -> FASTA output (-fa)
+                        hdr = ">" + hdr.lstrip("@")
+                    fout.write(f"{hdr}\n{seq}\n")
                 else:
+                    if is_fasta:
+                        raise ValueError(
+                            "FASTA input has no qualities; cannot write "
+                            "FASTQ output")
                     fout.write(f"{header.rstrip()}\n{seq}\n+\n{qual}\n")
     return n_kept, n_total

@@ -12,12 +12,18 @@ from .tools import db_ops
 from .tools.db_ops import OutputParams
 
 USAGE = """kmc_tools (kmc_tpu) — database algebra on KMC databases
-Usage: kmc_tools <operation> [operation parameters]
+Usage: kmc_tools [global_params] <operation> [operation parameters]
+Global params (parameters_parser.cpp:58-92):
+  -t<value> - total number of threads
+  -v        - verbose mode
+  -hp       - hide percentage progress
 Operations:
-  transform <db> [-ci<v>] [-cx<v>] <oper [oper_params] output> [...]
+  transform <db> [-ci<v>] [-cx<v>] <oper [oper_params] output [out_params]> [...]
       opers: sort, reduce, compact, histogram, dump [-s], set_counts <value>
+      out_params: -ci<v> -cx<v> -cs<v>; -o<kmc|kff> for sort/reduce/
+      compact/set_counts (kff appends .kff to the output path)
   simple <db1 [-ci<v>] [-cx<v>]> <db2 [-ci<v>] [-cx<v>]>
-         <oper [-oc<mode>] output [-ci<v>] [-cx<v>] [-cs<v>]> [...]
+         <oper output [-ci<v>] [-cx<v>] [-cs<v>] [-o<kmc|kff>] [-oc<mode>]> [...]
       opers: intersect, union, kmers_subtract, counters_subtract,
              reverse_kmers_subtract, reverse_counters_subtract
       -oc<min|max|sum|diff|left|right> - counter calculation mode
@@ -25,8 +31,14 @@ Operations:
   compare <db1> <db2>
   info <db>
   check <db> <kmer>
-  filter [-t] <kmc_db> <input_fastq> [-ci<v>] [-cx<v>] <output_fastq>
+  filter [-t|-hm] <kmc_db [-ci<v>] [-cx<v>]> <input_fastq [-ci<v>] [-cx<v>]
+         [-f<a|q>]> <output_fastq [-f<a|q>]>
 """
+
+# Parsed -t/-v/-hp global params of the last main() call (the reference
+# keeps them in CConfig; thread count cannot change results, verbose adds
+# no extra output here).
+GLOBAL_PARAMS = {"threads": None, "verbose": False, "hide_progress": False}
 
 
 def _parse_input_cut(args, i):
@@ -59,6 +71,24 @@ def _parse_out_overrides(args):
     return ov
 
 
+def _pop_output_type(opts, out):
+    """Apply a -o<kmc|kff> output-type token to the output path (the
+    reference appends ".kff" itself for KFF outputs, kff_db_writer.h:79;
+    parameters_parser.cpp:402-429, 562-574).  Returns (remaining_opts,
+    out_path) or raises ValueError on an unknown type."""
+    rest = []
+    for a in opts:
+        if a.startswith("-o") and not a.startswith("-oc"):
+            t = a[2:]
+            if t == "kff":
+                out = str(out) + ".kff"
+            elif t != "kmc":
+                raise ValueError(f"unknown output type {a}")
+        else:
+            rest.append(a)
+    return rest, out
+
+
 def _parse_output_params(args, defaults=None):
     p = defaults or OutputParams()
     rest = []
@@ -83,28 +113,30 @@ def cmd_transform(args) -> int:
     while i < len(args):
         op = args[i]
         i += 1
-        if op == "sort":
+        if op in ("sort", "reduce", "compact", "set_counts"):
+            if op == "set_counts":
+                value = int(args[i])
+                i += 1
             out = args[i]
             i += 1
             opts = []
             while i < len(args) and args[i].startswith("-"):
                 opts.append(args[i])
                 i += 1
-            db_ops.transform_sort(db, out, _parse_out_overrides(opts),
-                                  in_cut=in_cut)
-        elif op == "reduce":
-            # reduce <output> [-ci -cx -cs]
-            out = args[i]
-            i += 1
-            opts = []
-            while i < len(args) and args[i].startswith("-"):
-                opts.append(args[i])
-                i += 1
-            db_ops.transform_reduce(db, out, _parse_out_overrides(opts),
-                                    in_cut=in_cut)
-        elif op == "compact":
-            db_ops.transform_compact(db, args[i], in_cut=in_cut)
-            i += 1
+            try:
+                opts, out = _pop_output_type(opts, out)
+            except ValueError as e:
+                print(f"Error: {e}", file=sys.stderr)
+                return 1
+            ov = _parse_out_overrides(opts)
+            if op == "sort":
+                db_ops.transform_sort(db, out, ov, in_cut=in_cut)
+            elif op == "reduce":
+                db_ops.transform_reduce(db, out, ov, in_cut=in_cut)
+            elif op == "compact":
+                db_ops.transform_compact(db, out, in_cut=in_cut)
+            else:
+                db_ops.transform_set_counts(db, out, value, in_cut=in_cut)
         elif op == "histogram":
             out = args[i]
             i += 1
@@ -114,6 +146,13 @@ def cmd_transform(args) -> int:
                     lo = int(args[i][3:])
                 elif args[i].startswith("-cx"):
                     hi = int(args[i][3:])
+                elif args[i].startswith("-o"):
+                    # -o allowed only for compact/reduce/set_counts/sort
+                    # (parameters_parser.cpp:424-428)
+                    print("Error: -o parameter allowed only for compact, "
+                          "reduce, set_counts and sort operations",
+                          file=sys.stderr)
+                    return 1
                 i += 1
             db_ops.transform_histogram(db, out, lo, hi, in_cut=in_cut)
         elif op == "dump":
@@ -123,11 +162,6 @@ def cmd_transform(args) -> int:
                 i += 1
             db_ops.transform_dump(db, args[i], sorted_out, in_cut=in_cut)
             i += 1
-        elif op == "set_counts":
-            value = int(args[i])
-            out = args[i + 1]
-            db_ops.transform_set_counts(db, out, value, in_cut=in_cut)
-            i += 2
         else:
             print(f"Error: unknown transform operation {op}", file=sys.stderr)
             return 1
@@ -157,8 +191,19 @@ def cmd_simple(args) -> int:
         i += 1
         opts = []
         while i < len(args) and args[i].startswith("-"):
-            opts.append(args[i])
+            # reference syntax places -oc<mode> among the output params
+            # (read_output_desc_for_simple); the pre-output position above
+            # is kept for backward compatibility
+            if args[i].startswith("-oc"):
+                mode = args[i][3:]
+            else:
+                opts.append(args[i])
             i += 1
+        try:
+            opts, out = _pop_output_type(opts, out)
+        except ValueError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
         ops.append((op, mode, out, _parse_out_overrides(opts)))
     # every output computed from ONE load + merge of the inputs
     db_ops.run_simple_ops(db1, db2, ops, in1_cut=in1_cut, in2_cut=in2_cut)
@@ -198,21 +243,41 @@ def cmd_check(args) -> int:
 
 
 def cmd_filter(args) -> int:
+    """Positional grammar (CFilterUsageDisplayer, parameters_parser.cpp:
+    652-655): filter [filter_params] <db [-ci -cx]> <input [-ci -cx -f?]>
+    <output [-f?]>.  DB-side -ci/-cx restrict which database k-mers count
+    as present (SetMinCount/SetMaxCount, kmc_tools.cpp:307-308)."""
     from .tools.fastq_filter import filter_fastq
 
     trim = False
     hard_mask = False
-    if args and args[0] == "-t":
-        trim = True
-        args = args[1:]
-    if args and args[0] == "-hm":
-        hard_mask = True
-        args = args[1:]
-    if len(args) < 3:
+    i = 0
+    while i < len(args) and args[i].startswith("-"):
+        if args[i] == "-t":
+            trim = True
+        elif args[i] == "-hm":
+            hard_mask = True
+        else:
+            print(f"Warning: Unknown parameter for filter operation: "
+                  f"{args[i]}", file=sys.stderr)
+        i += 1
+    if len(args) - i < 3:
         print(USAGE)
         return 1
-    db = args[0]
-    inp = args[1]
+    db = args[i]
+    i += 1
+    db_ci = db_cx = None
+    while i < len(args) and args[i].startswith("-"):
+        if args[i].startswith("-ci"):
+            db_ci = int(args[i][3:])
+        elif args[i].startswith("-cx"):
+            db_cx = int(args[i][3:])
+        i += 1
+    if i >= len(args):
+        print(USAGE)
+        return 1
+    inp = args[i]
+    i += 1
     # reference read-side defaults: -ci2 -cx1e9 (absolute counts); a value
     # written WITH a decimal point is a fraction of the read's k-mer count
     # (fastq_filter help: "integer or floating number in range [0.0;1.0]")
@@ -224,20 +289,29 @@ def cmd_filter(args) -> int:
         # and scientific-notation integers (2, 1e9) are absolute counts
         return float(s) if "." in s else int(float(s))
 
-    rest = []
-    for a in args[2:]:
+    in_fmt = None
+    while i < len(args) and args[i].startswith("-"):
+        a = args[i]
         if a.startswith("-ci"):
             fci = _num(a[3:])
         elif a.startswith("-cx"):
             fcx = _num(a[3:])
-        else:
-            rest.append(a)
-    if len(rest) != 1:
+        elif a in ("-fa", "-fq"):
+            in_fmt = a[2:]
+        i += 1
+    if i >= len(args):
         print(USAGE)
         return 1
-    out = rest[0]
+    out = args[i]
+    i += 1
+    out_fmt = None
+    while i < len(args) and args[i].startswith("-"):
+        if args[i] in ("-fa", "-fq"):
+            out_fmt = args[i][2:]
+        i += 1
     filter_fastq(db, inp, out, min_kmers=fci, max_kmers=fcx, trim=trim,
-                 hard_mask=hard_mask)
+                 hard_mask=hard_mask, db_cutoff_min=db_ci,
+                 db_cutoff_max=db_cx, in_format=in_fmt, out_format=out_fmt)
     return 0
 
 
@@ -267,12 +341,34 @@ def main(argv=None) -> int:
     if not argv or argv[0] in ("--help", "-h"):
         print(USAGE)
         return 0
-    cmd = argv[0]
+    # global params before the operation name (parse_global_params,
+    # parameters_parser.cpp:58-92)
+    GLOBAL_PARAMS.update(threads=None, verbose=False, hide_progress=False)
+    i = 0
+    while i < len(argv) and argv[i].startswith("-"):
+        a = argv[i]
+        if a.startswith("-t"):
+            if len(a) < 3:
+                print("Error: -t require value", file=sys.stderr)
+                return 1
+            GLOBAL_PARAMS["threads"] = int(a[2:])
+        elif a.startswith("-v"):
+            GLOBAL_PARAMS["verbose"] = True
+        elif a.startswith("-hp"):
+            GLOBAL_PARAMS["hide_progress"] = True
+        else:
+            print(f"Error: unknown global option {a}", file=sys.stderr)
+            return 1
+        i += 1
+    if i >= len(argv):
+        print(USAGE)
+        return 1
+    cmd = argv[i]
     if cmd not in COMMANDS:
         print(f"Error: unknown operation {cmd}", file=sys.stderr)
         print(USAGE)
         return 1
-    return COMMANDS[cmd](argv[1:])
+    return COMMANDS[cmd](argv[i + 1:])
 
 
 if __name__ == "__main__":

@@ -158,6 +158,112 @@ def test_complex_expression(two_dbs, tmp_path):
     assert _dump_dict(str(out)) == expect
 
 
+_ENC_TRANS = str.maketrans("ACGT", "TGCA")
+
+
+def _sym_key(s):
+    """Lexicographic key of a k-mer string under encoding 0b11100100
+    (A->3 C->2 G->1 T->0): map each char to one whose ASCII order equals
+    its symbol value."""
+    return s.translate(_ENC_TRANS)
+
+
+def _revcomp(s):
+    return s.translate(_ENC_TRANS)[::-1]
+
+
+def write_encoded_kff(db1, kff, enc=0b11100100):
+    """Build a KFF file in `enc`'s symbol space holding db1's k-mers,
+    records canonicalized IN SYMBOL SPACE (queries canonicalize there too,
+    matching the reference's translate-then-standard-lookup flow,
+    kff_random_access.h:118-151).  Returns {stored repr: count}."""
+    from kmc_tpu.formats.kff import KffWriter
+    from kmc_tpu.formats.dump import dump_db_file
+
+    perm = {"A": (enc >> 6) & 3, "C": (enc >> 4) & 3,
+            "G": (enc >> 2) & 3, "T": enc & 3}
+    recs = {}
+    for ln in dump_db_file(db1).splitlines():
+        km, c = ln.split("\t")
+        recs[min(km, _revcomp(km), key=_sym_key)] = int(c)
+    k = len(next(iter(recs)))
+    kb = (k + 3) // 4
+    reprs = sorted(recs, key=_sym_key)
+    rows = np.zeros((len(reprs), kb), np.uint8)
+    for i, s in enumerate(reprs):
+        syms = [perm[ch] for ch in s]
+        syms = [0] * (kb * 4 - k) + syms
+        for j, v in enumerate(syms):
+            rows[i, j // 4] |= v << (2 * (3 - (j % 4)))
+    counts = np.array([recs[s] for s in reprs], np.uint32)
+    w = KffWriter(kff, canonical=True, k=k, counter_size=1,
+                  min_count=1, max_count=255, encoding=enc)
+    w.store_section(rows, counts)
+    w.close()
+    return recs
+
+
+def test_kff_nondefault_encoding(two_dbs, tmp_path):
+    """KFF files may use any A/C/G/T <-> 2-bit permutation; the tools must
+    dump them through the encoding byte (dump_writer.h:85-94), answer
+    queries by re-encoding them (kff_random_access.h:118-140), reject
+    mixed-encoding input sets (parameters_parser.cpp:778-784) and force
+    KFF output for non-default encodings (parameters_parser.cpp:796-838)."""
+    db1, _, c1, _ = two_dbs
+    kff = str(tmp_path / "enc.kff")
+    recs = write_encoded_kff(db1, kff)
+    # dump decodes through the encoding byte, in raw-symbol order
+    d = str(tmp_path / "enc.txt")
+    assert tools_cli.main(["transform", kff, "dump", d]) == 0
+    lines = open(d).read().splitlines()
+    got = {ln.split("\t")[0]: int(ln.split("\t")[1]) for ln in lines}
+    assert got == recs
+    assert [ln.split("\t")[0] for ln in lines] == sorted(recs, key=_sym_key)
+    # random access re-encodes the query: the ORIGINAL k-mer string hits
+    km = next(iter(c1))
+    assert tools_cli.main(["check", kff, km]) == 0
+    # mixed encodings are rejected
+    with pytest.raises(ValueError, match="different k-mers encodings"):
+        db_ops.run_simple_op("union", kff, db1, str(tmp_path / "mix"))
+    # KMC output is impossible: KFF format is enforced (with a warning)
+    out = str(tmp_path / "u_enc")
+    db_ops.run_simple_op("union", kff, kff, out)
+    assert not (tmp_path / "u_enc.kmc_pre").exists()
+    d2 = str(tmp_path / "u_enc.txt")
+    assert tools_cli.main(["transform", out + ".kff", "dump", d2]) == 0
+    got2 = {ln.split("\t")[0]: int(ln.split("\t")[1])
+            for ln in open(d2).read().splitlines()}
+    assert got2 == {km: min(2 * c, 255) for km, c in recs.items()}
+
+
+def test_complex_okff_output(two_dbs, tmp_path):
+    """OUTPUT_PARAMS may carry -o<kmc|kff> (parser.cpp:222-227); kff
+    appends .kff like the reference's KFF writer (kff_db_writer.h:79)."""
+    db1, db2, c1, c2 = two_dbs
+    ops_file = tmp_path / "ops.txt"
+    out = tmp_path / "cx_kff"
+    ops_file.write_text(
+        f"INPUT:\na = {db1}\nb = {db2}\nOUTPUT:\n{out} = a + b\n"
+        "OUTPUT_PARAMS:\n-ci1 -okff\n")
+    from kmc_tpu.tools.complex_ops import run_complex_file
+
+    run_complex_file(str(ops_file))
+    assert (tmp_path / "cx_kff.kff").exists()
+    expect = {km: c1.get(km, 0) + c2.get(km, 0)
+              for km in set(c1) | set(c2)}
+    d = str(tmp_path / "cx_kff.txt")
+    assert tools_cli.main(["transform", str(out) + ".kff", "dump", d]) == 0
+    got = {ln.split("\t")[0]: int(ln.split("\t")[1])
+           for ln in open(d).read().splitlines()}
+    assert got == expect
+    # unknown output type is rejected
+    ops_file.write_text(
+        f"INPUT:\na = {db1}\nOUTPUT:\n{tmp_path / 'z'} = a\n"
+        "OUTPUT_PARAMS:\n-obad\n")
+    with pytest.raises(ValueError, match="unknown output type"):
+        run_complex_file(str(ops_file))
+
+
 def test_tools_cli(two_dbs, tmp_path, capsys):
     db1, db2, c1, c2 = two_dbs
     assert tools_cli.main(["info", db1]) == 0
@@ -345,3 +451,88 @@ def test_simple_multi_output_single_pass(two_dbs, tmp_path):
         for suf in (".kmc_pre", ".kmc_suf"):
             with open(m + suf, "rb") as a, open(s + suf, "rb") as b:
                 assert a.read() == b.read(), (m, suf)
+
+
+def test_global_params_and_okff(two_dbs, tmp_path):
+    """Global -t/-v/-hp before the mode (parameters_parser.cpp:58-92) and
+    -o<kmc|kff> output-type params (the reference appends .kff itself,
+    kff_db_writer.h:79)."""
+    db1, db2, _, _ = two_dbs
+    u_kmc = str(tmp_path / "u_kmc")
+    u_kff = str(tmp_path / "u_kff")
+    assert tools_cli.main(["-t4", "-v", "-hp", "simple", db1, db2,
+                           "union", u_kmc, "-okmc",
+                           "union", u_kff, "-okff"]) == 0
+    assert tools_cli.GLOBAL_PARAMS == {
+        "threads": 4, "verbose": True, "hide_progress": True}
+    # the KFF output holds the same records as the KMC output
+    d_kmc = str(tmp_path / "d_kmc.txt")
+    d_kff = str(tmp_path / "d_kff.txt")
+    assert tools_cli.main(["transform", u_kmc, "dump", "-s", d_kmc]) == 0
+    assert tools_cli.main(["transform", u_kff + ".kff", "dump", "-s",
+                           d_kff]) == 0
+    assert open(d_kmc).read() == open(d_kff).read()
+    # transform set_counts -okff round-trips through the KFF reader
+    sc = str(tmp_path / "sc")
+    assert tools_cli.main(["transform", db1, "set_counts", "9", sc,
+                           "-okff"]) == 0
+    d_sc = str(tmp_path / "d_sc.txt")
+    assert tools_cli.main(["transform", sc + ".kff", "dump", "-s",
+                           d_sc]) == 0
+    lines = open(d_sc).read().splitlines()
+    assert lines and all(l.split("\t")[1] == "9" for l in lines)
+    # -o is rejected outside sort/reduce/compact/set_counts and for
+    # unknown types; unknown global options are rejected
+    assert tools_cli.main(["transform", db1, "histogram",
+                           str(tmp_path / "h"), "-okff"]) == 1
+    assert tools_cli.main(["transform", db1, "sort",
+                           str(tmp_path / "x"), "-obad"]) == 1
+    assert tools_cli.main(["-zz", "simple", db1, db2, "union",
+                           str(tmp_path / "y")]) == 1
+    assert tools_cli.main(["-t"]) == 1  # -t requires a value
+
+
+def test_simple_oc_mode_after_output(two_dbs, tmp_path):
+    """-oc<mode> placed among the output params (the reference's only
+    accepted position) must equal the pre-output position."""
+    db1, db2, _, _ = two_dbs
+    a = str(tmp_path / "pre")
+    b = str(tmp_path / "post")
+    assert tools_cli.main(["simple", db1, db2, "intersect", "-ocsum", a]) == 0
+    assert tools_cli.main(["simple", db1, db2, "intersect", b, "-ocsum"]) == 0
+    for suf in (".kmc_pre", ".kmc_suf"):
+        with open(a + suf, "rb") as fa, open(b + suf, "rb") as fb:
+            assert fa.read() == fb.read()
+
+
+def test_filter_db_cutoffs_and_fasta_output(two_dbs, tmp_path):
+    """DB-side -ci/-cx restrict which k-mers count as present
+    (SetMinCount/SetMaxCount, kmc_tools.cpp:307-308); -fa converts FASTQ
+    records to FASTA output."""
+    db1, _, c1, _ = two_dbs
+    # craft reads: one made of db1 k-mers (all counters >= 1), one foreign
+    genome_kmers = [km for km, c in c1.items() if c >= 2]
+    rare_kmers = [km for km, c in c1.items() if c == 1]
+    assert genome_kmers and rare_kmers
+    fq = tmp_path / "q.fq"
+    with open(fq, "w") as f:
+        f.write(f"@common\n{genome_kmers[0]}\n+\n{'I' * 21}\n")
+        f.write(f"@rare\n{rare_kmers[0]}\n+\n{'I' * 21}\n")
+    # db -ci2: the rare read's single k-mer reads as absent -> dropped
+    out = tmp_path / "o.fq"
+    assert tools_cli.main(["filter", db1, "-ci2", str(fq), "-ci1",
+                           str(out)]) == 0
+    text = out.read_text()
+    assert "@common" in text and "@rare" not in text
+    # no db cut: both reads pass
+    out2 = tmp_path / "o2.fq"
+    assert tools_cli.main(["filter", db1, str(fq), "-ci1", str(out2)]) == 0
+    assert "@rare" in out2.read_text()
+    # -fa output: FASTQ records emitted as FASTA
+    fa = tmp_path / "o.fa"
+    assert tools_cli.main(["filter", db1, str(fq), "-ci1", str(fa),
+                           "-fa"]) == 0
+    fa_text = fa.read_text()
+    assert fa_text.startswith(">common\n")
+    assert "+" not in fa_text and "@" not in fa_text  # no quality blocks
+    assert fa_text.count(">") == 2

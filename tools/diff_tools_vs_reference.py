@@ -151,6 +151,52 @@ def main():
         check(tag, ref_dump(kmc_tools, rout, workdir),
               tpu_dump(tout, workdir))
 
+    # -okff output (reference appends .kff, kff_db_writer.h:79) with full
+    # cross-reads: each side's transform dump must read the OTHER side's
+    # KFF file identically
+    run([kmc_tools, "simple", ref1, ref2, "union", workdir / "ref_okff",
+         "-okff"])
+    assert tpu_tools(["simple", tpu1, tpu2, "union", workdir / "tpu_okff",
+                      "-okff"]) == 0
+    ref_kff_dump = ref_dump(kmc_tools, workdir / "ref_okff.kff", workdir)
+    check("simple union -okff", ref_kff_dump,
+          tpu_dump(workdir / "tpu_okff.kff", workdir))
+    check("cross-read: tpu dumps ref .kff", ref_kff_dump,
+          tpu_dump(workdir / "ref_okff.kff", workdir))
+    check("cross-read: ref dumps tpu .kff", ref_kff_dump,
+          ref_dump(kmc_tools, workdir / "tpu_okff.kff", workdir))
+
+    # non-default KFF encoding: the reference dumps our encoded file
+    # through its encoding byte (dump_writer.h:85-94) and forces KFF
+    # output for the union (parameters_parser.cpp:796-838) — both sides'
+    # dumps and each side's read of the other's union must agree
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+    from test_tools import write_encoded_kff
+
+    enc_kff = workdir / "enc.kff"
+    write_encoded_kff(str(ref1), str(enc_kff))
+    check("dump of non-default-encoding kff",
+          ref_dump(kmc_tools, enc_kff, workdir),
+          tpu_dump(enc_kff, workdir))
+    run([kmc_tools, "simple", enc_kff, enc_kff, "union",
+         workdir / "ref_encu"])
+    assert tpu_tools(["simple", enc_kff, enc_kff, "union",
+                      workdir / "tpu_encu"]) == 0
+    ref_encu = ref_dump(kmc_tools, workdir / "ref_encu.kff", workdir)
+    check("union of non-default-encoding kffs (KFF enforced)",
+          ref_encu, tpu_dump(workdir / "tpu_encu.kff", workdir))
+    check("cross-read: ref dumps tpu enc-union .kff",
+          ref_encu, ref_dump(kmc_tools, workdir / "tpu_encu.kff", workdir))
+
+    # transform -okff (sort path) + global params accepted before the mode
+    run([kmc_tools, "-t1", "-hp", "transform", ref1, "sort",
+         workdir / "ref_tokff", "-okff"])
+    assert tpu_tools(["-t1", "-hp", "transform", tpu1, "sort",
+                      workdir / "tpu_tokff", "-okff"]) == 0
+    check("transform sort -okff (+globals)",
+          ref_dump(kmc_tools, workdir / "ref_tokff.kff", workdir),
+          tpu_dump(workdir / "tpu_tokff.kff", workdir))
+
     # transform with input params: the filter applies to every output op
     rout, tout = workdir / "ref_tic", workdir / "tpu_tic"
     rh, th = workdir / "ref_tic.hist", workdir / "tpu_tic.hist"
@@ -210,6 +256,23 @@ def main():
           ref_dump(kmc_tools, workdir / "ref_cplx", workdir),
           tpu_dump(workdir / "tpu_cplx", workdir))
 
+    # complex with -okff in OUTPUT_PARAMS (parser.cpp:222-227)
+    for path, d1, d2, outdb in (
+        (defs_ref, ref1, ref2, workdir / "ref_cplx_kff"),
+        (defs_tpu, tpu1, tpu2, workdir / "tpu_cplx_kff"),
+    ):
+        path.write_text(
+            f"INPUT:\na={d1}\nb={d2}\nOUTPUT:\n{outdb}=a+b\n"
+            "OUTPUT_PARAMS:\n-okff\n")
+    run([kmc_tools, "complex", defs_ref])
+    assert tpu_tools(["complex", defs_tpu]) == 0
+    check("complex a+b -okff",
+          ref_dump(kmc_tools, workdir / "ref_cplx_kff.kff", workdir),
+          tpu_dump(workdir / "tpu_cplx_kff.kff", workdir))
+    check("cross-read: ref dumps tpu complex .kff",
+          ref_dump(kmc_tools, workdir / "ref_cplx_kff.kff", workdir),
+          ref_dump(kmc_tools, workdir / "tpu_cplx_kff.kff", workdir))
+
     # filter: reads by k-mer content, remove/trim/hard-mask modes
     q = workdir / "query.fastq"
     with open(q, "w") as f:
@@ -245,6 +308,19 @@ def main():
             run([kmc_tools, "filter", ref1, q, *opts, rout])
             assert tpu_tools(["filter", tpu1, q, *opts, tout]) == 0
         check(f"filter {tag}", rout.read_text(), tout.read_text())
+
+    # filter with DB-side cutoffs (SetMinCount/SetMaxCount,
+    # kmc_tools.cpp:307-308) and FASTA output conversion (-fa)
+    rout = workdir / "ref_filt_dbci.fq"
+    tout = workdir / "tpu_filt_dbci.fq"
+    run([kmc_tools, "filter", ref1, "-ci3", q, "-ci0.4", rout])
+    assert tpu_tools(["filter", tpu1, "-ci3", q, "-ci0.4", tout]) == 0
+    check("filter db -ci3 / -ci0.4", rout.read_text(), tout.read_text())
+    rout = workdir / "ref_filt_fa.fa"
+    tout = workdir / "tpu_filt_fa.fa"
+    run([kmc_tools, "filter", ref1, q, rout, "-fa"])
+    assert tpu_tools(["filter", tpu1, q, tout, "-fa"]) == 0
+    check("filter -fa output", rout.read_text(), tout.read_text())
 
     # compare: equal and unequal exit semantics on each side's own DBs
     eq_ref = run([kmc_tools, "compare", ref1, ref1]).returncode
