@@ -109,6 +109,16 @@ def cmd_transform(args) -> int:
         print(USAGE)
         return 1
     db = args[0]
+    # sort of an already-sorted (KMC1) database is omitted with a warning
+    # and produces NO output (kmc_tools.cpp:421-432)
+    input_is_kmc1 = False
+    if not str(db).endswith(".kff"):
+        from .formats.kmc_db import KMC2_VER, read_pre_meta
+
+        try:
+            input_is_kmc1 = read_pre_meta(db)[0].version != KMC2_VER
+        except (OSError, ValueError):
+            pass  # open errors surface from the op itself
     in_cut, i = _parse_input_cut(args, 1)
     while i < len(args):
         op = args[i]
@@ -129,7 +139,10 @@ def cmd_transform(args) -> int:
                 print(f"Error: {e}", file=sys.stderr)
                 return 1
             ov = _parse_out_overrides(opts)
-            if op == "sort":
+            if op == "sort" and input_is_kmc1:
+                print("Warning: input database is already sorted. Each "
+                      "sort operation will be omitted", file=sys.stderr)
+            elif op == "sort":
                 db_ops.transform_sort(db, out, ov, in_cut=in_cut)
             elif op == "reduce":
                 db_ops.transform_reduce(db, out, ov, in_cut=in_cut)
@@ -238,8 +251,10 @@ def cmd_check(args) -> int:
         print("Error: cannot open database", file=sys.stderr)
         return 1
     found, count = f.CheckKmer(args[1])
+    # the reference prints the counter (0 when absent) and exits 0 either
+    # way (check_kmer.h:241-242; Process() results are ignored by main)
     print(count if found else 0)
-    return 0 if found else 1
+    return 0
 
 
 def cmd_filter(args) -> int:

@@ -492,6 +492,27 @@ def test_global_params_and_okff(two_dbs, tmp_path):
     assert tools_cli.main(["-t"]) == 1  # -t requires a value
 
 
+def test_transform_sort_on_kmc1_omitted(two_dbs, tmp_path, capsys):
+    """sort of an already-sorted KMC1 database is omitted with a warning
+    and produces no output (kmc_tools.cpp:421-432); other ops in the same
+    invocation still run."""
+    db1, db2, c1, c2 = two_dbs
+    u = str(tmp_path / "u")  # simple outputs are KMC1 databases
+    assert tools_cli.main(["simple", db1, db2, "union", u]) == 0
+    s = str(tmp_path / "s")
+    h = str(tmp_path / "h")
+    assert tools_cli.main(["transform", u, "sort", s,
+                           "histogram", h]) == 0
+    err = capsys.readouterr().err
+    assert "already sorted" in err
+    assert not (tmp_path / "s.kmc_pre").exists()
+    assert (tmp_path / "h").exists()  # histogram still ran
+    # KMC2 inputs still sort
+    s2 = str(tmp_path / "s2")
+    assert tools_cli.main(["transform", db1, "sort", s2]) == 0
+    assert (tmp_path / "s2.kmc_pre").exists()
+
+
 def test_simple_oc_mode_after_output(two_dbs, tmp_path):
     """-oc<mode> placed among the output params (the reference's only
     accepted position) must equal the pre-output position."""

@@ -309,6 +309,21 @@ def main():
             assert tpu_tools(["filter", tpu1, q, *opts, tout]) == 0
         check(f"filter {tag}", rout.read_text(), tout.read_text())
 
+    # transform sort on a KMC1 (already sorted) input: both sides warn,
+    # omit the sort, produce no output and exit 0 (kmc_tools.cpp:421-432)
+    ru = workdir / "ref_u_for_sort"
+    tu = workdir / "tpu_u_for_sort"
+    run([kmc_tools, "simple", ref1, ref2, "union", ru])
+    assert tpu_tools(["simple", tpu1, tpu2, "union", tu]) == 0
+    r = subprocess.run([str(kmc_tools), "transform", str(ru), "sort",
+                        str(workdir / "ref_resort")], capture_output=True)
+    assert tpu_tools(["transform", tu, "sort", workdir / "tpu_resort"]) == 0
+    ok = (r.returncode == 0
+          and not (workdir / "ref_resort.kmc_pre").exists()
+          and not (workdir / "tpu_resort.kmc_pre").exists())
+    check("transform sort on KMC1 omitted", "omitted",
+          "omitted" if ok else "produced output")
+
     # filter with DB-side cutoffs (SetMinCount/SetMaxCount,
     # kmc_tools.cpp:307-308) and FASTA output conversion (-fa)
     rout = workdir / "ref_filt_dbci.fq"
@@ -321,6 +336,31 @@ def main():
     run([kmc_tools, "filter", ref1, q, rout, "-fa"])
     assert tpu_tools(["filter", tpu1, q, tout, "-fa"]) == 0
     check("filter -fa output", rout.read_text(), tout.read_text())
+
+    # check: prints the counter (0 when absent) and exits 0 either way
+    # (check_kmer.h:241-242)
+    km_line = ref_dump(kmc_tools, ref1, workdir).splitlines()[0]
+    km, km_count = km_line.split("\t")
+    absent = "A" * len(km)
+    r_present = run([kmc_tools, "check", ref1, km])
+    r_absent = subprocess.run(
+        [str(kmc_tools), "check", str(ref1), absent], capture_output=True)
+    import io
+    from contextlib import redirect_stdout
+
+    def tpu_check(db, q):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = tpu_tools(["check", db, q])
+        return rc, buf.getvalue().strip()
+
+    t_rc_p, t_out_p = tpu_check(tpu1, km)
+    t_rc_a, t_out_a = tpu_check(tpu1, absent)
+    ok = (r_present.returncode == t_rc_p == 0
+          and r_present.stdout.decode().strip() == t_out_p == km_count
+          and r_absent.returncode == t_rc_a == 0
+          and r_absent.stdout.decode().strip() == t_out_a)
+    check("check present/absent output+exit", "ok", "ok" if ok else "bad")
 
     # compare: equal and unequal exit semantics on each side's own DBs
     eq_ref = run([kmc_tools, "compare", ref1, ref1]).returncode
