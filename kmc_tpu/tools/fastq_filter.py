@@ -70,7 +70,14 @@ def filter_fastq(
     n_kept = 0
     n_total = 0
     BATCH = 256  # reads per lookup: one vectorized DB pass per batch
-    with _open(input_path, "rt") as fin, _open(output_path, "wt") as fout:
+    # the reference accepts several inputs (@list files expand to
+    # input_srcs, parameters_parser.cpp:106-124); all filtered reads land
+    # in the one output
+    inputs = ([input_path] if isinstance(input_path, (str, bytes))
+              or hasattr(input_path, "__fspath__") else list(input_path))
+
+    def _process(fin, fout):
+        nonlocal n_kept, n_total, is_fasta
         eof = False
         while not eof:
             recs = []
@@ -145,4 +152,9 @@ def filter_fastq(
                             "FASTA input has no qualities; cannot write "
                             "FASTQ output")
                     fout.write(f"{header.rstrip()}\n{seq}\n+\n{qual}\n")
+
+    with _open(output_path, "wt") as fout:
+        for one_input in inputs:
+            with _open(one_input, "rt") as fin:
+                _process(fin, fout)
     return n_kept, n_total

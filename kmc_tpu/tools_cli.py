@@ -264,18 +264,19 @@ def cmd_filter(args) -> int:
     as present (SetMinCount/SetMaxCount, kmc_tools.cpp:307-308)."""
     from .tools.fastq_filter import filter_fastq
 
-    trim = False
-    hard_mask = False
+    mode = "normal"  # -t / -hm overwrite each other; last wins
     i = 0
     while i < len(args) and args[i].startswith("-"):
         if args[i] == "-t":
-            trim = True
+            mode = "trim"
         elif args[i] == "-hm":
-            hard_mask = True
+            mode = "hard_mask"
         else:
             print(f"Warning: Unknown parameter for filter operation: "
                   f"{args[i]}", file=sys.stderr)
         i += 1
+    trim = mode == "trim"
+    hard_mask = mode == "hard_mask"
     if len(args) - i < 3:
         print(USAGE)
         return 1
@@ -293,6 +294,14 @@ def cmd_filter(args) -> int:
         return 1
     inp = args[i]
     i += 1
+    if inp.startswith("@"):
+        # @list expands to several inputs (parameters_parser.cpp:106-124)
+        try:
+            with open(inp[1:]) as f:
+                inp = [ln.strip() for ln in f if ln.strip()]
+        except OSError:
+            print(f"Error: No {inp[1:]} file", file=sys.stderr)
+            return 1
     # reference read-side defaults: -ci2 -cx1e9 (absolute counts); a value
     # written WITH a decimal point is a fraction of the read's k-mer count
     # (fastq_filter help: "integer or floating number in range [0.0;1.0]")
@@ -324,6 +333,17 @@ def cmd_filter(args) -> int:
         if args[i] in ("-fa", "-fq"):
             out_fmt = args[i][2:]
         i += 1
+    if in_fmt == "a" and out_fmt == "q":
+        # parameters_parser.cpp:193-197
+        print("Error: cannot set -fq for output when -fa is set for input",
+              file=sys.stderr)
+        return 1
+    if mode != "normal" and (isinstance(fci, float)
+                             or isinstance(fcx, float)):
+        # parameters_parser.cpp:656-660
+        print("Error: trim (-t) and soft mask (-hm) are not compatibile "
+              "with float values of cut off (-ci -cx)", file=sys.stderr)
+        return 1
     filter_fastq(db, inp, out, min_kmers=fci, max_kmers=fcx, trim=trim,
                  hard_mask=hard_mask, db_cutoff_min=db_ci,
                  db_cutoff_max=db_cx, in_format=in_fmt, out_format=out_fmt)

@@ -492,6 +492,50 @@ def test_global_params_and_okff(two_dbs, tmp_path):
     assert tools_cli.main(["-t"]) == 1  # -t requires a value
 
 
+def test_filter_mode_rules(two_dbs, tmp_path, capsys):
+    """-t/-hm overwrite each other (last wins, parameters_parser.cpp:
+    208-226) and are incompatible with fractional -ci/-cx (:656-660)."""
+    db1, _, c1, _ = two_dbs
+    km = next(iter(c1))
+    fq = tmp_path / "q.fq"
+    fq.write_text(f"@r\n{km}\n+\n{'I' * len(km)}\n")
+    out = tmp_path / "o.fq"
+    assert tools_cli.main(["filter", "-t", db1, str(fq), "-ci0.5",
+                           str(out)]) == 1
+    assert "not compatibile" in capsys.readouterr().err
+    # -t then -hm: the last mode wins (byte-equal to plain -hm)
+    a, b = tmp_path / "a.fq", tmp_path / "b.fq"
+    assert tools_cli.main(["filter", "-t", "-hm", db1, str(fq), "-ci5",
+                           str(a)]) == 0
+    assert tools_cli.main(["filter", "-hm", db1, str(fq), "-ci5",
+                           str(b)]) == 0
+    assert a.read_text() == b.read_text()
+
+
+def test_filter_list_input_and_format_rules(two_dbs, tmp_path, capsys):
+    """@list expands to several filter inputs written to ONE output in
+    order (parameters_parser.cpp:106-124); -fa input + -fq output is a
+    parse-time error (:193-197)."""
+    db1, _, c1, _ = two_dbs
+    kms = [km for km, c in c1.items() if c >= 2]
+    q1, q2 = tmp_path / "q1.fq", tmp_path / "q2.fq"
+    q1.write_text(f"@a\n{kms[0]}\n+\n{'I' * 21}\n")
+    q2.write_text(f"@b\n{kms[1]}\n+\n{'I' * 21}\n")
+    lst = tmp_path / "inputs.lst"
+    lst.write_text(f"{q1}\n{q2}\n")
+    out = tmp_path / "o.fq"
+    assert tools_cli.main(["filter", db1, f"@{lst}", "-ci1",
+                           str(out)]) == 0
+    assert out.read_text() == q1.read_text() + q2.read_text()
+    # missing list file
+    assert tools_cli.main(["filter", db1, "@/nonexistent.lst",
+                           str(out)]) == 1
+    # -fa input + -fq output rejected at parse time
+    assert tools_cli.main(["filter", db1, str(q1), "-fa",
+                           str(out), "-fq"]) == 1
+    assert "cannot set -fq" in capsys.readouterr().err
+
+
 def test_transform_sort_on_kmc1_omitted(two_dbs, tmp_path, capsys):
     """sort of an already-sorted KMC1 database is omitted with a warning
     and produces no output (kmc_tools.cpp:421-432); other ops in the same

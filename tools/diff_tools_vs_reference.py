@@ -337,6 +337,17 @@ def main():
     assert tpu_tools(["filter", tpu1, q, tout, "-fa"]) == 0
     check("filter -fa output", rout.read_text(), tout.read_text())
 
+    # filter with an @list of two inputs -> one concatenated output
+    q2 = workdir / "query2.fastq"
+    q2.write_text("".join(q.read_text().splitlines(keepends=True)[:40]))
+    lst = workdir / "filter_inputs.lst"
+    lst.write_text(f"{q}\n{q2}\n")
+    rout = workdir / "ref_filt_list.fq"
+    tout = workdir / "tpu_filt_list.fq"
+    run([kmc_tools, "filter", ref1, f"@{lst}", "-ci0.3", rout])
+    assert tpu_tools(["filter", tpu1, f"@{lst}", "-ci0.3", tout]) == 0
+    check("filter @list input", rout.read_text(), tout.read_text())
+
     # check: prints the counter (0 when absent) and exits 0 either way
     # (check_kmer.h:241-242)
     km_line = ref_dump(kmc_tools, ref1, workdir).splitlines()[0]
