@@ -337,6 +337,14 @@ def main():
     assert tpu_tools(["filter", tpu1, q, tout, "-fa"]) == 0
     check("filter -fa output", rout.read_text(), tout.read_text())
 
+    # filter with a KFF database (the reference's CKffAndKMCRandomAccess)
+    rout = workdir / "ref_filt_kff.fq"
+    tout = workdir / "tpu_filt_kff.fq"
+    run([kmc_tools, "filter", workdir / "ref_tokff.kff", q, "-ci0.4", rout])
+    assert tpu_tools(["filter", workdir / "tpu_tokff.kff", q, "-ci0.4",
+                      tout]) == 0
+    check("filter with KFF db", rout.read_text(), tout.read_text())
+
     # filter with an @list of two inputs -> one concatenated output
     q2 = workdir / "query2.fastq"
     q2.write_text("".join(q.read_text().splitlines(keepends=True)[:40]))
