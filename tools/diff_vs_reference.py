@@ -85,7 +85,8 @@ def ref_dump(kmc, kmc_tools, inp, k, ci, cs, fmt, workdir) -> str:
     db = workdir / f"refdb_k{k}"
     tmp = workdir / "tmp"
     tmp.mkdir(exist_ok=True)
-    fflag = {"fastq": "-fq", "fasta": "-fa", "bam": "-fbam"}[fmt]
+    fflag = {"fastq": "-fq", "fasta": "-fa", "bam": "-fbam",
+             "multifasta": "-fm", "kmc": "-fkmc"}[fmt]
     subprocess.run(
         [str(kmc), f"-k{k}", f"-ci{ci}", f"-cs{cs}", fflag, "-t1", "-hp",
          str(inp), str(db), str(tmp)],
@@ -179,6 +180,31 @@ def main():
     ]
     bam = make_bam_bgzf(workdir / "reads.bam", bam_reads)
 
+    # gzip input (detected by extension on both sides)
+    import gzip
+
+    fqgz = workdir / "reads2.fastq.gz"
+    with open(fq, "rb") as src, gzip.open(fqgz, "wb") as dst:
+        dst.write(src.read())
+    # multiline FASTA (-fm): 60-column wrapped sequences
+    fm = workdir / "reads_multi.fasta"
+    with open(fa) as src, open(fm, "w") as dst:
+        for line in src:
+            if line.startswith(">"):
+                dst.write(line)
+            else:
+                s = line.strip()
+                for j in range(0, len(s), 60):
+                    dst.write(s[j : j + 60] + "\n")
+    # -fkmc input: an existing KMC database's stored k-mers become the
+    # reads (binary_reader.h:240-300: one FASTA record per stored k-mer,
+    # counters ignored); source DB built by the reference binary
+    src_db = workdir / "src_for_fkmc"
+    tmpd = workdir / "tmp"
+    tmpd.mkdir(exist_ok=True)
+    subprocess.run([str(kmc), "-k31", "-ci1", "-fq", "-t1", "-hp", str(fq),
+                    str(src_db), str(tmpd)], check=True, capture_output=True)
+
     cases = [
         (fq, "fastq", 21, 1, 255),
         (fq, "fastq", 27, 2, 255),
@@ -187,6 +213,9 @@ def main():
         (fa, "fasta", 25, 1, 255),
         (fq, "fastq", 12, 1, 255),   # small-k KMC1 path
         (bam, "bam", 25, 1, 255),    # BGZF BAM
+        (fqgz, "fastq", 27, 2, 255),  # gzip by extension
+        (fm, "multifasta", 25, 1, 255),  # -fm multiline FASTA
+        (src_db, "kmc", 25, 1, 255),  # -fkmc DB-as-input
     ]
     # -e estimated histogram: ntCard is a statistical estimator, so the
     # comparison is loose — the abundance estimates of the common bins must
