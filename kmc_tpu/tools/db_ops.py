@@ -569,6 +569,74 @@ def transform_dump(db: str, out_path: str, sorted_output: bool = True,
     dump_db_file(db, out_path, sorted_output)
 
 
+def run_transform_ops(db: str, ops, in_cut=None):
+    """Every output of one `kmc_tools transform` invocation from a SINGLE
+    load of the input database (the reference streams all transform
+    outputs off one DB pass, kmc_tools.cpp:449-470).  ops: list of
+    ("sort"|"reduce", out, overrides), ("compact", out),
+    ("set_counts", out, value), ("histogram", out, lo, hi),
+    ("dump", out, sorted_output).  Above the streaming threshold each op
+    dispatches to its own (bounded-memory) function instead."""
+    if _stored_count(db) > _stream_threshold():
+        for op in ops:
+            if op[0] in ("sort", "reduce"):
+                (transform_sort if op[0] == "sort" else transform_reduce)(
+                    db, op[1], op[2], in_cut=in_cut)
+            elif op[0] == "compact":
+                transform_compact(db, op[1], in_cut=in_cut)
+            elif op[0] == "set_counts":
+                transform_set_counts(db, op[1], op[2], in_cut=in_cut)
+            elif op[0] == "histogram":
+                transform_histogram(db, op[1], op[2], op[3], in_cut=in_cut)
+            else:
+                transform_dump(db, op[1], op[2], in_cut=in_cut)
+        return
+    from ..formats.dump import dump_records
+
+    eff = effective_input_cut(db, in_cut)
+    info, kmers0, counts0 = load_sorted(db)
+    kmers0, counts0 = _apply_input_cut(kmers0, counts0, eff)
+    for op in ops:
+        kind = op[0]
+        if kind in ("sort", "reduce", "compact", "set_counts"):
+            out = op[1]
+            if kind in ("sort", "reduce"):
+                p = _resolve_out_params(op[2], [db], [eff])
+                kmers, counts = p.apply(kmers0, counts0)
+            elif kind == "compact":
+                p = OutputParams(cutoff_min=1, cutoff_max=10**9,
+                                 counter_max=1)
+                kmers = kmers0
+                counts = np.ones(len(kmers0), np.uint32)
+            else:
+                value = op[2]
+                p = OutputParams(cutoff_min=1, cutoff_max=max(10**9, value),
+                                 counter_max=max(255, value))
+                kmers = kmers0
+                counts = np.full(len(kmers0), value, np.uint32)
+            write_sorted_db(out, info.kmer_len, kmers, counts, p,
+                            info.both_strands,
+                            input_ns=[info.n_unique_stored],
+                            encoding=info.encoding)
+        elif kind == "histogram":
+            _, out, lo, hi = op
+            if lo is None:
+                lo = eff[0]
+            if hi is None:
+                hi = min(info.cutoff_max, 10000)
+                if info.counter_size:
+                    hi = min(hi, (1 << (8 * info.counter_size)) - 1)
+            hist = np.bincount(counts0.astype(np.int64), minlength=hi + 1)
+            with open(out, "w") as f:
+                for v in range(lo, hi + 1):
+                    f.write(f"{v}\t{hist[v] if v < len(hist) else 0}\n")
+        else:  # dump
+            _, out, _sorted = op
+            with open(out, "w") as f:
+                f.write(dump_records(kmers0, counts0, info.kmer_len,
+                                     encoding=info.encoding))
+
+
 def db_compare(db1: str, db2: str) -> bool:
     """kmc_tools compare: record-level equality (operations.h:258)."""
     _check_encodings([db1, db2])

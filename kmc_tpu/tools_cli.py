@@ -120,6 +120,10 @@ def cmd_transform(args) -> int:
         except (OSError, ValueError):
             pass  # open errors surface from the op itself
     in_cut, i = _parse_input_cut(args, 1)
+    # parse ALL output ops first, then run them off one load of the input
+    # (the reference streams every output op from a single DB pass,
+    # kmc_tools.cpp:449-470)
+    ops = []
     while i < len(args):
         op = args[i]
         i += 1
@@ -142,14 +146,12 @@ def cmd_transform(args) -> int:
             if op == "sort" and input_is_kmc1:
                 print("Warning: input database is already sorted. Each "
                       "sort operation will be omitted", file=sys.stderr)
-            elif op == "sort":
-                db_ops.transform_sort(db, out, ov, in_cut=in_cut)
-            elif op == "reduce":
-                db_ops.transform_reduce(db, out, ov, in_cut=in_cut)
+            elif op in ("sort", "reduce"):
+                ops.append((op, out, ov))
             elif op == "compact":
-                db_ops.transform_compact(db, out, in_cut=in_cut)
+                ops.append(("compact", out))
             else:
-                db_ops.transform_set_counts(db, out, value, in_cut=in_cut)
+                ops.append(("set_counts", out, value))
         elif op == "histogram":
             out = args[i]
             i += 1
@@ -167,17 +169,19 @@ def cmd_transform(args) -> int:
                           file=sys.stderr)
                     return 1
                 i += 1
-            db_ops.transform_histogram(db, out, lo, hi, in_cut=in_cut)
+            ops.append(("histogram", out, lo, hi))
         elif op == "dump":
             sorted_out = False
             if i < len(args) and args[i] == "-s":
                 sorted_out = True
                 i += 1
-            db_ops.transform_dump(db, args[i], sorted_out, in_cut=in_cut)
+            ops.append(("dump", args[i], sorted_out))
             i += 1
         else:
             print(f"Error: unknown transform operation {op}", file=sys.stderr)
             return 1
+    if ops:
+        db_ops.run_transform_ops(db, ops, in_cut=in_cut)
     return 0
 
 

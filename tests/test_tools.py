@@ -492,6 +492,37 @@ def test_global_params_and_okff(two_dbs, tmp_path):
     assert tools_cli.main(["-t"]) == 1  # -t requires a value
 
 
+def test_transform_multi_output_single_pass(two_dbs, tmp_path):
+    """A multi-op transform invocation (one load, kmc_tools.cpp:449-470)
+    must be byte-identical to separate per-op invocations."""
+    db1, _, _, _ = two_dbs
+    m = {n: str(tmp_path / ("m_" + n))
+         for n in ("sort", "red", "cmp", "sc", "hist", "dump")}
+    s = {n: str(tmp_path / ("s_" + n))
+         for n in ("sort", "red", "cmp", "sc", "hist", "dump")}
+    assert tools_cli.main([
+        "transform", db1, "-ci2",
+        "sort", m["sort"], "-cs100",
+        "reduce", m["red"], "-ci3",
+        "compact", m["cmp"],
+        "set_counts", "5", m["sc"],
+        "histogram", m["hist"],
+        "dump", "-s", m["dump"]]) == 0
+    for op_args in (["sort", s["sort"], "-cs100"],
+                    ["reduce", s["red"], "-ci3"],
+                    ["compact", s["cmp"]],
+                    ["set_counts", "5", s["sc"]],
+                    ["histogram", s["hist"]],
+                    ["dump", "-s", s["dump"]]):
+        assert tools_cli.main(["transform", db1, "-ci2", *op_args]) == 0
+    for n in ("sort", "red", "cmp", "sc"):
+        for suf in (".kmc_pre", ".kmc_suf"):
+            with open(m[n] + suf, "rb") as a, open(s[n] + suf, "rb") as b:
+                assert a.read() == b.read(), (n, suf)
+    for n in ("hist", "dump"):
+        assert open(m[n]).read() == open(s[n]).read(), n
+
+
 def test_filter_mode_rules(two_dbs, tmp_path, capsys):
     """-t/-hm overwrite each other (last wins, parameters_parser.cpp:
     208-226) and are incompatible with fractional -ci/-cx (:656-660)."""
