@@ -128,6 +128,16 @@ class KffMeta:
     # decodable — the reference's own KFF db reader doesn't consume them
     # either (kff_db_reader.h:16); data paths must refuse such files.
     m_sections: list = None
+    all_unique: bool = True  # header byte 6
+    footer: dict = None  # footer variable k/v pairs (None when unindexed)
+    # per-variable-section scopes, the CKFFInfoReader shape
+    # (kff_info_reader.h:39-47): each 'v' section starts a FRESH scope (no
+    # inheritance), data sections attach to the latest scope, and a scope
+    # left without data sections is dropped.  Each scope is a dict
+    # {k, data_size, max, m, sections: [(data_start, nb_blocks, minimizer
+    # bytes)]} with None for undeclared variables.
+    scopes: list = None
+    max_in_block: int = 1  # largest 'max' variable over data scopes
 
 
 def _read_exact(f, n):
@@ -139,7 +149,7 @@ def _read_exact(f, n):
     return b
 
 
-def _read_vars(f, variables):
+def _read_vars(f, variables, scope_vars=None):
     (nb,) = struct.unpack(">Q", _read_exact(f, 8))
     for _ in range(nb):
         name = b""
@@ -152,6 +162,8 @@ def _read_vars(f, variables):
             name += ch
         (val,) = struct.unpack(">Q", _read_exact(f, 8))
         variables[name.decode()] = val
+        if scope_vars is not None:
+            scope_vars[name.decode()] = val
 
 
 def read_kff_meta(path: str) -> KffMeta:
@@ -177,6 +189,7 @@ def read_kff_meta(path: str) -> KffMeta:
             raise ValueError("bad KFF markers")  # truncated before any
         f.seek(8)  # section must not parse as a valid empty database
         encoding = head[5]
+        all_unique = bool(head[6])
         canonical = bool(head[7])
         (free_size,) = struct.unpack(">I", _read_exact(f, 4))
         f.seek(free_size, 1)
@@ -184,12 +197,35 @@ def read_kff_meta(path: str) -> KffMeta:
         variables = {"max": 1, "data_size": 0, "k": 0}
         sections = []
         m_sections = []
+        scopes = []
+        max_in_block = 1
 
-        def read_r():
+        def new_scope(svars):
+            # each 'v' starts a FRESH scope; an immediately preceding
+            # scope with no data sections is dropped (kff_info_reader.cpp:
+            # 228-233)
+            if scopes and not scopes[-1]["sections"]:
+                scopes.pop()
+            scopes.append({"k": svars.get("k"),
+                           "data_size": svars.get("data_size"),
+                           "max": svars.get("max"),
+                           "m": svars.get("m"),
+                           "sections": []})
+
+        def read_r(indexed):
+            nonlocal max_in_block
             (nb,) = struct.unpack(">Q", _read_exact(f, 8))
-            if variables.get("max", 1) != 1:
-                raise NotImplementedError("KFF max>1 blocks")
-            sections.append((f.tell(), nb))
+            mx = variables.get("max", 1)
+            if mx != 1:
+                if not indexed:
+                    # block sizes are data-dependent: an unindexed walk
+                    # cannot skip the payload
+                    raise NotImplementedError("KFF max>1 blocks")
+                max_in_block = max(max_in_block, mx)
+            else:
+                sections.append((f.tell(), nb))
+            if scopes:
+                scopes[-1]["sections"].append((f.tell(), nb, b""))
             return nb
 
         def read_m():
@@ -197,17 +233,21 @@ def read_kff_meta(path: str) -> KffMeta:
             mini = _read_exact(f, mb)
             (nb,) = struct.unpack(">Q", _read_exact(f, 8))
             m_sections.append((f.tell(), nb, mini))
+            if scopes:
+                scopes[-1]["sections"].append((f.tell(), nb, mini))
 
         # -- indexed walk (the reference's CKFFInfoReader flow) --
-        positions = _index_positions(f, size)
+        positions, footer = _index_positions(f, size)
         if positions is not None:
             for pos in positions:
                 f.seek(pos)
                 sec = f.read(1)
                 if sec == b"v":
-                    _read_vars(f, variables)
+                    svars = {}
+                    _read_vars(f, variables, svars)
+                    new_scope(svars)
                 elif sec == b"r":
-                    read_r()
+                    read_r(indexed=True)
                 elif sec == b"m":
                     read_m()
                 elif sec == b"i":
@@ -220,9 +260,11 @@ def read_kff_meta(path: str) -> KffMeta:
             while f.tell() < end:
                 sec = f.read(1)
                 if sec == b"v":
-                    _read_vars(f, variables)
+                    svars = {}
+                    _read_vars(f, variables, svars)
+                    new_scope(svars)
                 elif sec == b"r":
-                    nb = read_r()
+                    nb = read_r(indexed=False)
                     kb = (variables["k"] + 3) // 4
                     f.seek(nb * (kb + variables["data_size"]), 1)
                 elif sec == b"i":
@@ -233,6 +275,8 @@ def read_kff_meta(path: str) -> KffMeta:
                         "KFF minimizer section in an unindexed file")
                 else:
                     raise ValueError(f"unknown KFF section {sec!r}")
+        if scopes and not scopes[-1]["sections"]:
+            scopes.pop()
     return KffMeta(
         k=variables["k"],
         counter_size=variables["data_size"],
@@ -244,25 +288,29 @@ def read_kff_meta(path: str) -> KffMeta:
         sections=sections,
         minimizer_size=int(variables["m"]) if "m" in variables else None,
         m_sections=m_sections,
+        all_unique=all_unique,
+        footer=footer,
+        scopes=scopes,
+        max_in_block=max_in_block,
     )
 
 
 def _index_positions(f, size):
-    """Absolute positions of every data section, from the footer's
-    first_index and the index-section chain (entries are offsets relative
-    to the index END, reference kff_writer.cpp:159); None when the file
-    has no parseable footer/index."""
+    """(positions, footer_vars): absolute positions of every data section,
+    from the footer's first_index and the index-section chain (entries are
+    offsets relative to the index END, reference kff_writer.cpp:159);
+    (None, None) when the file has no parseable footer/index."""
     try:
         if size < 3 + 8:
-            return None
+            return None, None
         f.seek(size - 3 - 8)
         (footer_size,) = struct.unpack(">Q", f.read(8))
         footer_pos = size - 3 - footer_size
         if not (0 < footer_pos < size):
-            return None
+            return None, None
         f.seek(footer_pos)
         if f.read(1) != b"v":
-            return None
+            return None, None
         fvars = {}
         _read_vars(f, fvars)
         idx = int(fvars["first_index"])
@@ -270,14 +318,14 @@ def _index_positions(f, size):
         seen = set()
         while 0 < idx < size:
             if idx in seen:  # malformed index cycle
-                return None
+                return None, None
             seen.add(idx)
             f.seek(idx)
             if f.read(1) != b"i":
-                return None
+                return None, None
             (nb,) = struct.unpack(">Q", f.read(8))
             if nb > size // 9:
-                return None
+                return None, None
             entries = [struct.unpack(">cq", f.read(9)) for _ in range(nb)]
             (next_rel,) = struct.unpack(">q", f.read(8))
             index_end = f.tell()
@@ -285,10 +333,10 @@ def _index_positions(f, size):
                 positions.append(index_end + rel)
             idx = index_end + next_rel if next_rel else 0
     except (struct.error, KeyError, UnicodeDecodeError, ValueError, OSError):
-        return None
+        return None, None
     # a footer whose first_index is 0/garbage yields no entries — treat as
     # unindexed (sequential walk) rather than as a valid empty database
-    return positions or None
+    return (positions, fvars) if positions else (None, None)
 
 
 def read_kff(path: str) -> KffData:

@@ -166,6 +166,8 @@ class DbStreamReader:
             # (kff_db_reader.h:16)
             raise NotImplementedError(
                 "KFF minimizer sections cannot be read as k-mer data")
+        if self._kff.max_in_block != 1:
+            raise NotImplementedError("KFF max>1 blocks")
         if not self._kff.ordered:
             # the windowed merge requires internally sorted sections; the
             # in-memory reader (read_kff + lexsort) handles unsorted files

@@ -656,38 +656,60 @@ def db_compare(db1: str, db2: str) -> bool:
     )
 
 
-def db_info_text(db_path: str) -> str:
+def db_info_segments(db_path: str):
+    """[(stream, text)] segments of `kmc_tools info` output, where stream
+    is "out" or "err" — the reference prints the KFF footer block to
+    stderr interleaved with the stdout scope lines (kmc_tools.cpp:
+    158-220)."""
     if str(db_path).endswith(".kff"):
         from ..formats.kff import read_kff_meta
 
         # header/index walk only — also works on files with minimizer
-        # sections, which are displayable but not readable as k-mer data
-        # (parity with the reference: kmc_tools.cpp:174-210 lists them,
-        # kff_db_reader.h:16 cannot consume them)
+        # sections or max>1 blocks, which are displayable but not readable
+        # as k-mer data (parity with the reference: kmc_tools.cpp:158-220
+        # lists them, kff_db_reader.h:16 cannot consume them)
         kf = read_kff_meta(str(db_path))
-        total = sum(n for _, n in kf.sections)
-        out = [
-            f"k                 : {kf.k}",
-            f"total k-mers      : {total}",
-            f"counter size      : {kf.counter_size} bytes",
-            f"both strands      : {'yes' if kf.canonical else 'no'}",
-            "database format   : KFF",
+        segs = []
+        head = [
+            "This is KFF file, summary:",
+            f"canonical         :  {'yes' if kf.canonical else 'no'}",
+            f"all k-mers unique :  {'yes' if kf.all_unique else 'no'}",
+            "symbols encoding:",
+            f"\tA: {(kf.encoding >> 6) & 3}",
+            f"\tC: {(kf.encoding >> 4) & 3}",
+            f"\tG: {(kf.encoding >> 2) & 3}",
+            f"\tT: {kf.encoding & 3}",
         ]
-        if kf.minimizer_size is not None:
-            out.append(f"m                 : {kf.minimizer_size}")
-        if kf.m_sections:
-            out.append("Data sections:")
-            for off, n in kf.sections:
-                out.append(f"\ttype            : raw")
-                out.append(f"\tdata_start      : {off}")
-                out.append(f"\tnb_blocks       : {n}")
-            for off, n, mini in kf.m_sections:
-                out.append(f"\ttype            : minimizer")
-                out.append(f"\tdata_start      : {off}")
-                out.append(f"\tnb_blocks       : {n}")
-                out.append("\tminimizer (HEX) : "
-                           + " ".join(f"{b:x}" for b in mini))
-        return "\n".join(out) + "\n"
+        segs.append(("out", "\n".join(head) + "\n"))
+        # footer k/v sorted by key (the reference iterates a std::map) and
+        # printed to STDERR inside the per-scope loop
+        footer_lines = ""
+        if kf.footer:
+            footer_lines = "footer values:\n" + "".join(
+                f"\t{k}      :  {v}\n" for k, v in sorted(kf.footer.items()))
+        for scope in kf.scopes or []:
+            lines = [f"k             :  {scope['k']}",
+                     f"data_size     :  {scope['data_size']}",
+                     f"max           :  {scope['max']}"]
+            if scope["m"] is not None:
+                lines.append(f"m             :  {scope['m']}")
+            segs.append(("out", "\n".join(lines) + "\n"))
+            segs.append(("err", footer_lines))
+            body = ["Data sections:"]
+            tot = 0
+            for off, nb, mini in scope["sections"]:
+                # the reference labels every section "raw" (its minimizer
+                # reader sets type RAW too, kff_info_reader.cpp:289) and
+                # prints the minimizer hex, empty for raw sections
+                body.append("\ttype            :  raw")
+                body.append(f"\tdata_start      :  {off}")
+                body.append(f"\tnb_blocks       :  {nb}")
+                tot += nb
+                body.append("\tminimizer (HEX) :  "
+                            + "".join(f"{b:x} " for b in mini))
+            body.append(f"tot_nb_blocks :  {tot}")
+            segs.append(("out", "\n".join(body) + "\n"))
+        return segs
     # byte-for-byte the reference's layout (kmc_tools.cpp:139-151) so
     # scripts parsing `kmc_tools info` keep working
     info = read_db(db_path).info
@@ -702,7 +724,13 @@ def db_info_text(db_path: str) -> str:
         f"both strands      :  {'yes' if info.both_strands else 'no'}",
         f"database format   :  {'KMC2.x' if info.version == 0x200 else 'KMC1.x'}",
         f"signature length  :  {info.signature_len}",
-        f"number of bins    :  {info.n_bins}",
+        # the reference's KMC1 header has no bins field and prints 0
+        f"number of bins    :  {info.n_bins if info.version == 0x200 else 0}",
         f"lut_prefix_len    :  {info.lut_prefix_len}",
     ]
-    return "\n".join(lines) + "\n"
+    return [("out", "\n".join(lines) + "\n")]
+
+
+def db_info_text(db_path: str) -> str:
+    """All info output (stdout + stderr segments) as one string."""
+    return "".join(text for _, text in db_info_segments(db_path))

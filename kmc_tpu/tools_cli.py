@@ -240,7 +240,8 @@ def cmd_info(args) -> int:
     if len(args) != 1:
         print(USAGE)
         return 1
-    sys.stdout.write(db_ops.db_info_text(args[0]))
+    for stream, text in db_ops.db_info_segments(args[0]):
+        (sys.stdout if stream == "out" else sys.stderr).write(text)
     return 0
 
 

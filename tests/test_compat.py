@@ -64,9 +64,12 @@ def test_tools_kff_roundtrip(tmp_path):
     info2, kmers2, counts2 = db_ops.load_sorted(db)
     assert np.array_equal(kmers, kmers2)
     assert np.array_equal(counts, counts2)
-    # info on a KFF file
+    # info on a KFF file (the reference's exact layout,
+    # kmc_tools.cpp:158-220)
     text = db_ops.db_info_text(kff_out)
-    assert "KFF" in text and f"k                 : {k}" in text
+    assert "This is KFF file, summary:" in text
+    assert f"k             :  {k}" in text
+    assert "footer values:" in text and "tot_nb_blocks :  " in text
 
 
 def test_kff_minimizer_sections_display_but_refuse_data(tmp_path):
@@ -126,8 +129,11 @@ def test_kff_minimizer_sections_display_but_refuse_data(tmp_path):
     assert nb == 3 and mini == bytes([0xAB, 0xCD])
 
     text = db_ops.db_info_text(path)
-    assert "minimizer" in text and f"m                 : {m}" in text
-    assert "ab cd" in text
+    # the reference labels every data section "raw" (its minimizer info
+    # reader sets type RAW too, kff_info_reader.cpp:289) and prints the
+    # minimizer hex bytes after it
+    assert "minimizer (HEX) :  ab cd" in text
+    assert f"m             :  {m}" in text
 
     with pytest.raises(NotImplementedError):
         DbStreamReader(path)

@@ -356,6 +356,27 @@ def main():
     assert tpu_tools(["filter", tpu1, f"@{lst}", "-ci0.3", tout]) == 0
     check("filter @list input", rout.read_text(), tout.read_text())
 
+    # info: byte-identical stdout AND stderr for KMC and KFF databases
+    # (kmc_tools.cpp:139-220; the KFF footer block goes to stderr)
+    def tpu_info(db):
+        import io
+        from contextlib import redirect_stderr, redirect_stdout
+
+        o, e = io.StringIO(), io.StringIO()
+        with redirect_stdout(o), redirect_stderr(e):
+            rc = tpu_tools(["info", db])
+        assert rc == 0
+        return o.getvalue(), e.getvalue()
+
+    # both sides inspect the SAME files (info is read-only)
+    for tag, db in (("kmc2 db", ref1),
+                    ("kmc1 db", workdir / "ref_u_for_sort"),
+                    ("kff", workdir / "ref_tokff.kff")):
+        r = run([kmc_tools, "info", db])
+        t_out, t_err = tpu_info(str(db))
+        check(f"info {tag} stdout", r.stdout.decode(), t_out)
+        check(f"info {tag} stderr", r.stderr.decode(), t_err)
+
     # check: prints the counter (0 when absent) and exits 0 either way
     # (check_kmer.h:241-242)
     km_line = ref_dump(kmc_tools, ref1, workdir).splitlines()[0]
