@@ -261,9 +261,27 @@ def main():
     print(f"greedy-policy DB read by reference kmc_tools: "
           f"{'MATCH' if gok else 'MISMATCH'}")
 
+    # the CLI summary's Stats block must byte-match the reference's
+    # (kmc_CLI/kmc.cpp:409-420, setw(12) columns)
+    import io
+    from contextlib import redirect_stdout
+
+    rs = subprocess.run([str(kmc), "-k21", "-ci2", "-fq", "-t1", "-hp",
+                         str(fq), str(workdir / "sref"), str(workdir)],
+                        check=True, capture_output=True)
+    ref_stats = rs.stdout.decode().split("Stats:", 1)[1]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert kmc_cli_main(["-k21", "-ci2", "-hp", str(fq),
+                             str(workdir / "stpu"), str(workdir)]) == 0
+    tpu_stats = buf.getvalue().split("Stats:", 1)[1]
+    sok = ref_stats == tpu_stats
+    print(f"CLI summary Stats block: {'MATCH' if sok else 'MISMATCH'}")
+
     failures = 0
     failures += est_fail
     failures += 0 if gok else 1
+    failures += 0 if sok else 1
     for inp, fmt, k, ci, cs in cases:
         want = ref_dump(kmc, kmc_tools, inp, k, ci, cs, fmt, workdir)
         got = tpu_dump(inp, k, ci, cs, fmt, workdir)
