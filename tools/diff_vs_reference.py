@@ -278,10 +278,28 @@ def main():
     sok = ref_stats == tpu_stats
     print(f"CLI summary Stats block: {'MATCH' if sok else 'MISMATCH'}")
 
+    # homopolymer-compressed counting (-hc, splitter.cpp:424-435)
+    subprocess.run([str(kmc), "-k25", "-ci1", "-hc", "-fq", "-t1", "-hp",
+                    str(fq), str(workdir / "hcref"), str(workdir)],
+                   check=True, capture_output=True)
+    subprocess.run([str(kmc_tools), "transform", str(workdir / "hcref"),
+                    "sort", str(workdir / "hcref.s")],
+                   check=True, capture_output=True)
+    subprocess.run([str(kmc_tools), "transform", str(workdir / "hcref.s"),
+                    "dump", str(workdir / "hcref.txt")],
+                   check=True, capture_output=True)
+    with redirect_stdout(io.StringIO()):
+        assert kmc_cli_main(["-k25", "-ci1", "-hc", "-hp", str(fq),
+                             str(workdir / "hctpu"), str(workdir)]) == 0
+    hok = (workdir / "hcref.txt").read_text() == dump_db_file(
+        str(workdir / "hctpu"))
+    print(f"homopolymer-compressed (-hc): {'MATCH' if hok else 'MISMATCH'}")
+
     failures = 0
     failures += est_fail
     failures += 0 if gok else 1
     failures += 0 if sok else 1
+    failures += 0 if hok else 1
     for inp, fmt, k, ci, cs in cases:
         want = ref_dump(kmc, kmc_tools, inp, k, ci, cs, fmt, workdir)
         got = tpu_dump(inp, k, ci, cs, fmt, workdir)
