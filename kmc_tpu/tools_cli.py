@@ -378,7 +378,9 @@ COMMANDS = {
 
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
-    if not argv or argv[0] in ("--help", "-h"):
+    # like the reference, --help/--version anywhere shows usage and exits 0
+    # (kmc_tools.cpp:628-652)
+    if not argv or "--help" in argv or "--version" in argv or argv[0] == "-h":
         print(USAGE)
         return 0
     # global params before the operation name (parse_global_params,

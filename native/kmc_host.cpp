@@ -39,13 +39,37 @@ static uint8_t CODE_LUT[256];
 // (callers run the scalar LUT over the remainder).
 static inline int64_t translate_simd(const uint8_t* in, int64_t len,
                                      uint8_t* out) {
+    int64_t j = 0;
+#if defined(__AVX512BW__)
+    // 64-byte lanes with mask-register compares: code built by masked
+    // moves, one store per 64 input bytes
+    {
+        const __m512i zcase = _mm512_set1_epi8((char)0xDF);
+        const __m512i zA = _mm512_set1_epi8('A'), zC = _mm512_set1_epi8('C');
+        const __m512i zG = _mm512_set1_epi8('G'), zT = _mm512_set1_epi8('T');
+        const __m512i z1 = _mm512_set1_epi8(1), z2 = _mm512_set1_epi8(2),
+                      z3 = _mm512_set1_epi8(3), z4 = _mm512_set1_epi8(4);
+        for (; j + 64 <= len; j += 64) {
+            __m512i v = _mm512_loadu_si512((const void*)(in + j));
+            __m512i u = _mm512_and_si512(v, zcase);  // a/c/g/t -> A/C/G/T
+            __mmask64 mA = _mm512_cmpeq_epi8_mask(u, zA);
+            __mmask64 mC = _mm512_cmpeq_epi8_mask(u, zC);
+            __mmask64 mG = _mm512_cmpeq_epi8_mask(u, zG);
+            __mmask64 mT = _mm512_cmpeq_epi8_mask(u, zT);
+            __m512i code = _mm512_maskz_mov_epi8(mC, z1);
+            code = _mm512_mask_mov_epi8(code, mG, z2);
+            code = _mm512_mask_mov_epi8(code, mT, z3);
+            code = _mm512_mask_mov_epi8(code, ~(mA | mC | mG | mT), z4);
+            _mm512_storeu_si512((void*)(out + j), code);
+        }
+    }
+#endif
 #if defined(__SSE2__)
     const __m128i case_mask = _mm_set1_epi8((char)0xDF);
     const __m128i vA = _mm_set1_epi8('A'), vC = _mm_set1_epi8('C');
     const __m128i vG = _mm_set1_epi8('G'), vT = _mm_set1_epi8('T');
     const __m128i v1 = _mm_set1_epi8(1), v2 = _mm_set1_epi8(2),
                   v3 = _mm_set1_epi8(3), v4 = _mm_set1_epi8(4);
-    int64_t j = 0;
     for (; j + 16 <= len; j += 16) {
         __m128i v = _mm_loadu_si128((const __m128i*)(in + j));
         __m128i u = _mm_and_si128(v, case_mask);  // a/c/g/t -> A/C/G/T
@@ -61,11 +85,10 @@ static inline int64_t translate_simd(const uint8_t* in, int64_t len,
         code = _mm_or_si128(code, _mm_andnot_si128(valid, v4));
         _mm_storeu_si128((__m128i*)(out + j), code);
     }
-    return j;
 #else
     (void)in; (void)len; (void)out;
-    return 0;
 #endif
+    return j;
 }
 
 static inline void translate_codes(const uint8_t* in, int64_t len,
@@ -86,6 +109,18 @@ static inline uint32_t pack16_ssse3(__m128i v) {
     __m128i s = _mm_madd_epi16(t, _mm_set1_epi16(1));
     return (uint32_t)_mm_cvtsi128_si32(_mm_shuffle_epi8(s, SHUF));
 }
+
+#if defined(__AVX512BW__)
+// 64 codes -> 16 packed bytes: the same madd ladder across four 128-bit
+// lanes, then one VPMOVDB truncating the 16 dword sums to bytes in order
+static inline __m128i pack64_avx512(__m512i v) {
+    const __m512i W = _mm512_set1_epi32(0x01041040);  // bytes {64,16,4,1}
+    __m512i x = _mm512_and_si512(v, _mm512_set1_epi8(3));
+    __m512i t = _mm512_maddubs_epi16(x, W);
+    __m512i s = _mm512_madd_epi16(t, _mm512_set1_epi16(1));
+    return _mm512_cvtepi32_epi8(s);
+}
+#endif
 
 // bit-reverse of a byte (movemask bit i = lane i, the mask format wants
 // MSB-first)
@@ -312,6 +347,18 @@ void gz_close(void* handle) {
 void pack_codes(const uint8_t* codes, int64_t n, uint8_t* packed,
                 uint8_t* mask) {
     int64_t i = 0;
+#if defined(__AVX512BW__) && defined(__SSSE3__)
+    {
+        const __m512i z4 = _mm512_set1_epi8(4);
+        for (; i + 64 <= n; i += 64) {
+            __m512i v = _mm512_loadu_si512((const void*)(codes + i));
+            _mm_storeu_si128((__m128i*)(packed + (i >> 2)), pack64_avx512(v));
+            uint64_t mm = (uint64_t)_mm512_cmplt_epu8_mask(v, z4);
+            for (int b = 0; b < 8; ++b)
+                mask[(i >> 3) + b] = BITREV8[(mm >> (8 * b)) & 0xFF];
+        }
+    }
+#endif
 #if defined(__SSSE3__)
     const __m128i v4 = _mm_set1_epi8(4);
     for (; i + 16 <= n; i += 16) {
@@ -473,6 +520,12 @@ int64_t pack_codes_boundaries(const uint8_t* codes, int64_t n,
     while (tail_start > 0 && codes[tail_start - 1] >= 4) tail_start--;
     *tail_start_out = tail_start;
     int64_t i = 0;
+#if defined(__AVX512BW__) && defined(__SSSE3__)
+    for (; i + 64 <= n; i += 64) {
+        __m512i v = _mm512_loadu_si512((const void*)(codes + i));
+        _mm_storeu_si128((__m128i*)(out + (i >> 2)), pack64_avx512(v));
+    }
+#endif
 #if defined(__SSSE3__)
     for (; i + 16 <= n; i += 16) {
         __m128i v = _mm_loadu_si128((const __m128i*)(codes + i));
@@ -492,6 +545,27 @@ int64_t pack_codes_boundaries(const uint8_t* codes, int64_t n,
     int64_t b = 0;
     int64_t prev = -1;
     i = 0;
+#if defined(__AVX512BW__)
+    // sentinels are one-per-read (sparse): one 64-bit compare mask per
+    // 64 codes, ctz-walk its set bits
+    {
+        const __m512i z3 = _mm512_set1_epi8(3);
+        for (; i + 64 <= tail_start; i += 64) {
+            __m512i v = _mm512_loadu_si512((const void*)(codes + i));
+            uint64_t mm = (uint64_t)_mm512_cmpgt_epu8_mask(v, z3);
+            while (mm) {
+                int64_t pos = i + __builtin_ctzll(mm);
+                mm &= mm - 1;
+                int64_t gap = pos - prev;
+                if (b >= max_b || gap > 65535) return -1;
+                deltas[2 * b] = (uint8_t)(gap & 0xFF);
+                deltas[2 * b + 1] = (uint8_t)(gap >> 8);
+                prev = pos;
+                b++;
+            }
+        }
+    }
+#endif
 #if defined(__SSSE3__)
     // sentinels are one-per-read (sparse): skip 16 codes at a time when the
     // block holds none, walk set bits via ctz otherwise
