@@ -502,16 +502,15 @@ def stream_simple_op(op: str, db1: str, db2: str, out: str,
         op_params = out_params
     kb = r1.info.kmer_bytes
 
-    from ..defs import calc_counter_size
-    from ..tools.db_ops import tools_lut_prefix_len
+    from ..tools.db_ops import tools_counter_size, tools_lut_prefix_len
 
     # the reference sizes the output LUT from the INPUT headers (it
     # streams, so the output count is unknown upfront) — same here
     k = r1.info.kmer_len
     info = DbInfo(
         kmer_len=k,
-        counter_size=calc_counter_size(op_params.cutoff_max,
-                                       op_params.counter_max),
+        counter_size=tools_counter_size(op_params.cutoff_max,
+                                        op_params.counter_max),
         lut_prefix_len=tools_lut_prefix_len(
             k, [r1.info.n_unique_stored, r2.info.n_unique_stored]),
         cutoff_min=op_params.cutoff_min,
@@ -558,15 +557,15 @@ def stream_transform(db: str, out: str, out_params, *, set_value=None,
     set_counts) -> KMC1 DB; mirrors db_ops.transform_* semantics."""
     r = DbStreamReader(db, block_records,
                        cutoff_min=in_cut[0], cutoff_max=in_cut[1])
-    from ..defs import calc_counter_size
-    from ..tools.db_ops import tools_lut_prefix_len
+    from ..tools.db_ops import tools_counter_size, tools_lut_prefix_len
 
     k = r.info.kmer_len
     kb = r.info.kmer_bytes
     info = DbInfo(
         kmer_len=k,
-        counter_size=calc_counter_size(out_params.cutoff_max,
-                                       out_params.counter_max),
+        counter_size=tools_counter_size(out_params.cutoff_max,
+                                        out_params.counter_max,
+                                        counter_value=set_value),
         lut_prefix_len=tools_lut_prefix_len(k, [r.info.n_unique_stored]),
         cutoff_min=out_params.cutoff_min,
         cutoff_max=out_params.cutoff_max,
@@ -577,6 +576,11 @@ def stream_transform(db: str, out: str, out_params, *, set_value=None,
     with r:
         for keys, counts in r.key_blocks():
             if compact:
+                # filter runs on the ORIGINAL counters; stored counter
+                # clamps to counter_max=1 (kmc1_db_writer.h add_kmer)
+                keep = ((counts >= out_params.cutoff_min)
+                        & (counts <= out_params.cutoff_max))
+                keys = keys[keep]
                 counts = np.ones(len(keys), np.uint32)
             elif set_value is not None:
                 # overwritten counters are written verbatim, like the

@@ -276,7 +276,7 @@ def _run_complex_streaming(inputs, out_path, expr, p):
     composed merge streams, streaming KMC1 writer.  Byte-identical to the
     in-memory path (the output LUT is sized from the input headers on both,
     like the reference's calc_lut_prefix_len over config.headers)."""
-    from ..defs import calc_counter_size
+    from .db_ops import tools_counter_size
     from ..formats.kmc_db import DbInfo, KMC1_VER
     from ..formats.streaming import (
         DbStreamReader,
@@ -315,7 +315,7 @@ def _run_complex_streaming(inputs, out_path, expr, p):
     kb = some.kmer_bytes
     info = DbInfo(
         kmer_len=k,
-        counter_size=calc_counter_size(p.cutoff_max, p.counter_max),
+        counter_size=tools_counter_size(p.cutoff_max, p.counter_max),
         lut_prefix_len=db_ops.tools_lut_prefix_len(
             k, [i.n_unique_stored for i in infos.values()]),
         cutoff_min=p.cutoff_min,

@@ -13,7 +13,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..defs import calc_counter_size
+from ..defs import byte_log
 from ..formats.kmc_db import DbInfo, read_db, sorted_records, write_kmc1_db
 
 
@@ -371,6 +371,27 @@ def run_simple_ops(db1: str, db2: str, ops, in1_cut=None, in2_cut=None):
                         encoding=encoding)
 
 
+def tools_counter_size(cutoff_max: int, counter_max: int,
+                       counter_value: int | None = None,
+                       kff: bool = False) -> int:
+    """Counter byte width of a kmc_tools OUTPUT database.
+
+    The tools writers size counters as MIN(BYTE_LOG(counter_max),
+    BYTE_LOG(cutoff_max)) — always >= 1, unlike the counting engine's
+    calc_counter_size where counter_max == 1 stores no counter bytes
+    (kmc_tools/kmc1_db_writer.h:154-156, kff_db_writer.h:74 vs
+    kmc_core/defs.h:154-159).  set_counts overrides with
+    BYTE_LOG(counter_value) for KMC1 outputs only (the KFF writer has no
+    counter_value special case).  BYTE_LOG caps at 4 bytes
+    (kmc_tools/defs.h:29)."""
+    def blog(x: int) -> int:
+        return min(byte_log(max(int(x), 0)), 4)
+
+    if counter_value and not kff:
+        return blog(counter_value)
+    return min(blog(counter_max), blog(cutoff_max))
+
+
 def tools_lut_prefix_len(k: int, input_ns) -> int:
     """The reference's output-LUT split: per input database, the best
     LUT-vs-suffix tradeoff for THAT input's record count; the output takes
@@ -394,7 +415,8 @@ def tools_lut_prefix_len(k: int, input_ns) -> int:
 
 def write_sorted_db(path_prefix: str, k: int, kmers, counts,
                     out_params: OutputParams, both_strands: bool = True,
-                    input_ns=None, encoding: int = DEFAULT_ENCODING):
+                    input_ns=None, encoding: int = DEFAULT_ENCODING,
+                    counter_value: int | None = None):
     """Write globally sorted records as a KMC1 database (what kmc_tools
     produces for transform/simple outputs, kmc1_db_writer.h:55), or as a KFF
     file when the output path ends in .kff (reference -o kff option).
@@ -406,8 +428,10 @@ def write_sorted_db(path_prefix: str, k: int, kmers, counts,
     encoding: the inputs' common symbol encoding.  The KMC format only
     supports the default A->0 C->1 G->2 T->3; for any other encoding the
     KFF format is enforced for the output, with a warning — exactly the
-    reference's behavior (parameters_parser.cpp:796-838)."""
-    counter_size = calc_counter_size(out_params.cutoff_max, out_params.counter_max)
+    reference's behavior (parameters_parser.cpp:796-838).
+
+    counter_value: set_counts' fixed counter (sizes KMC1 counters as
+    BYTE_LOG(value), kmc_tools/kmc1_db_writer.h:155-156)."""
     if encoding != DEFAULT_ENCODING and not str(path_prefix).endswith(".kff"):
         import sys
 
@@ -416,6 +440,9 @@ def write_sorted_db(path_prefix: str, k: int, kmers, counts,
               "for input database(s) KKF file format is enforced for each "
               "output", file=sys.stderr)
         path_prefix = str(path_prefix) + ".kff"
+    counter_size = tools_counter_size(
+        out_params.cutoff_max, out_params.counter_max, counter_value,
+        kff=str(path_prefix).endswith(".kff"))
     if str(path_prefix).endswith(".kff"):
         from ..formats.kff import KffWriter
 
@@ -482,9 +509,30 @@ def transform_reduce(db: str, out: str, out_params: OutputParams | dict,
     transform_sort(db, out, out_params, in_cut=in_cut)
 
 
-def transform_compact(db: str, out: str, in_cut=None):
+def _compact_params(db, out_params, eff) -> OutputParams:
+    """compact = reduce with counter_max forced to 1: output ci/cx still
+    default from the input (or explicit -ci/-cx overrides), the filter runs
+    on the ORIGINAL counters, and every stored counter is clamped to 1
+    (parameters_parser.cpp:437-441 + kmc1_db_writer.h add_kmer)."""
+    if isinstance(out_params, OutputParams):
+        p = out_params
+    else:
+        ov = dict(out_params or {})
+        ov.pop("cs", None)  # -cs ignored for compact (with a CLI warning)
+        p = default_output_params([db], [eff], ov)
+    return OutputParams(cutoff_min=p.cutoff_min, cutoff_max=p.cutoff_max,
+                        counter_max=1)
+
+
+# set_counts output header fields (parameters_parser.cpp:443-450)
+_SET_COUNTS_LIMIT = 0xFFFFFFFF
+
+
+def transform_compact(db: str, out: str,
+                      out_params: OutputParams | dict | None = None,
+                      in_cut=None):
     eff = effective_input_cut(db, in_cut)
-    p = OutputParams(cutoff_min=1, cutoff_max=10**9, counter_max=1)
+    p = _compact_params(db, out_params, eff)
     if _stream_single(db, out):
         from ..formats.streaming import stream_transform
 
@@ -492,14 +540,15 @@ def transform_compact(db: str, out: str, in_cut=None):
         return
     info, kmers, counts = load_sorted(db)
     kmers, counts = _apply_input_cut(kmers, counts, eff)
-    counts = np.ones(len(kmers), np.uint32)
+    kmers, counts = p.apply(kmers, counts)
     write_sorted_db(out, info.kmer_len, kmers, counts, p, info.both_strands,
                     input_ns=[info.n_unique_stored], encoding=info.encoding)
 
 
 def transform_set_counts(db: str, out: str, value: int, in_cut=None):
     eff = effective_input_cut(db, in_cut)
-    p = OutputParams(cutoff_min=1, cutoff_max=max(10**9, value), counter_max=max(255, value))
+    p = OutputParams(cutoff_min=1, cutoff_max=_SET_COUNTS_LIMIT,
+                     counter_max=_SET_COUNTS_LIMIT)
     if _stream_single(db, out):
         from ..formats.streaming import stream_transform
 
@@ -509,7 +558,8 @@ def transform_set_counts(db: str, out: str, value: int, in_cut=None):
     kmers, counts = _apply_input_cut(kmers, counts, eff)
     counts = np.full(len(kmers), value, np.uint32)
     write_sorted_db(out, info.kmer_len, kmers, counts, p, info.both_strands,
-                    input_ns=[info.n_unique_stored], encoding=info.encoding)
+                    input_ns=[info.n_unique_stored], encoding=info.encoding,
+                    counter_value=value)
 
 
 def transform_histogram(db: str, out_path: str, cutoff_min: int | None = None,
@@ -583,7 +633,9 @@ def run_transform_ops(db: str, ops, in_cut=None):
                 (transform_sort if op[0] == "sort" else transform_reduce)(
                     db, op[1], op[2], in_cut=in_cut)
             elif op[0] == "compact":
-                transform_compact(db, op[1], in_cut=in_cut)
+                transform_compact(db, op[1],
+                                  op[2] if len(op) > 2 else None,
+                                  in_cut=in_cut)
             elif op[0] == "set_counts":
                 transform_set_counts(db, op[1], op[2], in_cut=in_cut)
             elif op[0] == "histogram":
@@ -600,24 +652,25 @@ def run_transform_ops(db: str, ops, in_cut=None):
         kind = op[0]
         if kind in ("sort", "reduce", "compact", "set_counts"):
             out = op[1]
+            counter_value = None
             if kind in ("sort", "reduce"):
                 p = _resolve_out_params(op[2], [db], [eff])
                 kmers, counts = p.apply(kmers0, counts0)
             elif kind == "compact":
-                p = OutputParams(cutoff_min=1, cutoff_max=10**9,
-                                 counter_max=1)
-                kmers = kmers0
-                counts = np.ones(len(kmers0), np.uint32)
+                p = _compact_params(db, op[2] if len(op) > 2 else None, eff)
+                kmers, counts = p.apply(kmers0, counts0)
             else:
                 value = op[2]
-                p = OutputParams(cutoff_min=1, cutoff_max=max(10**9, value),
-                                 counter_max=max(255, value))
+                p = OutputParams(cutoff_min=1, cutoff_max=_SET_COUNTS_LIMIT,
+                                 counter_max=_SET_COUNTS_LIMIT)
                 kmers = kmers0
                 counts = np.full(len(kmers0), value, np.uint32)
+                counter_value = value
             write_sorted_db(out, info.kmer_len, kmers, counts, p,
                             info.both_strands,
                             input_ns=[info.n_unique_stored],
-                            encoding=info.encoding)
+                            encoding=info.encoding,
+                            counter_value=counter_value)
         elif kind == "histogram":
             _, out, lo, hi = op
             if lo is None:

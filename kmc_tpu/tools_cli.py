@@ -149,8 +149,20 @@ def cmd_transform(args) -> int:
             elif op in ("sort", "reduce"):
                 ops.append((op, out, ov))
             elif op == "compact":
-                ops.append(("compact", out))
+                # -cs is ignored for compact (parameters_parser.cpp:437-441)
+                if ov.get("cs"):
+                    print("Warning: -cs can not be specified for compact "
+                          "operation, value specified will be ignored",
+                          file=sys.stderr)
+                    ov.pop("cs", None)
+                ops.append(("compact", out, ov))
             else:
+                # -cs/-cx/-ci are ignored for set_counts
+                # (parameters_parser.cpp:443-450)
+                if any(ov.get(f) for f in ("cs", "cx", "ci")):
+                    print("Warning: -cs, -cx, -ci cannot be specified for "
+                          "set_counts operation, values will be ignored",
+                          file=sys.stderr)
                 ops.append(("set_counts", out, value))
         elif op == "histogram":
             out = args[i]

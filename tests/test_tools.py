@@ -128,8 +128,52 @@ def test_transform_set_counts_and_compact(two_dbs, tmp_path):
     out2 = str(tmp_path / "cp")
     db_ops.transform_compact(db1, out2)
     db = read_db(out2)
-    assert db.info.counter_size == 0
+    # the kmc_tools writers always store >= 1 counter byte, even for
+    # compact's all-ones counters (kmc_tools/kmc1_db_writer.h:154)
+    assert db.info.counter_size == 1
     assert _dump_dict(out2) == {km: 1 for km in c1}
+
+
+def test_tools_counter_size_rule():
+    """kmc_tools output counter widths: MIN(BYTE_LOG(cs), BYTE_LOG(cx)),
+    always >= 1 (unlike the counting engine's counter_max==1 -> 0 bytes),
+    BYTE_LOG capped at 4; set_counts sizes KMC1 counters from the fixed
+    value but KFF outputs ignore it (kmc1_db_writer.h:154-156,
+    kff_db_writer.h:74)."""
+    f = db_ops.tools_counter_size
+    assert f(10**9, 1) == 1          # compact: 1 byte, not 0
+    assert f(10**9, 255) == 1
+    assert f(10**9, 65535) == 2
+    assert f(255, 10**9) == 1        # min of the two
+    assert f(2**40, 2**40) == 4      # BYTE_LOG caps at 4
+    assert f(0xFFFFFFFF, 0xFFFFFFFF, counter_value=7) == 1
+    assert f(0xFFFFFFFF, 0xFFFFFFFF, counter_value=300) == 2
+    assert f(0xFFFFFFFF, 0xFFFFFFFF, counter_value=300, kff=True) == 4
+
+
+def test_compact_header_fields(two_dbs, tmp_path):
+    """compact defaults output ci/cx from the input header and filters on
+    the ORIGINAL counters (parameters_parser.cpp:437-441)."""
+    db1, _, c1, _ = two_dbs
+    out = str(tmp_path / "cp_ci")
+    db_ops.transform_compact(db1, out, {"ci": 3})
+    info = read_db(out).info
+    assert info.counter_size == 1
+    assert info.cutoff_min == 3
+    assert _dump_dict(out) == {km: 1 for km, c in c1.items() if c >= 3}
+
+
+def test_set_counts_header_fields(two_dbs, tmp_path):
+    """set_counts output header: ci=1, cx=cs=uint32 max, counter bytes
+    sized from the value (parameters_parser.cpp:443-450)."""
+    db1, _, c1, _ = two_dbs
+    out = str(tmp_path / "sc_hdr")
+    db_ops.transform_set_counts(db1, out, 300)
+    info = read_db(out).info
+    assert info.counter_size == 2  # BYTE_LOG(300)
+    assert info.cutoff_min == 1
+    assert info.cutoff_max == 0xFFFFFFFF
+    assert _dump_dict(out) == {km: 300 for km in c1}
 
 
 def test_compare(two_dbs, tmp_path):

@@ -114,6 +114,22 @@ def main():
                     print(f"  first diff: ref={a!r} tpu={b!r}")
                     break
 
+    def check_db_bytes(tag, ref_prefix, tpu_prefix):
+        """Byte-identity of the output DATABASE FILES themselves (stronger
+        than dump-identity: pins headers, LUT sizing and counter widths to
+        the reference writers', kmc1_db_writer.h / kff_db_writer.h)."""
+        nonlocal failures
+        import filecmp
+
+        ref_prefix, tpu_prefix = str(ref_prefix), str(tpu_prefix)
+        sufs = [""] if ref_prefix.endswith(".kff") else \
+            [".kmc_pre", ".kmc_suf"]
+        ok = all(filecmp.cmp(ref_prefix + s, tpu_prefix + s, shallow=False)
+                 for s in sufs)
+        print(f"{tag} [db bytes]: {'MATCH' if ok else 'MISMATCH'}")
+        if not ok:
+            failures += 1
+
     simple_cases = [
         ("union", None), ("intersect", None), ("kmers_subtract", None),
         ("counters_subtract", None), ("reverse_kmers_subtract", None),
@@ -132,6 +148,7 @@ def main():
         assert tpu_tools(["simple", tpu1, tpu2, op, *margs, tout]) == 0
         check(tag, ref_dump(kmc_tools, rout, workdir),
               tpu_dump(tout, workdir))
+        check_db_bytes(tag, rout, tout)
 
     # per-input -ci/-cx (reference input_params) + input-derived output
     # defaulting: counters_subtract is the op whose results can fall below
@@ -150,6 +167,7 @@ def main():
         assert tpu_tools(["simple", tpu1, *cut1, tpu2, *cut2, op, tout]) == 0
         check(tag, ref_dump(kmc_tools, rout, workdir),
               tpu_dump(tout, workdir))
+        check_db_bytes(tag, rout, tout)
 
     # -okff output (reference appends .kff, kff_db_writer.h:79) with full
     # cross-reads: each side's transform dump must read the OTHER side's
@@ -161,6 +179,8 @@ def main():
     ref_kff_dump = ref_dump(kmc_tools, workdir / "ref_okff.kff", workdir)
     check("simple union -okff", ref_kff_dump,
           tpu_dump(workdir / "tpu_okff.kff", workdir))
+    check_db_bytes("simple union -okff", workdir / "ref_okff.kff",
+                   workdir / "tpu_okff.kff")
     check("cross-read: tpu dumps ref .kff", ref_kff_dump,
           tpu_dump(workdir / "ref_okff.kff", workdir))
     check("cross-read: ref dumps tpu .kff", ref_kff_dump,
@@ -185,6 +205,8 @@ def main():
     ref_encu = ref_dump(kmc_tools, workdir / "ref_encu.kff", workdir)
     check("union of non-default-encoding kffs (KFF enforced)",
           ref_encu, tpu_dump(workdir / "tpu_encu.kff", workdir))
+    check_db_bytes("union of non-default-encoding kffs",
+                   workdir / "ref_encu.kff", workdir / "tpu_encu.kff")
     check("cross-read: ref dumps tpu enc-union .kff",
           ref_encu, ref_dump(kmc_tools, workdir / "tpu_encu.kff", workdir))
 
@@ -196,6 +218,8 @@ def main():
     check("transform sort -okff (+globals)",
           ref_dump(kmc_tools, workdir / "ref_tokff.kff", workdir),
           tpu_dump(workdir / "tpu_tokff.kff", workdir))
+    check_db_bytes("transform sort -okff", workdir / "ref_tokff.kff",
+                   workdir / "tpu_tokff.kff")
 
     # transform with input params: the filter applies to every output op
     rout, tout = workdir / "ref_tic", workdir / "tpu_tic"
@@ -206,6 +230,7 @@ def main():
                       "histogram", th]) == 0
     check("transform -ci3 sort", ref_dump(kmc_tools, rout, workdir),
           tpu_dump(tout, workdir))
+    check_db_bytes("transform -ci3 sort", rout, tout)
     check("transform -ci3 histogram", rh.read_text(), th.read_text())
 
     # transform reduce (re-threshold)
@@ -214,6 +239,7 @@ def main():
     assert tpu_tools(["transform", tpu1, "reduce", tout, "-ci3"]) == 0
     check("transform reduce -ci3", ref_dump(kmc_tools, rout, workdir),
           tpu_dump(tout, workdir))
+    check_db_bytes("transform reduce -ci3", rout, tout)
 
     # transform set_counts
     rout, tout = workdir / "ref_sc", workdir / "tpu_sc"
@@ -221,6 +247,7 @@ def main():
     assert tpu_tools(["transform", tpu1, "set_counts", "7", tout]) == 0
     check("transform set_counts 7", ref_dump(kmc_tools, rout, workdir),
           tpu_dump(tout, workdir))
+    check_db_bytes("transform set_counts 7", rout, tout)
 
     # transform compact (drop counters -> all 1s)
     rout, tout = workdir / "ref_cp", workdir / "tpu_cp"
@@ -228,6 +255,7 @@ def main():
     assert tpu_tools(["transform", tpu1, "compact", tout]) == 0
     check("transform compact", ref_dump(kmc_tools, rout, workdir),
           tpu_dump(tout, workdir))
+    check_db_bytes("transform compact", rout, tout)
 
     # transform histogram (text output)
     rout, tout = workdir / "ref.hist", workdir / "tpu.hist"
@@ -255,6 +283,8 @@ def main():
     check("complex (a*max b)+(a-b) -ci2",
           ref_dump(kmc_tools, workdir / "ref_cplx", workdir),
           tpu_dump(workdir / "tpu_cplx", workdir))
+    check_db_bytes("complex (a*max b)+(a-b) -ci2",
+                   workdir / "ref_cplx", workdir / "tpu_cplx")
 
     # complex with -okff in OUTPUT_PARAMS (parser.cpp:222-227)
     for path, d1, d2, outdb in (
@@ -269,6 +299,8 @@ def main():
     check("complex a+b -okff",
           ref_dump(kmc_tools, workdir / "ref_cplx_kff.kff", workdir),
           tpu_dump(workdir / "tpu_cplx_kff.kff", workdir))
+    check_db_bytes("complex a+b -okff", workdir / "ref_cplx_kff.kff",
+                   workdir / "tpu_cplx_kff.kff")
     check("cross-read: ref dumps tpu complex .kff",
           ref_dump(kmc_tools, workdir / "ref_cplx_kff.kff", workdir),
           ref_dump(kmc_tools, workdir / "tpu_cplx_kff.kff", workdir))
