@@ -342,28 +342,36 @@ class StreamingKmc1Writer:
         self.n += n
 
     def close(self):
-        info = self.info
         self._suf.write(SUF_MARKER)
         self._suf.close()
-        with open(self.path + ".kmc_pre", "wb") as pre:
-            pre.write(PRE_MARKER)
-            lut = np.zeros(self.lut_size, np.uint64)
-            np.cumsum(self.hist[:-1], out=lut[1:])
-            lut.astype("<u8").tofile(pre)
-            header = struct.pack(
-                "<IIIIIIQB",
-                info.kmer_len, info.mode, info.counter_size,
-                info.lut_prefix_len, info.cutoff_min,
-                info.cutoff_max & 0xFFFFFFFF, self.n,
-                0 if info.both_strands else 1,
-            )
-            header += b"\x00" * 3
-            header += struct.pack("<I", (info.cutoff_max >> 32) & 0xFFFFFFFF)
-            header += b"\x00" * 20
-            header += struct.pack("<I", KMC1_VER)
-            pre.write(header)
-            pre.write(struct.pack("<I", len(header)))
-            pre.write(PRE_MARKER)
+        write_kmc1_pre(self.path, self.info, self.hist, self.n)
+
+
+def write_kmc1_pre(path_prefix: str, info: DbInfo, hist: np.ndarray,
+                   n: int) -> None:
+    """Write a KMC1 .kmc_pre (LUT cumsum + header) from a prefix histogram
+    — shared by StreamingKmc1Writer and the native tools core (which emits
+    the .kmc_suf records + histogram in C, kmc_tpu/tools/native_tools.py)."""
+    lut_size = 1 << (2 * info.lut_prefix_len)
+    with open(str(path_prefix) + ".kmc_pre", "wb") as pre:
+        pre.write(PRE_MARKER)
+        lut = np.zeros(lut_size, np.uint64)
+        np.cumsum(hist[:lut_size][:-1], out=lut[1:])
+        lut.astype("<u8").tofile(pre)
+        header = struct.pack(
+            "<IIIIIIQB",
+            info.kmer_len, info.mode, info.counter_size,
+            info.lut_prefix_len, info.cutoff_min,
+            info.cutoff_max & 0xFFFFFFFF, n,
+            0 if info.both_strands else 1,
+        )
+        header += b"\x00" * 3
+        header += struct.pack("<I", (info.cutoff_max >> 32) & 0xFFFFFFFF)
+        header += b"\x00" * 20
+        header += struct.pack("<I", KMC1_VER)
+        pre.write(header)
+        pre.write(struct.pack("<I", len(header)))
+        pre.write(PRE_MARKER)
 
 
 # -- windowed two-stream merge ops (the streaming CUnion/CIntersection/...,

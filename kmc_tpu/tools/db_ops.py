@@ -294,6 +294,59 @@ def _stored_count(path: str) -> int:
         return 0
 
 
+def _simple_out_info(op_params: OutputParams, k: int, both_strands: bool,
+                     input_ns) -> DbInfo:
+    """Output DbInfo for a streamed 2-input set op (the reference sizes the
+    LUT from the INPUT headers — it streams, so the output count is unknown
+    upfront)."""
+    return DbInfo(
+        kmer_len=k,
+        counter_size=tools_counter_size(op_params.cutoff_max,
+                                        op_params.counter_max),
+        lut_prefix_len=tools_lut_prefix_len(k, input_ns),
+        cutoff_min=op_params.cutoff_min,
+        cutoff_max=op_params.cutoff_max,
+        both_strands=both_strands,
+        version=0,
+    )
+
+
+def _native_simple(op, db1, db2, out, mode, op_params, eff1, eff2):
+    """Native streamed set op; None when ineligible (caller falls back)."""
+    if str(out).endswith(".kff"):
+        return None
+    from . import native_tools
+
+    if op.startswith("reverse_"):
+        op, db1, db2, eff1, eff2 = op[len("reverse_"):], db2, db1, eff2, eff1
+    try:
+        info1 = read_db_header_info(db1)
+        info2 = read_db_header_info(db2)
+    except (OSError, ValueError):
+        return None
+    if info1 is None or info2 is None:
+        return None
+    if info1.kmer_len != info2.kmer_len:
+        raise ValueError(
+            f"k-mer length mismatch: {info1.kmer_len} vs {info2.kmer_len}")
+    info_out = _simple_out_info(
+        op_params, info1.kmer_len, info1.both_strands,
+        [info1.n_unique_stored, info2.n_unique_stored])
+    return native_tools.run_op(
+        op, db1, out, info_out, op_params, db2=db2,
+        mode=mode or DEFAULT_COUNTER_MODE.get(op, "sum"),
+        in1_cut=eff1, in2_cut=eff2)
+
+
+def read_db_header_info(path):
+    """DbInfo from a .kmc_pre header alone; None for KFF inputs."""
+    if str(path).endswith(".kff"):
+        return None
+    from ..formats.kmc_db import read_pre_meta
+
+    return read_pre_meta(str(path))[0]
+
+
 def run_simple_op(op: str, db1: str, db2: str, out: str, mode: str | None = None,
                   out_params: OutputParams | dict | None = None,
                   in1_cut=None, in2_cut=None):
@@ -305,6 +358,10 @@ def run_simple_op(op: str, db1: str, db2: str, out: str, mode: str | None = None
     eff2 = effective_input_cut(db2, in2_cut)
     encoding = _check_encodings([db1, db2])
     out_params = _resolve_out_params(out_params, [db1, db2], [eff1, eff2])
+    if encoding == DEFAULT_ENCODING:
+        n = _native_simple(op, db1, db2, out, mode, out_params, eff1, eff2)
+        if n is not None:
+            return n
     if (not str(out).endswith(".kff") and encoding == DEFAULT_ENCODING
             and _stored_count(db1) + _stored_count(db2) > _stream_threshold()):
         from ..formats.streaming import stream_simple_op
@@ -342,6 +399,17 @@ def run_simple_ops(db1: str, db2: str, ops, in1_cut=None, in2_cut=None):
     simple outputs off one merge pass, kmc_tools.cpp/bundle.h).
     ops: [(op, mode|None, out_path, overrides_dict|OutputParams)].
     Falls back to per-op streaming above the memory threshold."""
+    from . import native_tools
+
+    if (native_tools.get_lib() is not None and native_tools._enabled()
+            and native_tools._eligible(db1) and native_tools._eligible(db2)
+            and not any(str(o[2]).endswith(".kff") for o in ops)):
+        # the native streamed passes are fast enough that per-op passes
+        # beat one shared in-memory merge; run_simple_op delegates each
+        for op, mode, out, params in ops:
+            run_simple_op(op, db1, db2, out, mode, params,
+                          in1_cut=in1_cut, in2_cut=in2_cut)
+        return
     if (_stored_count(db1) + _stored_count(db2) > _stream_threshold()
             or any(str(o[2]).endswith(".kff") for o in ops)):
         for op, mode, out, params in ops:
@@ -487,11 +555,41 @@ def _stream_single(db, out) -> bool:
             and _stored_count(db) > _stream_threshold())
 
 
+def _native_transform(db, out, p: OutputParams, eff, *,
+                      set_value: int | None = None):
+    """Native streamed single-input transform; None when ineligible."""
+    if str(out).endswith(".kff"):
+        return None
+    from . import native_tools
+
+    try:
+        info = read_db_header_info(db)
+    except (OSError, ValueError):
+        return None
+    if info is None:
+        return None
+    info_out = DbInfo(
+        kmer_len=info.kmer_len,
+        counter_size=tools_counter_size(p.cutoff_max, p.counter_max,
+                                        counter_value=set_value),
+        lut_prefix_len=tools_lut_prefix_len(info.kmer_len,
+                                            [info.n_unique_stored]),
+        cutoff_min=p.cutoff_min,
+        cutoff_max=p.cutoff_max,
+        both_strands=info.both_strands,
+        version=0,
+    )
+    return native_tools.run_op("copy", db, out, info_out, p,
+                               in1_cut=eff, set_value=set_value)
+
+
 def transform_sort(db: str, out: str,
                    out_params: OutputParams | dict | None = None,
                    in_cut=None):
     eff = effective_input_cut(db, in_cut)
     p = _resolve_out_params(out_params, [db], [eff])
+    if _native_transform(db, out, p, eff) is not None:
+        return
     if _stream_single(db, out):
         from ..formats.streaming import stream_transform
 
@@ -533,6 +631,8 @@ def transform_compact(db: str, out: str,
                       in_cut=None):
     eff = effective_input_cut(db, in_cut)
     p = _compact_params(db, out_params, eff)
+    if _native_transform(db, out, p, eff) is not None:
+        return
     if _stream_single(db, out):
         from ..formats.streaming import stream_transform
 
@@ -549,6 +649,8 @@ def transform_set_counts(db: str, out: str, value: int, in_cut=None):
     eff = effective_input_cut(db, in_cut)
     p = OutputParams(cutoff_min=1, cutoff_max=_SET_COUNTS_LIMIT,
                      counter_max=_SET_COUNTS_LIMIT)
+    if _native_transform(db, out, p, eff, set_value=value) is not None:
+        return
     if _stream_single(db, out):
         from ..formats.streaming import stream_transform
 
@@ -572,6 +674,25 @@ def transform_histogram(db: str, out_path: str, cutoff_min: int | None = None,
     eff = effective_input_cut(db, in_cut)
     if cutoff_min is None:
         cutoff_min = eff[0]
+    if not str(db).endswith(".kff"):
+        from . import native_tools
+
+        try:
+            info = read_db_header_info(db)
+        except (OSError, ValueError):
+            info = None
+        if info is not None:
+            hi = cutoff_max
+            if hi is None:
+                hi = min(info.cutoff_max, 10000)
+                if info.counter_size:
+                    hi = min(hi, (1 << (8 * info.counter_size)) - 1)
+            hist = native_tools.run_histogram(db, hi, in_cut=eff)
+            if hist is not None:
+                with open(out_path, "w") as f:
+                    for v in range(cutoff_min, hi + 1):
+                        f.write(f"{v}\t{hist[v]}\n")
+                return
     if _stream_single(db, out_path):
         from ..formats.streaming import stream_histogram
 
@@ -593,6 +714,22 @@ def transform_histogram(db: str, out_path: str, cutoff_min: int | None = None,
 def transform_dump(db: str, out_path: str, sorted_output: bool = True,
                    in_cut=None):
     explicit_cut = in_cut is not None and any(v for v in in_cut)
+    if not str(db).endswith(".kff"):
+        try:
+            hdr = read_db_header_info(db)
+        except (OSError, ValueError):
+            hdr = None
+        # without -s a KMC2 database dumps in file (bin) order — native
+        # covers the sorted dump and KMC1 inputs (whose file order IS
+        # sorted order)
+        if hdr is not None and (sorted_output or hdr.version == 0):
+            from . import native_tools
+
+            eff = (effective_input_cut(db, in_cut) if explicit_cut
+                   else (None, None))
+            if native_tools.run_dump(db, str(out_path),
+                                     in_cut=eff) is not None:
+                return
     if sorted_output and not str(db).endswith(".kff") \
             and _stored_count(db) > _stream_threshold():
         from ..formats.streaming import stream_dump
@@ -625,9 +762,15 @@ def run_transform_ops(db: str, ops, in_cut=None):
     outputs off one DB pass, kmc_tools.cpp:449-470).  ops: list of
     ("sort"|"reduce", out, overrides), ("compact", out),
     ("set_counts", out, value), ("histogram", out, lo, hi),
-    ("dump", out, sorted_output).  Above the streaming threshold each op
-    dispatches to its own (bounded-memory) function instead."""
-    if _stored_count(db) > _stream_threshold():
+    ("dump", out, sorted_output).  Above the streaming threshold — or when
+    the native streamed passes are available (each pass is a fast C
+    pread-merge) — each op dispatches to its own function instead."""
+    from . import native_tools
+
+    native_ok = (native_tools.get_lib() is not None
+                 and native_tools._enabled()
+                 and native_tools._eligible(db))
+    if native_ok or _stored_count(db) > _stream_threshold():
         for op in ops:
             if op[0] in ("sort", "reduce"):
                 (transform_sort if op[0] == "sort" else transform_reduce)(
@@ -693,6 +836,11 @@ def run_transform_ops(db: str, ops, in_cut=None):
 def db_compare(db1: str, db2: str) -> bool:
     """kmc_tools compare: record-level equality (operations.h:258)."""
     _check_encodings([db1, db2])
+    from . import native_tools
+
+    eq = native_tools.run_compare(db1, db2)
+    if eq is not None:
+        return eq
     if _stored_count(db1) + _stored_count(db2) > _stream_threshold():
         from ..formats.streaming import stream_compare
 

@@ -1,0 +1,262 @@
+"""ctypes bindings for the native streaming tools core
+(native/kmc_stream.cpp): sorted-stream KMC1/KMC2 readers, k-way bin merge,
+set-operation merges, and KMC1 record+LUT emission in C++.
+
+Reference analogues: CKMC2DbReader (kmc_tools/kmc2_db_reader.h:400-560),
+the operations.h sorted merges, and CKMC1DbWriter.  Every entry point
+returns None when the native library is unavailable (or the input shape is
+out of scope — KFF files, non-default encodings) so the NumPy paths in
+db_ops.py / formats/streaming.py remain the fallback and the oracle.
+
+Disable with KMC_TPU_NATIVE_TOOLS=0 (used by the equivalence tests to
+byte-compare both paths).
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import struct
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from ..formats.kmc_db import KMC1_VER, PRE_MARKER, read_pre_meta
+
+_lock = threading.Lock()
+_lib = None
+_lib_tried = False
+
+_SRC = Path(__file__).resolve().parent.parent.parent / "native" / "kmc_stream.cpp"
+
+OP_CODES = {
+    "copy": 0,
+    "union": 1,
+    "intersect": 2,
+    "kmers_subtract": 3,
+    "counters_subtract": 4,
+}
+MODE_CODES = {
+    "min": 0, "max": 1, "sum": 2, "diff": 3,
+    "left": 4, "from_db1": 4, "right": 5, "from_db2": 5,
+}
+
+
+class _InputSpec(ctypes.Structure):
+    _fields_ = [
+        ("suf_path", ctypes.c_char_p),
+        ("luts", ctypes.POINTER(ctypes.c_uint64)),
+        ("n_sections", ctypes.c_uint64),
+        ("lut_size", ctypes.c_uint64),
+        ("kmer_len", ctypes.c_uint32),
+        ("lut_prefix_len", ctypes.c_uint32),
+        ("counter_size", ctypes.c_uint32),
+        ("ci", ctypes.c_uint64),
+        ("cx", ctypes.c_uint64),
+    ]
+
+
+def _enabled() -> bool:
+    return os.environ.get("KMC_TPU_NATIVE_TOOLS", "1") != "0"
+
+
+def _cache_dir() -> Path:
+    d = os.environ.get("KMC_TPU_NATIVE_CACHE")
+    if d:
+        return Path(d)
+    base = os.environ.get("XDG_CACHE_HOME") or str(Path.home() / ".cache")
+    return Path(base) / "kmc_tpu" / "native"
+
+
+def get_lib():
+    """Load (building on first use) the native tools library; None if
+    unavailable.  Build cache keyed on a source content hash, like
+    io/native.py."""
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _lib_tried:
+            return _lib
+        _lib_tried = True
+        if not _SRC.exists():
+            return None
+        digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+        so = _cache_dir() / f"libkmc_stream-{digest}.so"
+        if not so.exists():
+            try:
+                so.parent.mkdir(parents=True, exist_ok=True)
+            except OSError:
+                return None
+            tmp = so.with_suffix(".so.tmp%d" % os.getpid())
+            cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                   str(_SRC), "-o", str(tmp)]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
+            except (subprocess.SubprocessError, FileNotFoundError, OSError):
+                return None
+            os.replace(tmp, so)
+        try:
+            lib = ctypes.CDLL(str(so))
+        except OSError:
+            return None
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        isp = ctypes.POINTER(_InputSpec)
+        lib.kst_op.restype = ctypes.c_int64
+        lib.kst_op.argtypes = [isp, isp, ctypes.c_int32, ctypes.c_int32,
+                               ctypes.c_char_p, ctypes.c_uint32,
+                               ctypes.c_uint32, ctypes.c_uint64,
+                               ctypes.c_uint64, ctypes.c_uint64,
+                               ctypes.c_int64, u64p]
+        lib.kst_dump.restype = ctypes.c_int64
+        lib.kst_dump.argtypes = [isp, ctypes.c_char_p]
+        lib.kst_histogram.restype = ctypes.c_int64
+        lib.kst_histogram.argtypes = [isp, u64p, ctypes.c_uint64]
+        lib.kst_compare.restype = ctypes.c_int32
+        lib.kst_compare.argtypes = [isp, isp]
+        _lib = lib
+        return _lib
+
+
+class _NativeInput:
+    """An InputSpec plus the Python objects keeping its pointers alive."""
+
+    def __init__(self, path: str, cut=(None, None)):
+        self.info, luts, _ = read_pre_meta(str(path), mmap_luts=True)
+        if self.info.version == KMC1_VER:
+            # mmap'd KMC1 LUTs carry no trailing n_recs sentinel: load the
+            # (small) LUT into RAM and append it
+            lut_size = 1 << (2 * self.info.lut_prefix_len)
+            arr = np.empty(lut_size + 1, np.uint64)
+            arr[:lut_size] = luts[:lut_size]
+            arr[lut_size] = self.info.n_unique_stored
+            self.luts = arr
+            n_sections = 1
+        else:
+            self.luts = luts
+            n_sections = self.info.n_bins
+        ci, cx = cut
+        self.spec = _InputSpec(
+            suf_path=(str(path) + ".kmc_suf").encode(),
+            luts=self.luts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            n_sections=n_sections,
+            lut_size=1 << (2 * self.info.lut_prefix_len),
+            kmer_len=self.info.kmer_len,
+            lut_prefix_len=self.info.lut_prefix_len,
+            counter_size=self.info.counter_size,
+            ci=int(ci) if ci else 1,
+            cx=int(cx) if cx is not None and cx else (1 << 64) - 1,
+        )
+
+
+def _eligible(path) -> bool:
+    """KMC .kmc_pre/.kmc_suf databases only (KFF and non-default encodings
+    stay on the Python paths)."""
+    p = str(path)
+    if p.endswith(".kff"):
+        return False
+    try:
+        with open(p + ".kmc_pre", "rb") as f:
+            return f.read(4) == PRE_MARKER
+    except OSError:
+        return False
+
+
+def _open_inputs(paths_cuts):
+    if get_lib() is None or not _enabled():
+        return None
+    try:
+        return [_NativeInput(p, cut) for p, cut in paths_cuts]
+    except (OSError, ValueError):
+        return None
+
+
+def run_op(op: str, db1, out: str, info_out, out_params, db2=None,
+           mode: str | None = None, in1_cut=(None, None),
+           in2_cut=(None, None), set_value: int | None = None):
+    """One streamed operation -> KMC1 database at `out`.
+
+    info_out: the output DbInfo (kmer_len/counter_size/lut_prefix_len/
+    cutoffs/both_strands already resolved by the caller — identical fields
+    to the Python writers').  Returns the record count, or None when the
+    native path is unavailable/ineligible (caller falls back)."""
+    if not _eligible(db1) or (db2 is not None and not _eligible(db2)):
+        return None
+    specs = _open_inputs([(db1, in1_cut)] +
+                         ([(db2, in2_cut)] if db2 is not None else []))
+    if specs is None:
+        return None
+    lib = get_lib()
+    lut_size = 1 << (2 * info_out.lut_prefix_len)
+    hist = np.zeros(lut_size, np.uint64)
+    n = lib.kst_op(
+        ctypes.byref(specs[0].spec),
+        ctypes.byref(specs[1].spec) if db2 is not None else None,
+        OP_CODES["copy" if db2 is None else op],
+        MODE_CODES.get((mode or "sum").lower(), 2),
+        (str(out) + ".kmc_suf").encode(),
+        info_out.lut_prefix_len,
+        info_out.counter_size,
+        int(out_params.cutoff_min),
+        int(out_params.cutoff_max),
+        int(out_params.counter_max),
+        -1 if set_value is None else int(set_value),
+        hist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    if n < 0:
+        raise OSError(f"native tools op failed on {db1}")
+    from ..formats.streaming import write_kmc1_pre
+
+    write_kmc1_pre(str(out), info_out, hist, int(n))
+    return int(n)
+
+
+def run_dump(db, out_path: str, in_cut=(None, None)):
+    """Sorted text dump; returns record count or None (fallback)."""
+    if not _eligible(db):
+        return None
+    specs = _open_inputs([(db, in_cut)])
+    if specs is None:
+        return None
+    n = get_lib().kst_dump(ctypes.byref(specs[0].spec),
+                           str(out_path).encode())
+    if n < 0:
+        raise OSError(f"native dump failed on {db}")
+    return int(n)
+
+
+def run_histogram(db, cutoff_max: int, in_cut=(None, None)):
+    """Counter histogram as uint64[cutoff_max + 2] (last slot = clamped
+    overflow), or None (fallback)."""
+    if not _eligible(db):
+        return None
+    specs = _open_inputs([(db, in_cut)])
+    if specs is None:
+        return None
+    hist = np.zeros(int(cutoff_max) + 2, np.uint64)
+    n = get_lib().kst_histogram(
+        ctypes.byref(specs[0].spec),
+        hist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(hist))
+    if n < 0:
+        raise OSError(f"native histogram failed on {db}")
+    return hist
+
+
+def run_compare(db1, db2):
+    """Record-level equality; True/False, or None (fallback)."""
+    if not _eligible(db1) or not _eligible(db2):
+        return None
+    specs = _open_inputs([(db1, (None, None)), (db2, (None, None))])
+    if specs is None:
+        return None
+    if specs[0].info.kmer_len != specs[1].info.kmer_len:
+        return False
+    r = get_lib().kst_compare(ctypes.byref(specs[0].spec),
+                              ctypes.byref(specs[1].spec))
+    if r < 0:
+        raise OSError("native compare failed")
+    return bool(r)

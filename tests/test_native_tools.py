@@ -1,0 +1,191 @@
+"""Byte-equivalence of the native streaming tools core (native/kmc_stream.cpp
+via kmc_tpu/tools/native_tools.py) against the pure-NumPy paths.
+
+Every op is run twice — KMC_TPU_NATIVE_TOOLS on and off — and the output
+files are byte-compared.  Inputs cover KMC1 (single section) and fabricated
+multi-bin KMC2 databases (exercising the loser-tree merge), k across the
+key-word-width boundaries, multi-byte counters, input/output cutoffs, all
+set ops and counter modes.
+"""
+from __future__ import annotations
+
+import filecmp
+
+import numpy as np
+import pytest
+
+from kmc_tpu.formats.kmc_db import DbInfo, KMC2_VER, write_kmc1_db, Kmc2DbWriter
+from kmc_tpu.tools import db_ops, native_tools
+from kmc_tpu.tools.db_ops import OutputParams
+
+pytestmark = pytest.mark.skipif(
+    native_tools.get_lib() is None, reason="native tools library unavailable"
+)
+
+
+def _random_records(rng, k, n, max_count=300):
+    kb = (k + 3) // 4
+    used_bits = 2 * k
+    kmers = rng.integers(0, 256, (n, kb), dtype=np.uint8)
+    # clear the unused high bits of the first byte
+    top_bits = used_bits - 8 * (kb - 1)
+    kmers[:, 0] &= (1 << top_bits) - 1
+    keys = kmers.view(f"S{kb}").reshape(-1)
+    _, idx = np.unique(keys, return_index=True)
+    kmers = kmers[np.sort(idx)]
+    order = np.lexsort(tuple(kmers[:, j] for j in range(kb - 1, -1, -1)))
+    kmers = kmers[order]
+    counts = rng.integers(1, max_count, len(kmers)).astype(np.uint32)
+    return kmers, counts
+
+
+def _write_kmc1(path, k, kmers, counts, lpl, counter_size=2,
+                cutoff_min=1, cutoff_max=10**9):
+    info = DbInfo(kmer_len=k, counter_size=counter_size, lut_prefix_len=lpl,
+                  cutoff_min=cutoff_min, cutoff_max=cutoff_max, version=0)
+    write_kmc1_db(str(path), info, kmers, counts)
+
+
+def _write_kmc2(path, k, kmers, counts, lpl, n_bins, rng, counter_size=2):
+    """Fabricate a KMC2 database: records partitioned into bins at random
+    (any partition of a sorted unique set keeps every section sorted, which
+    is all the 512-way merge relies on)."""
+    info = DbInfo(kmer_len=k, counter_size=counter_size, lut_prefix_len=lpl,
+                  signature_len=5, cutoff_min=1, cutoff_max=10**9,
+                  n_bins=n_bins, version=KMC2_VER,
+                  n_unique_stored=len(kmers))
+    bins = np.sort(rng.integers(0, n_bins, len(kmers)).astype(np.int64))
+    # records must be sorted by (bin, kmer): sort kmers within each bin
+    out_k = np.empty_like(kmers)
+    out_c = np.empty_like(counts)
+    pos = 0
+    for b in range(n_bins):
+        m = bins == b
+        out_k[pos : pos + m.sum()] = kmers[m]
+        out_c[pos : pos + m.sum()] = counts[m]
+        pos += m.sum()
+    sig_map = np.zeros((1 << 10) + 1, np.int32)
+    w = Kmc2DbWriter(str(path), info, sig_map)
+    w.write_all(bins, out_k, out_c)
+    w.n_unique = w.n_total = len(kmers)  # header n_unique_stored
+    w.close()
+
+
+def _both_paths(monkeypatch, fn, tmp_path, name, outs):
+    """Run fn(out_prefix) with native on and off; byte-compare the outs."""
+    a = tmp_path / f"{name}_native"
+    b = tmp_path / f"{name}_numpy"
+    monkeypatch.setenv("KMC_TPU_NATIVE_TOOLS", "1")
+    fn(str(a))
+    monkeypatch.setenv("KMC_TPU_NATIVE_TOOLS", "0")
+    fn(str(b))
+    for suffix in outs:
+        fa, fb = str(a) + suffix, str(b) + suffix
+        assert filecmp.cmp(fa, fb, shallow=False), f"{name}{suffix} differs"
+
+
+@pytest.mark.parametrize("k,lpl", [(13, 5), (21, 5), (25, 1), (32, 4),
+                                   (33, 5), (55, 7), (130, 6), (255, 3)])
+def test_transform_ops_equivalence(k, lpl, tmp_path, monkeypatch):
+    rng = np.random.default_rng(k)
+    kmers, counts = _random_records(rng, k, 3000)
+    db = tmp_path / "in"
+    _write_kmc1(db, k, kmers, counts, lpl, cutoff_min=1)
+
+    _both_paths(monkeypatch,
+                lambda o: db_ops.transform_sort(str(db), o),
+                tmp_path, "sort", [".kmc_pre", ".kmc_suf"])
+    _both_paths(monkeypatch,
+                lambda o: db_ops.transform_reduce(str(db), o, {"ci": 3,
+                                                               "cs": 100}),
+                tmp_path, "reduce", [".kmc_pre", ".kmc_suf"])
+    _both_paths(monkeypatch,
+                lambda o: db_ops.transform_compact(str(db), o),
+                tmp_path, "compact", [".kmc_pre", ".kmc_suf"])
+    _both_paths(monkeypatch,
+                lambda o: db_ops.transform_set_counts(str(db), o, 77),
+                tmp_path, "setc", [".kmc_pre", ".kmc_suf"])
+    _both_paths(monkeypatch,
+                lambda o: db_ops.transform_dump(str(db), o + ".txt", True),
+                tmp_path, "dump", [".txt"])
+    _both_paths(monkeypatch,
+                lambda o: db_ops.transform_histogram(str(db), o + ".txt"),
+                tmp_path, "hist", [".txt"])
+
+
+@pytest.mark.parametrize("n_bins", [7, 64])
+def test_kmc2_merge_equivalence(n_bins, tmp_path, monkeypatch):
+    """The loser-tree multi-section merge against the NumPy windowed merge."""
+    rng = np.random.default_rng(n_bins)
+    k, lpl = 27, 7
+    kmers, counts = _random_records(rng, k, 20000)
+    db = tmp_path / "in2"
+    _write_kmc2(db, k, kmers, counts, lpl, n_bins, rng)
+
+    _both_paths(monkeypatch,
+                lambda o: db_ops.transform_sort(str(db), o),
+                tmp_path, "sort2", [".kmc_pre", ".kmc_suf"])
+    _both_paths(monkeypatch,
+                lambda o: db_ops.transform_dump(str(db), o + ".txt", True),
+                tmp_path, "dump2", [".txt"])
+
+
+@pytest.mark.parametrize("op,mode", [
+    ("union", None), ("union", "min"), ("union", "max"), ("union", "diff"),
+    ("union", "left"), ("union", "right"),
+    ("intersect", None), ("intersect", "sum"),
+    ("kmers_subtract", None), ("counters_subtract", None),
+    ("reverse_kmers_subtract", None), ("reverse_counters_subtract", None),
+])
+def test_simple_ops_equivalence(op, mode, tmp_path, monkeypatch):
+    rng = np.random.default_rng(sum(map(ord, op + (mode or ""))))
+    k, lpl = 25, 5
+    kmers, counts = _random_records(rng, k, 8000)
+    # two overlapping subsets so every merge branch fires
+    m1 = rng.random(len(kmers)) < 0.7
+    m2 = rng.random(len(kmers)) < 0.7
+    db1, db2 = tmp_path / "a", tmp_path / "b"
+    _write_kmc1(db1, k, kmers[m1], counts[m1], lpl)
+    _write_kmc2(db2, k, kmers[m2], (counts[m2] % 9 + 1).astype(np.uint32),
+                5, 16, rng)
+
+    _both_paths(monkeypatch,
+                lambda o: db_ops.run_simple_op(op, str(db1), str(db2), o,
+                                               mode),
+                tmp_path, f"{op}_{mode}", [".kmc_pre", ".kmc_suf"])
+    # with per-input cutoffs
+    _both_paths(monkeypatch,
+                lambda o: db_ops.run_simple_op(op, str(db1), str(db2), o,
+                                               mode, in1_cut=(3, 200),
+                                               in2_cut=(2, None)),
+                tmp_path, f"{op}_{mode}_cut", [".kmc_pre", ".kmc_suf"])
+
+
+def test_compare_equivalence(tmp_path, monkeypatch):
+    rng = np.random.default_rng(9)
+    k, lpl = 21, 5
+    kmers, counts = _random_records(rng, k, 4000)
+    db1, db2, db3 = tmp_path / "c1", tmp_path / "c2", tmp_path / "c3"
+    _write_kmc1(db1, k, kmers, counts, lpl)
+    _write_kmc2(db2, k, kmers, counts, 5, 16, rng)  # same records, KMC2
+    _write_kmc1(db3, k, kmers[1:], counts[1:], lpl)
+    for env in ("1", "0"):
+        monkeypatch.setenv("KMC_TPU_NATIVE_TOOLS", env)
+        assert db_ops.db_compare(str(db1), str(db2))
+        assert not db_ops.db_compare(str(db1), str(db3))
+
+
+def test_counter_size_zero_input(tmp_path, monkeypatch):
+    """cs=0 inputs (kmc -cs1 existence databases) read as count 1."""
+    rng = np.random.default_rng(3)
+    k, lpl = 21, 5
+    kmers, counts = _random_records(rng, k, 2000)
+    db = tmp_path / "cs0"
+    _write_kmc1(db, k, kmers, np.ones(len(kmers), np.uint32), lpl,
+                counter_size=0)
+    _both_paths(monkeypatch,
+                lambda o: db_ops.transform_sort(str(db), o),
+                tmp_path, "cs0sort", [".kmc_pre", ".kmc_suf"])
+    _both_paths(monkeypatch,
+                lambda o: db_ops.transform_dump(str(db), o + ".txt", True),
+                tmp_path, "cs0dump", [".txt"])

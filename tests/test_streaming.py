@@ -162,6 +162,7 @@ resource.setrlimit(resource.RLIMIT_AS, (450 << 20, 450 << 20))
 import os
 os.environ["KMC_TPU_NO_JAX"] = "1"
 os.environ["KMC_TPU_STREAM_THRESHOLD"] = str(1 << 60)  # force in-memory
+os.environ["KMC_TPU_NATIVE_TOOLS"] = "0"  # the native core is also bounded
 sys.path.insert(0, "/root/repo")
 from kmc_tpu.tools.db_ops import run_simple_op
 try:
@@ -192,6 +193,9 @@ def test_run_simple_op_delegates_to_streaming(dbs, tmp_path, monkeypatch):
     out_m = str(tmp_path / "deleg_m")
     db_ops.run_simple_op("union", db1, db2, out_m)
     monkeypatch.setenv("KMC_TPU_STREAM_THRESHOLD", "0")
+    # the native core would intercept first; this test pins the NumPy
+    # streaming delegation specifically
+    monkeypatch.setenv("KMC_TPU_NATIVE_TOOLS", "0")
     called = []
     import kmc_tpu.formats.streaming as streaming_mod
     orig = streaming_mod.stream_simple_op

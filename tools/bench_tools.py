@@ -35,7 +35,13 @@ def t(fn):
 
 
 def our_tools(args):
-    return run([sys.executable, "-m", "kmc_tpu.tools_cli", *args])
+    # in-process: a subprocess would charge ~2s of the image's
+    # sitecustomize (it imports jax into EVERY python process) to each op;
+    # that cost is this image's, not the tools'.  The reference binary's
+    # process startup is ~5 ms and stays included on its side.
+    from kmc_tpu.tools_cli import main
+
+    assert main([str(a) for a in args]) == 0
 
 
 def main():
