@@ -36,6 +36,25 @@ def main(argv=None) -> int:
         print(USAGE)
         return 1
     db_path, out_path = positional
+    # native fast path: listing order with the listing-mode default
+    # cutoffs (header ci/cx unless overridden, kmc_api/kmc_file.cpp)
+    if not str(db_path).endswith(".kff"):
+        from .formats.kmc_db import read_pre_meta
+        from .tools import native_tools
+
+        try:
+            info = read_pre_meta(db_path)[0]
+        except (OSError, ValueError):
+            info = None
+        if info is not None:
+            eff = (ci if ci is not None else info.cutoff_min,
+                   cx if cx is not None else info.cutoff_max)
+            try:
+                if native_tools.run_dump(db_path, out_path, in_cut=eff,
+                                         sorted_order=False) is not None:
+                    return 0
+            except OSError:
+                pass  # fall through to the listing API
     f = KMCFile()
     if not f.OpenForListing(db_path):
         print(f"Error: cannot open database {db_path}", file=sys.stderr)

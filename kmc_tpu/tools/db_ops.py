@@ -719,16 +719,16 @@ def transform_dump(db: str, out_path: str, sorted_output: bool = True,
             hdr = read_db_header_info(db)
         except (OSError, ValueError):
             hdr = None
-        # without -s a KMC2 database dumps in file (bin) order — native
-        # covers the sorted dump and KMC1 inputs (whose file order IS
-        # sorted order)
-        if hdr is not None and (sorted_output or hdr.version == 0):
+        if hdr is not None:
             from . import native_tools
 
             eff = (effective_input_cut(db, in_cut) if explicit_cut
                    else (None, None))
-            if native_tools.run_dump(db, str(out_path),
-                                     in_cut=eff) is not None:
+            # without -s a KMC2 database dumps in file (bin) order, the
+            # reference's sequential open mode (kmc_tools.cpp:83-92)
+            if native_tools.run_dump(db, str(out_path), in_cut=eff,
+                                     sorted_order=sorted_output
+                                     or hdr.version == 0) is not None:
                 return
     if sorted_output and not str(db).endswith(".kff") \
             and _stored_count(db) > _stream_threshold():

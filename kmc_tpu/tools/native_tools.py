@@ -112,7 +112,7 @@ def get_lib():
                                ctypes.c_uint64, ctypes.c_uint64,
                                ctypes.c_int64, u64p]
         lib.kst_dump.restype = ctypes.c_int64
-        lib.kst_dump.argtypes = [isp, ctypes.c_char_p]
+        lib.kst_dump.argtypes = [isp, ctypes.c_char_p, ctypes.c_int32]
         lib.kst_histogram.restype = ctypes.c_int64
         lib.kst_histogram.argtypes = [isp, u64p, ctypes.c_uint64]
         lib.kst_compare.restype = ctypes.c_int32
@@ -214,15 +214,18 @@ def run_op(op: str, db1, out: str, info_out, out_params, db2=None,
     return int(n)
 
 
-def run_dump(db, out_path: str, in_cut=(None, None)):
-    """Sorted text dump; returns record count or None (fallback)."""
+def run_dump(db, out_path: str, in_cut=(None, None),
+             sorted_order: bool = True):
+    """Text dump — globally sorted, or file (listing) order when
+    sorted_order is False; returns record count or None (fallback)."""
     if not _eligible(db):
         return None
     specs = _open_inputs([(db, in_cut)])
     if specs is None:
         return None
     n = get_lib().kst_dump(ctypes.byref(specs[0].spec),
-                           str(out_path).encode())
+                           str(out_path).encode(),
+                           1 if sorted_order else 0)
     if n < 0:
         raise OSError(f"native dump failed on {db}")
     return int(n)

@@ -83,6 +83,7 @@ struct Reader {
     uint32_t P = 0;                   // slots (power of two)
     bool single = false;              // one live section: skip the tree
     uint32_t single_slot = 0;
+    bool sequential = false;          // file (bin) order: no merge at all
     bool ok = true;
 
     bool open(const InputSpec* in);
@@ -205,6 +206,19 @@ bool Reader::advance(uint32_t sid) {
 }
 
 void Reader::prime() {
+    if (sequential) {
+        // listing order = sections in file order (the CKMCFile
+        // OpenForListing traversal, kmc_api/kmc_file.h:180)
+        for (uint32_t sid = 0; sid < secs.size(); ++sid) {
+            if (advance(sid)) {
+                has = true;
+                head_sid = sid;
+                return;
+            }
+        }
+        has = false;
+        return;
+    }
     std::vector<uint32_t> live;
     for (uint32_t sid = 0; sid < secs.size(); ++sid)
         if (advance(sid)) live.push_back(sid);
@@ -245,6 +259,17 @@ void Reader::prime() {
 }
 
 void Reader::pop() {
+    if (sequential) {
+        if (advance(head_sid)) return;
+        for (uint32_t sid = head_sid + 1; sid < secs.size(); ++sid) {
+            if (advance(sid)) {
+                head_sid = sid;
+                return;
+            }
+        }
+        has = false;
+        return;
+    }
     if (single) {
         if (!advance(head_sid)) has = false;
         return;
@@ -437,9 +462,12 @@ int64_t kst_op(const InputSpec* a, const InputSpec* b, int32_t op,
     return (int64_t)w.n;
 }
 
-// Sorted text dump: "ACGT...\tCOUNT\n" per record (dump_writer.h:241).
-int64_t kst_dump(const InputSpec* a, const char* out_path) {
+// Text dump: "ACGT...\tCOUNT\n" per record (dump_writer.h:241).
+// sorted_order != 0: globally sorted merge; 0: file (listing) order.
+int64_t kst_dump(const InputSpec* a, const char* out_path,
+                 int32_t sorted_order) {
     Reader r;
+    r.sequential = sorted_order == 0;
     if (!r.open(a)) { r.close(); return -1; }
     FILE* f = fopen(out_path, "wb");
     if (!f) { r.close(); return -1; }

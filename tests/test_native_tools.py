@@ -128,6 +128,17 @@ def test_kmc2_merge_equivalence(n_bins, tmp_path, monkeypatch):
     _both_paths(monkeypatch,
                 lambda o: db_ops.transform_dump(str(db), o + ".txt", True),
                 tmp_path, "dump2", [".txt"])
+    # file-order (sequential) dump — kmc_tools transform dump without -s
+    _both_paths(monkeypatch,
+                lambda o: db_ops.transform_dump(str(db), o + ".txt", False),
+                tmp_path, "dump2seq", [".txt"])
+    # kmc_dump CLI (listing order, header-default cutoffs)
+    from kmc_tpu.dump_cli import main as dump_main
+
+    def cli_dump(o):
+        assert dump_main([str(db), o + ".txt"]) == 0
+
+    _both_paths(monkeypatch, cli_dump, tmp_path, "dumpcli", [".txt"])
 
 
 @pytest.mark.parametrize("op,mode", [
@@ -173,6 +184,54 @@ def test_compare_equivalence(tmp_path, monkeypatch):
         monkeypatch.setenv("KMC_TPU_NATIVE_TOOLS", env)
         assert db_ops.db_compare(str(db1), str(db2))
         assert not db_ops.db_compare(str(db1), str(db3))
+
+
+def test_native_union_bounded_address_space(tmp_path):
+    """The native core preads through fixed buffers (no mmap): a union of
+    databases far bigger than an RLIMIT_AS cap must succeed, byte-identical
+    to the unconstrained run."""
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(1)
+    k, lpl = 25, 5
+    kb = (k + 3) // 4
+    paths = []
+    for i in range(2):
+        n = 6_000_000
+        kmers = rng.integers(0, 256, (n, kb), dtype=np.uint8)
+        kmers[:, 0] &= 0x03
+        order = np.lexsort(tuple(kmers[:, j] for j in range(kb - 1, -1, -1)))
+        kmers = kmers[order]
+        dup = np.ones(n, bool)
+        dup[1:] = (kmers[1:] != kmers[:-1]).any(axis=1)
+        kmers = kmers[dup]
+        counts = rng.integers(1, 200, len(kmers)).astype(np.uint32)
+        p = str(tmp_path / f"nbig{i}")
+        _write_kmc1(p, k, kmers, counts, lpl, counter_size=1)
+        paths.append(p)
+        del kmers, counts
+
+    out = str(tmp_path / "n_union")
+    script = f"""
+import resource, sys, os
+resource.setrlimit(resource.RLIMIT_AS, (450 << 20, 450 << 20))
+os.environ["KMC_TPU_NO_JAX"] = "1"
+sys.path.insert(0, "/root/repo")
+from kmc_tpu.tools.db_ops import run_simple_op
+from kmc_tpu.tools import native_tools
+assert native_tools.get_lib() is not None
+n = run_simple_op("union", {paths[0]!r}, {paths[1]!r}, {out!r})
+print("records:", n)
+"""
+    r = subprocess.run([sys.executable, "-c", script],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    out_free = str(tmp_path / "n_union_free")
+    db_ops.run_simple_op("union", paths[0], paths[1], out_free)
+    for suf in (".kmc_pre", ".kmc_suf"):
+        assert filecmp.cmp(out + suf, out_free + suf, shallow=False), suf
 
 
 def test_counter_size_zero_input(tmp_path, monkeypatch):
