@@ -307,6 +307,7 @@ class KMCFile:
         self._info = None
         self._kmers = None  # (N, KB) sorted (RA mode)
         self._kmers_keys = None  # cached _rows_search_keys(self._kmers)
+        self._keys_idx16 = None  # cached top-16-bit range table (native RA)
         self._counts = None
         self._pos = 0
         self._min_count = 1
@@ -347,6 +348,7 @@ class KMCFile:
                 kf.kmers[:, j] for j in range(kf.kmers.shape[1] - 1, -1, -1)))
             self._kmers = kf.kmers[order]
             self._kmers_keys = None
+            self._keys_idx16 = None
             self._counts = kf.counts[order]
             self._info = DbInfo(
                 kmer_len=kf.k,
@@ -392,6 +394,7 @@ class KMCFile:
                 self._path = path
                 self._db = None
                 self._kmers = self._counts = self._kmers_keys = None
+                self._keys_idx16 = None
                 self._min_count = self._info.cutoff_min
                 self._max_count = self._info.cutoff_max
                 return True
@@ -402,6 +405,7 @@ class KMCFile:
             self._info = self._db.info
             self._kmers, self._counts = sorted_records(self._db)
             self._kmers_keys = None
+            self._keys_idx16 = None
             self._pos = 0
         else:
             from .formats.streaming import DbStreamReader
@@ -458,6 +462,7 @@ class KMCFile:
         self._db = None
         self._file_ra = None
         self._kmers = self._counts = self._kmers_keys = None
+        self._keys_idx16 = None
         if self._reader is not None:
             self._reader.close()
             self._reader = None
@@ -596,7 +601,16 @@ class KMCFile:
     def _hay_keys(self):
         if self._kmers_keys is None and self._kmers is not None:
             self._kmers_keys = _rows_search_keys(self._kmers)
+            self._keys_idx16 = None
         return self._kmers_keys
+
+    def _hay_idx16(self):
+        if self._keys_idx16 is None and self._kmers_keys is not None \
+                and self._kmers_keys.dtype == np.uint64:
+            from .tools.native_tools import build_key_index16
+
+            self._keys_idx16 = build_key_index16(self._kmers_keys)
+        return self._keys_idx16
 
     def IsKmer(self, kmer) -> bool:
         return self.CheckKmer(kmer)[0]
@@ -604,6 +618,33 @@ class KMCFile:
     def GetCountersForRead(self, read: str) -> tuple[bool, list]:
         """Counters for every k-mer of a read, 0 where absent or broken by
         non-ACGT symbols (reference kmc_file.cpp:1193).  RA mode only."""
+        ok, counters = self.counters_for_read_array(read)
+        return ok, [int(c) for c in counters]
+
+    def counters_for_read_array(self, read: str) -> tuple[bool, np.ndarray]:
+        """GetCountersForRead returning the raw uint32 array (no Python
+        list round-trip) — the filter's bulk entry point."""
+        # native in-RAM windowed lookup (rolling canonical k-mer + binary
+        # search in C) for k<=32, default encoding
+        if (self._file_ra is None and self._kmers is not None
+                and self._sym_map is None
+                and self._info.kmer_len <= 32):
+            from .tools import native_tools
+
+            keys = self._hay_keys()
+            if keys is not None and keys.dtype == np.uint64:
+                counters = native_tools.counters_for_seq(
+                    read.encode("ascii", errors="replace"),
+                    self._info.kmer_len, self._info.both_strands,
+                    keys, self._counts, idx16=self._hay_idx16())
+                if counters is not None:
+                    counters = np.where(
+                        (counters >= self._min_count)
+                        & (counters <= self._max_count), counters, 0)
+                    return True, counters
+        return self._counters_for_read_numpy(read)
+
+    def _counters_for_read_numpy(self, read: str) -> tuple[bool, np.ndarray]:
         if self._file_ra is not None:
             # on-disk RA: all the read's bin-range binary searches advance
             # together over the memmaps (the per-query semantics of the
@@ -613,7 +654,7 @@ class KMCFile:
                                            dtype=np.uint8)]
             n = len(codes) - k + 1
             if n <= 0:
-                return True, []
+                return True, np.zeros(0, np.uint32)
             rows, valid = _batch_kmer_rows(codes, k, self._info.both_strands)
             if self._info.version == 0x200:
                 sigs = kmer_signatures_numpy(codes, k,
@@ -624,16 +665,16 @@ class KMCFile:
             counters = np.where(
                 (counters >= self._min_count) & (counters <= self._max_count),
                 counters, 0)
-            return True, [int(c) for c in counters]
+            return True, counters
         if self._kmers is None:
-            return False, []
+            return False, np.zeros(0, np.uint32)
         k = self._info.kmer_len
         codes = CODE_LUT[np.frombuffer(read.upper().encode(), dtype=np.uint8)]
         if self._sym_map is not None:  # non-default KFF encoding
             codes = np.where(codes < 4, self._sym_map[codes & 3], codes)
         n = len(codes) - k + 1
         if n <= 0:
-            return True, []
+            return True, np.zeros(0, np.uint32)
         rows, valid = _batch_kmer_rows(codes, k, self._info.both_strands)
         idx = _searchsorted_rows(self._kmers, rows,
                                  haystack_keys=self._hay_keys())
@@ -646,7 +687,7 @@ class KMCFile:
         counters = np.where(
             (counters >= self._min_count) & (counters <= self._max_count), counters, 0
         )
-        return True, [int(c) for c in counters]
+        return True, counters
 
 
 def _bytes_to_codes(row: np.ndarray, k: int) -> np.ndarray:

@@ -101,9 +101,8 @@ def filter_fastq(
             # join the batch with 'N' separators: windows crossing a
             # separator are invalid by construction, and read i's windows
             # are a contiguous slice of the joined read's counter vector
-            _, joined = db.GetCountersForRead(
+            _, joined = db.counters_for_read_array(
                 "N".join(seq for _, seq, _ in recs))
-            joined = np.asarray(joined)
             off = 0
             for header, seq, qual in recs:
                 nk = len(seq) - k + 1

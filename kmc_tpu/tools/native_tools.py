@@ -117,6 +117,12 @@ def get_lib():
         lib.kst_histogram.argtypes = [isp, u64p, ctypes.c_uint64]
         lib.kst_compare.restype = ctypes.c_int32
         lib.kst_compare.argtypes = [isp, isp]
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.kst_counters_for_seq.restype = ctypes.c_int64
+        lib.kst_counters_for_seq.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_uint32, ctypes.c_int32,
+            u64p, u32p, ctypes.c_uint64, u64p, u32p]
         _lib = lib
         return _lib
 
@@ -247,6 +253,52 @@ def run_histogram(db, cutoff_max: int, in_cut=(None, None)):
     if n < 0:
         raise OSError(f"native histogram failed on {db}")
     return hist
+
+
+def build_key_index16(keys: np.ndarray) -> np.ndarray:
+    """65537-entry top-16-bit range table over a sorted u64 key array —
+    narrows each native lookup to a ~n/65536-record range (the in-RAM
+    analogue of the prefix-LUT jump in CKMCFile::CheckKmer)."""
+    tops = np.arange(1 << 16, dtype=np.uint64) << np.uint64(48)
+    idx = np.empty((1 << 16) + 1, np.uint64)
+    idx[:-1] = np.searchsorted(keys, tops)
+    idx[-1] = len(keys)
+    return idx
+
+
+def counters_for_seq(seq_bytes: bytes, k: int, both_strands: bool,
+                     keys: np.ndarray, counts: np.ndarray,
+                     idx16: np.ndarray | None = None):
+    """Counters for every k-mer window of `seq_bytes` against the in-RAM
+    RA index (sorted u64 keys in the API's high-byte packing + u32
+    counts); None when the native path is unavailable or k > 32."""
+    if k > 32 or not _enabled():
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(seq_bytes) - k + 1
+    if n <= 0:
+        return np.zeros(0, np.uint32)
+    if keys.dtype != np.uint64 or counts.dtype != np.uint32:
+        return None
+    keys = np.ascontiguousarray(keys)
+    counts = np.ascontiguousarray(counts)
+    seq = np.frombuffer(seq_bytes, np.uint8)
+    out = np.empty(n, np.uint32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    got = lib.kst_counters_for_seq(
+        seq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(seq),
+        k, 1 if both_strands else 0,
+        keys.ctypes.data_as(u64p),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(keys),
+        np.ascontiguousarray(idx16).ctypes.data_as(u64p)
+        if idx16 is not None else None,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    if got != n:
+        return None
+    return out
 
 
 def run_compare(db1, db2):

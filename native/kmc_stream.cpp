@@ -572,6 +572,71 @@ int64_t kst_histogram(const InputSpec* a, uint64_t* hist, uint64_t hist_len) {
     return n;
 }
 
+// Counters for every k-mer window of a text sequence against an in-RAM
+// random-access index (sorted u64 keys + u32 counts) — the hot loop of
+// CKMCFile::GetCountersForRead (kmc_api/kmc_file.cpp:1193) for k<=32.
+// Keys use the API's packing: the (k+3)/4 big-endian k-mer bytes occupy
+// the HIGH bytes of the u64 (value << (64 - 8*KB)).  Windows broken by
+// non-ACGT symbols get counter 0.  Returns the window count.
+// idx16 (optional, else null): 65537-entry table, idx16[t] = first key
+// index with top 16 bits >= t — narrows each lookup to a ~n/65536 range
+// (the in-RAM analogue of the prefix-LUT jump in CKMCFile::CheckKmer).
+int64_t kst_counters_for_seq(const uint8_t* seq, int64_t seq_len,
+                             uint32_t k, int32_t both_strands,
+                             const uint64_t* keys, const uint32_t* counts,
+                             uint64_t n_keys, const uint64_t* idx16,
+                             uint32_t* out) {
+    if (k < 1 || k > 32 || seq_len < (int64_t)k) return 0;
+    static uint8_t code[256];
+    static bool init = false;
+    if (!init) {
+        memset(code, 4, sizeof(code));
+        code['A'] = code['a'] = 0;
+        code['C'] = code['c'] = 1;
+        code['G'] = code['g'] = 2;
+        code['T'] = code['t'] = 3;
+        init = true;
+    }
+    const uint32_t kb = (k + 3) / 4;
+    const uint32_t key_shift = 64 - 8 * kb;
+    const uint64_t mask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+    const uint32_t rc_shift = 2 * (k - 1);
+    const int64_t n = seq_len - k + 1;
+    uint64_t fwd = 0, rc = 0;
+    int64_t last_bad = -1;  // most recent non-ACGT position
+    for (int64_t i = 0; i < seq_len; ++i) {
+        uint64_t c = code[seq[i]];
+        if (c >= 4) {
+            last_bad = i;
+            c = 0;
+        }
+        fwd = ((fwd << 2) | c) & mask;
+        rc = (rc >> 2) | ((3 - c) << rc_shift);
+        int64_t w = i - (int64_t)k + 1;  // window ending at i
+        if (w < 0) continue;
+        if (last_bad >= w) {
+            out[w] = 0;
+            continue;
+        }
+        uint64_t v = (both_strands && rc < fwd) ? rc : fwd;
+        uint64_t key = v << key_shift;
+        uint64_t lo = 0, len = n_keys;
+        if (idx16) {
+            uint64_t t = key >> 48;
+            lo = idx16[t];
+            len = idx16[t + 1] - lo;
+        }
+        // branch-free-ish binary search (lower_bound)
+        while (len > 1) {
+            uint64_t half = len / 2;
+            lo += (keys[lo + half - 1] < key) ? half : 0;
+            len -= half;
+        }
+        out[w] = (len && keys[lo] == key) ? counts[lo] : 0;
+    }
+    return n;
+}
+
 // Record-level equality of two sorted streams (operations.h:258).
 // Returns 1 equal, 0 different, -1 error.
 int32_t kst_compare(const InputSpec* a, const InputSpec* b) {

@@ -186,6 +186,80 @@ def test_compare_equivalence(tmp_path, monkeypatch):
         assert not db_ops.db_compare(str(db1), str(db3))
 
 
+def test_counters_for_read_native_equivalence(tmp_path, monkeypatch):
+    """The native rolling-window RA lookup (kst_counters_for_seq + top-16-bit
+    range index) against the NumPy windowed searchsorted, including broken
+    windows, lowercase, min/max filters, and the k=32 full-u64 boundary."""
+    from kmc_tpu.api import KMCFile
+
+    rng = np.random.default_rng(17)
+    for k, lpl in ((25, 5), (32, 4), (11, 3)):
+        kmers, counts = _random_records(rng, k, 3000)
+        db = tmp_path / f"ra{k}"
+        _write_kmc1(db, k, kmers, counts, lpl)
+        f = KMCFile()
+        assert f.OpenForRA(str(db))
+        alpha = "ACGTNacgt!"
+        for trial in range(60):
+            L = int(rng.integers(1, 200))
+            s = "".join(alpha[i] for i in rng.integers(0, len(alpha), L))
+            _, a = f.counters_for_read_array(s)
+            _, b = f._counters_for_read_numpy(s)
+            assert np.array_equal(np.asarray(a), np.asarray(b)), (k, s)
+        f.SetMinCount(3)
+        f.SetMaxCount(90)
+        for trial in range(30):
+            s = "".join("ACGT"[i] for i in rng.integers(0, 4, 120))
+            _, a = f.counters_for_read_array(s)
+            _, b = f._counters_for_read_numpy(s)
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_filter_native_equivalence(tmp_path, monkeypatch):
+    """End-to-end filter output with the native lookup on vs off."""
+    from kmc_tpu.tools.fastq_filter import filter_fastq
+
+    rng = np.random.default_rng(23)
+    acgt = "ACGT"
+    genome = "".join(acgt[i] for i in rng.integers(0, 4, 5000))
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i in range(400):
+            st = int(rng.integers(0, len(genome) - 60))
+            f.write(f"@r{i}\n{genome[st:st+60]}\n+\n{'I'*60}\n")
+    kmers, counts = _random_records(rng, 25, 1000)
+    db = tmp_path / "fdb"
+    _write_kmc1(db, 25, kmers, counts, 5)
+    # count the reads themselves so some filters pass
+    from kmc_tpu.oracle import count_kmers, read_sequences
+
+    seqs = read_sequences(str(fq), "fastq")
+    cnt = count_kmers(seqs, 25, True, False)
+    import kmc_tpu.formats.kmc_db as kdb
+
+    ks = sorted(cnt)
+    CODE = {"A": 0, "C": 1, "G": 2, "T": 3}
+    rows = np.zeros((len(ks), 7), np.uint8)
+    for i, km in enumerate(ks):
+        v = 0
+        for ch in km:
+            v = (v << 2) | CODE[ch]
+        for j in range(6, -1, -1):
+            rows[i, j] = v & 0xFF
+            v >>= 8
+    _write_kmc1(db, 25, rows,
+                np.array([cnt[km] for km in ks], np.uint32), 5)
+    for mode_args in ({"min_kmers": 0.5}, {"trim": True, "min_kmers": 2},
+                      {"hard_mask": True, "min_kmers": 2}):
+        outs = []
+        for env in ("1", "0"):
+            monkeypatch.setenv("KMC_TPU_NATIVE_TOOLS", env)
+            o = tmp_path / f"out{env}.fq"
+            filter_fastq(str(db), str(fq), str(o), **mode_args)
+            outs.append(o.read_bytes())
+        assert outs[0] == outs[1], mode_args
+
+
 def test_native_union_bounded_address_space(tmp_path):
     """The native core preads through fixed buffers (no mmap): a union of
     databases far bigger than an RLIMIT_AS cap must succeed, byte-identical
