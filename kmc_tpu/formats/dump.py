@@ -91,7 +91,12 @@ def dump_records(kmers: np.ndarray, counts: np.ndarray, k: int,
 
 
 def dump_db(db: KmcDb, sorted_output: bool = True) -> str:
-    kmers, counts = sorted_records(db)
+    if sorted_output:
+        kmers, counts = sorted_records(db)
+    else:
+        # FILE (bin) order — the reference's sequential open mode emits
+        # k-mers "not sorted!" (kmc_tools/kmc2_db_reader.h:481)
+        kmers, counts = db.kmers_bytes(), db.counters()
     return dump_records(kmers, counts, db.info.kmer_len)
 
 

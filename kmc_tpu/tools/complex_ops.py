@@ -119,6 +119,56 @@ def evaluate_expression(expr: str, inputs: dict):
     return _Parser(_tokenize(expr), inputs).parse()
 
 
+class _AstParser:
+    """Same grammar, producing a tree: ("name", n) |
+    ("op", op, mode, left, right)."""
+
+    def __init__(self, toks):
+        self.toks = toks
+        self.pos = 0
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def parse(self, min_prec=1):
+        left = self.parse_atom()
+        while True:
+            t = self.peek()
+            if t is None or t.kind != "op":
+                break
+            op, mode = t.value
+            if _PREC[op] < min_prec:
+                break
+            self.pos += 1
+            right = self.parse(_PREC[op] + 1)
+            left = ("op", op, mode, left, right)
+        return left
+
+    def parse_atom(self):
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of expression")
+        if t.kind == "(":
+            self.pos += 1
+            v = self.parse()
+            if self.peek() is None or self.peek().kind != ")":
+                raise ValueError("missing )")
+            self.pos += 1
+            return v
+        if t.kind == "name":
+            self.pos += 1
+            return ("name", t.value)
+        raise ValueError("unexpected token in expression")
+
+
+def parse_expression_ast(expr: str):
+    p = _AstParser(_tokenize(expr))
+    ast = p.parse()
+    if p.peek() is not None:
+        raise ValueError("trailing tokens in expression")
+    return ast
+
+
 # -- streaming evaluation: the expression tree becomes a tree of windowed
 #    merge streams (formats/streaming.merge_key_streams), exactly the
 #    reference's CInput-over-CInput operation networks (bundle.h:18-245,
@@ -244,6 +294,11 @@ def run_complex_file(path: str):
                 raise ValueError(f"unknown output type {tok}")
 
     encoding = db_ops._check_encodings([db for db, _ in inputs.values()])
+    if (encoding == db_ops.DEFAULT_ENCODING
+            and not str(out_path).endswith(".kff")):
+        out = _run_complex_native(inputs, out_path, expr, p)
+        if out is not None:
+            return out
     total = sum(db_ops._stored_count(db) for db, _ in inputs.values())
     if (total > db_ops._stream_threshold()
             and encoding == db_ops.DEFAULT_ENCODING
@@ -268,6 +323,104 @@ def run_complex_file(path: str):
         some_info.both_strands,
         input_ns=[i.n_unique_stored for i in input_infos],
         encoding=encoding)
+    return out_path
+
+
+_COMPLEX_OP_NAME = {"+": "union", "*": "intersect", "-": "kmers_subtract",
+                    "~": "counters_subtract"}
+
+
+def _run_complex_native(inputs, out_path, expr, p):
+    """Lower the expression tree to a chain of native streamed passes:
+    every internal node runs as one C pread-merge into a temp KMC1 DB with
+    neutral output params (ci=1, cx=cs=uint32 max — counters stay exact
+    below 2^32, where the in-memory uint64 tree agrees), and the root pass
+    applies the real OUTPUT_PARAMS.  Returns out_path, or None when
+    ineligible (KFF inputs, k>native scope, library unavailable)."""
+    import tempfile
+
+    from . import native_tools
+    from ..formats.kmc_db import DbInfo
+
+    if native_tools.get_lib() is None or not native_tools._enabled():
+        return None
+    for db, _ in inputs.values():
+        if not native_tools._eligible(db):
+            return None
+    try:
+        infos = {name: db_ops.read_db_header_info(db)
+                 for name, (db, _) in inputs.items()}
+    except (OSError, ValueError):
+        return None
+    ks = {i.kmer_len for i in infos.values()}
+    if len(ks) > 1:
+        raise ValueError("k-mer length mismatch between databases")
+    k = ks.pop()
+    lut_prefix_len = db_ops.tools_lut_prefix_len(
+        k, [i.n_unique_stored for i in infos.values()])
+    some = next(iter(infos.values()))
+    neutral = OutputParams(cutoff_min=1, cutoff_max=0xFFFFFFFF,
+                           counter_max=0xFFFFFFFF)
+
+    def node_info(params: OutputParams) -> DbInfo:
+        return DbInfo(
+            kmer_len=k,
+            counter_size=db_ops.tools_counter_size(params.cutoff_max,
+                                                   params.counter_max),
+            lut_prefix_len=lut_prefix_len,
+            cutoff_min=params.cutoff_min,
+            cutoff_max=params.cutoff_max,
+            both_strands=some.both_strands,
+            version=0,
+        )
+
+    ast = parse_expression_ast(expr)
+    tmpdir = tempfile.mkdtemp(prefix="kmc_cplx_")
+    counter = [0]
+
+    def emit(node, out, params):
+        """Evaluate `node` into the KMC1 DB `out` under `params`."""
+        kind = node[0]
+        if kind == "name":
+            if node[1] not in inputs:
+                raise ValueError(f"undefined input {node[1]}")
+            db, ip = inputs[node[1]]
+            n = native_tools.run_op(
+                "copy", db, out, node_info(params), params,
+                in1_cut=(ip.cutoff_min, ip.cutoff_max))
+            if n is None:
+                raise NotImplementedError
+            return
+        _, op, mode, left, right = node
+
+        def operand(sub):
+            if sub[0] == "name":
+                if sub[1] not in inputs:
+                    raise ValueError(f"undefined input {sub[1]}")
+                db, ip = inputs[sub[1]]
+                return db, (ip.cutoff_min, ip.cutoff_max)
+            counter[0] += 1
+            tmp = f"{tmpdir}/n{counter[0]}"
+            emit(sub, tmp, neutral)
+            return tmp, (None, None)
+
+        db1, cut1 = operand(left)
+        db2, cut2 = operand(right)
+        n = native_tools.run_op(
+            _COMPLEX_OP_NAME[op], db1, out, node_info(params), params,
+            db2=db2, mode=mode or _DEFAULT_MODE[op] or "sum",
+            in1_cut=cut1, in2_cut=cut2)
+        if n is None:
+            raise NotImplementedError
+
+    import shutil
+
+    try:
+        emit(ast, str(out_path), p)
+    except NotImplementedError:
+        return None
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
     return out_path
 
 

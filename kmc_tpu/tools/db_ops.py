@@ -14,7 +14,13 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..defs import byte_log
-from ..formats.kmc_db import DbInfo, read_db, sorted_records, write_kmc1_db
+from ..formats.kmc_db import (
+    DbInfo,
+    KMC2_VER,
+    read_db,
+    sorted_records,
+    write_kmc1_db,
+)
 
 
 def load_sorted(path_prefix: str):
@@ -828,9 +834,17 @@ def run_transform_ops(db: str, ops, in_cut=None):
                     f.write(f"{v}\t{hist[v] if v < len(hist) else 0}\n")
         else:  # dump
             _, out, _sorted = op
-            with open(out, "w") as f:
-                f.write(dump_records(kmers0, counts0, info.kmer_len,
-                                     encoding=info.encoding))
+            if not _sorted and info.version == KMC2_VER \
+                    and not str(db).endswith(".kff"):
+                # without -s a KMC2 input dumps in FILE (bin) order — the
+                # reference's sequential open mode emits k-mers "not
+                # sorted!" (kmc2_db_reader.h:481); in-memory kmers0 is the
+                # globally sorted view, so delegate to the file-order dump
+                transform_dump(db, out, False, in_cut=in_cut)
+            else:
+                with open(out, "w") as f:
+                    f.write(dump_records(kmers0, counts0, info.kmer_len,
+                                         encoding=info.encoding))
 
 
 def db_compare(db1: str, db2: str) -> bool:

@@ -186,6 +186,46 @@ def test_compare_equivalence(tmp_path, monkeypatch):
         assert not db_ops.db_compare(str(db1), str(db3))
 
 
+def test_complex_native_equivalence(tmp_path, monkeypatch):
+    """The native node-by-node lowering of complex expressions against the
+    in-memory uint64 tree — nested parentheses, per-occurrence inputs,
+    explicit counter modes, per-input cuts, OUTPUT_PARAMS."""
+    rng = np.random.default_rng(31)
+    k, lpl = 25, 5
+    kmers, counts = _random_records(rng, k, 6000)
+    m1 = rng.random(len(kmers)) < 0.7
+    m2 = rng.random(len(kmers)) < 0.7
+    a, b = tmp_path / "ca", tmp_path / "cb"
+    _write_kmc1(a, k, kmers[m1], counts[m1], lpl)
+    _write_kmc2(b, k, kmers[m2], (counts[m2] % 11 + 1).astype(np.uint32),
+                5, 8, rng)
+    from kmc_tpu.tools.complex_ops import run_complex_file
+
+    for i, (expr, params) in enumerate([
+        ("(a *max b) + (a - b)", "-ci2"),
+        ("a ~ (b +min a)", ""),
+        ("((a + b) * a) +diff b", "-ci1 -cs100"),
+        ("a", "-ci3"),
+    ]):
+        outs = []
+        for env in ("1", "0"):
+            monkeypatch.setenv("KMC_TPU_NATIVE_TOOLS", env)
+            out = tmp_path / f"cx{i}_{env}"
+            d = tmp_path / f"def{i}_{env}.txt"
+            d.write_text(
+                "INPUT:\n"
+                f"a={a} -ci2\n"
+                f"b={b}\n"
+                "OUTPUT:\n"
+                f"{out}={expr}\n"
+                + (f"OUTPUT_PARAMS:\n{params}\n" if params else ""))
+            run_complex_file(str(d))
+            outs.append(out)
+        for suf in (".kmc_pre", ".kmc_suf"):
+            assert filecmp.cmp(str(outs[0]) + suf, str(outs[1]) + suf,
+                               shallow=False), (expr, suf)
+
+
 def test_counters_for_read_native_equivalence(tmp_path, monkeypatch):
     """The native rolling-window RA lookup (kst_counters_for_seq + top-16-bit
     range index) against the NumPy windowed searchsorted, including broken

@@ -317,9 +317,13 @@ def test_tools_cli(two_dbs, tmp_path, capsys):
     km = next(iter(c1))
     assert tools_cli.main(["check", db1, km]) == 0
     assert int(capsys.readouterr().out.strip()) == c1[km]
-    # dump via cli
+    # dump via cli: without -s a KMC2 input dumps in FILE (bin) order —
+    # the reference's sequential open mode ("not sorted!",
+    # kmc2_db_reader.h:481); with -s it is globally sorted
     out_txt = str(tmp_path / "d.txt")
     assert tools_cli.main(["transform", db1, "dump", out_txt]) == 0
+    assert open(out_txt).read() == dump_db_file(db1, sorted_output=False)
+    assert tools_cli.main(["transform", db1, "dump", "-s", out_txt]) == 0
     assert open(out_txt).read() == dump_db_file(db1)
     # simple via cli with -oc mode
     out_db = str(tmp_path / "u2")

@@ -263,6 +263,20 @@ def main():
     assert tpu_tools(["transform", tpu1, "histogram", tout]) == 0
     check("transform histogram", rout.read_text(), tout.read_text())
 
+    # unsorted dump = FILE (bin) order for KMC2 inputs (the reference's
+    # sequential open mode, kmc2_db_reader.h:481).  Bin numbering depends
+    # on the signature-map policy, so compare both binaries dumping the
+    # SAME database file, in both directions
+    rout, tout = workdir / "ref_seq.dump", workdir / "tpu_seq.dump"
+    run([kmc_tools, "transform", tpu1, "dump", rout])
+    assert tpu_tools(["transform", tpu1, "dump", tout]) == 0
+    check("unsorted dump of tpu db (both binaries)",
+          rout.read_text(), tout.read_text())
+    run([kmc_tools, "transform", ref1, "dump", rout])
+    assert tpu_tools(["transform", ref1, "dump", tout]) == 0
+    check("unsorted dump of ref db (both binaries)",
+          rout.read_text(), tout.read_text())
+
     # complex expression (parenthesized algebra, counter modes)
     defs_ref = workdir / "complex_ref.def"
     defs_tpu = workdir / "complex_tpu.def"
