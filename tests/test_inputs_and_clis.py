@@ -171,14 +171,20 @@ def test_kmc_dump_cli(tmp_path):
     count([inp], out, k=21, cutoff_min=1, batch_positions=1 << 12)
     txt = str(tmp_path / "dump.txt")
     assert dump_cli.main([out, txt]) == 0
-    assert open(txt).read() == dump_db_file(out)
-    # ci filter applies
+    # kmc_dump lists in FILE (bin) order, like the reference's
+    # OpenForListing/ReadNextKmer loop (kmc_dump/kmc_dump.cpp:95-128)
+    got = open(txt).read()
+    assert got == dump_db_file(out, sorted_output=False)
+    assert got != dump_db_file(out)  # the DB is genuinely bin-ordered
+    assert "".join(sorted(got.splitlines(keepends=True))) == dump_db_file(out)
+    # ci filter applies (order-independent vs the oracle)
     txt2 = str(tmp_path / "dump2.txt")
     assert dump_cli.main(["-ci2", out, txt2]) == 0
     counts = oracle.count_kmers(reads, 21)
     expect = oracle.dump_text(sorted(
         (km, min(c, 255)) for km, c in counts.items() if c >= 2))
-    assert open(txt2).read() == expect
+    got2 = open(txt2).read()
+    assert "".join(sorted(got2.splitlines(keepends=True))) == expect
 
 
 def test_filter(tmp_path):
