@@ -748,6 +748,7 @@ def distributed_count(
     batch_positions: int = 1 << 16,
     capacity_rows_per_device: int = 1 << 22,
     input_file_type: str = "fastq",
+    output_type: str = "kmc",
 ):
     """End-to-end multi-chip counting: data-parallel ingest over the mesh,
     owner-partitioned merge, KMC2 database out.  Returns stats dict.
@@ -816,13 +817,34 @@ def distributed_count(
         n_bins=n_used_bins,
     )
     if jax.process_index() == 0:
-        writer = Kmc2DbWriter(output_file_name, info, sig_map)
-        writer.n_unique = n_unique
-        writer.n_below_min = n_below
-        writer.n_above_max = n_above
-        writer.n_total = n_total
-        writer.write_all(bins, words_to_kmer_bytes(words, k), counts)
-        writer.close()
+        if output_type == "kff":
+            # One raw section per non-empty bin, like the single-chip
+            # _write_kff (reference: kb_completer.cpp:172-177).
+            from ..formats.kff import KffWriter
+
+            kmer_bytes = words_to_kmer_bytes(words, k)
+            bounds = np.searchsorted(bins, np.arange(n_used_bins + 1))
+            w = KffWriter(
+                output_file_name + ".kff",
+                canonical=both_strands,
+                k=k,
+                counter_size=counter_size,
+                min_count=cutoff_min,
+                max_count=cutoff_max,
+            )
+            for b in range(n_used_bins):
+                lo, hi = bounds[b], bounds[b + 1]
+                if lo < hi:
+                    w.store_section(kmer_bytes[lo:hi], counts[lo:hi])
+            w.close()
+        else:
+            writer = Kmc2DbWriter(output_file_name, info, sig_map)
+            writer.n_unique = n_unique
+            writer.n_below_min = n_below
+            writer.n_above_max = n_above
+            writer.n_total = n_total
+            writer.write_all(bins, words_to_kmer_bytes(words, k), counts)
+            writer.close()
     return {
         "n_unique": n_unique,
         "n_below": n_below,

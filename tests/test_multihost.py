@@ -126,6 +126,29 @@ def test_sharded_compaction_skm_stats_exact(reads_file, tmp_path):
     assert stats["n_super_kmers"] == res1.n_total_super_kmers
 
 
+def test_distributed_kff_output(reads_file, tmp_path):
+    """output_type="kff" writes a KFF file whose k-mer set and counts match
+    the oracle (one raw section per non-empty bin, like the single-chip
+    _write_kff; reference: kb_completer.cpp:172-177)."""
+    from kmc_tpu.formats.kff import read_kff
+    from kmc_tpu.formats.kmc_db import kmers_bytes_to_strings
+
+    mesh = make_mesh(4)
+    out = str(tmp_path / "db_kff")
+    stats = distributed_count(
+        [reads_file], out, k=25, mesh=mesh, batch_positions=1 << 12,
+        cutoff_min=1, capacity_rows_per_device=1 << 17, output_type="kff",
+    )
+    records, ostats = oracle.oracle_count_file(reads_file, 25, "fastq",
+                                               cutoff_min=1)
+    kff = read_kff(out + ".kff")
+    assert stats["n_unique"] == ostats["n_unique"]
+    assert len(kff.counts) == ostats["n_unique"]
+    got = sorted(zip(kmers_bytes_to_strings(kff.kmers, 25),
+                     kff.counts.tolist()))
+    assert got == sorted((km, int(c)) for km, c in records)
+
+
 def test_sharded_ingest_pallas_extract_interpret(reads_file, tmp_path,
                                                  monkeypatch):
     """The multi-chip ingest also routes through the 2-D Pallas extract
