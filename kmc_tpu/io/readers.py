@@ -271,6 +271,100 @@ def _file_shards(path: str, fmt: str, n_threads: int,
     return [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
 
 
+def process_input_shards(paths, fmt: str, n_parts: int, *,
+                         min_shard_bytes: int = 32 << 20,
+                         units_per_part: int = 4):
+    """Partition the input into `n_parts` disjoint, record-aligned work
+    lists — the multi-host input sharding of SURVEY.md §2.6 (the reference
+    gives each reader thread distinct files, kmc.h:276-292; here each HOST
+    process gets a distinct byte-range slice of the stream).
+
+    Returns a list of n_parts shard lists, each a list of
+    (path, start, end, last_of_file) tuples in stream order; parts are
+    contiguous in stream order and balanced by bytes.  Gz files are atomic
+    units (serial inflate); plain files split at verified record starts.
+    """
+    import os as _os
+
+    units = []  # (path, start, end, last_of_file, nbytes)
+    for path in paths:
+        ranges = _file_shards(path, fmt, n_parts * units_per_part,
+                              min_shard_bytes=min_shard_bytes)
+        size = _os.path.getsize(path)
+        for i, (a, b) in enumerate(ranges):
+            end = b if b >= 0 else size
+            units.append((path, a, b, i == len(ranges) - 1, end - a))
+    total = sum(u[4] for u in units)
+    parts: list[list] = [[] for _ in range(n_parts)]
+    acc = 0
+    for u in units:
+        # contiguous partition by byte midpoint: unit goes to the part
+        # whose byte window contains its centre
+        mid = acc + u[4] / 2
+        p = min(int(mid * n_parts / total) if total else 0, n_parts - 1)
+        parts[p].append(u[:4])
+        acc += u[4]
+    return parts
+
+
+def shard_code_stream(shards, fmt: str, state: ParseState | None = None,
+                      n_threads: int = 1) -> Iterator[np.ndarray]:
+    """Code-chunk stream over an explicit shard list
+    [(path, start, end, last_of_file)] (one element of
+    process_input_shards).  Uses the N-thread native parser pipeline when
+    available, else a serial NumPy fallback."""
+    own_state = state or ParseState()
+    try:
+        from .native import NativeParser
+
+        NativeParser(fmt)
+        yield from _parallel_chunks(list(shards), fmt, own_state,
+                                    max(1, n_threads))
+        return
+    except (RuntimeError, OSError, ImportError):
+        pass
+    parse = _PARSERS[fmt]
+    for path, start, end, last in shards:
+        # shards begin at record starts, so a fresh line phase is correct
+        st = ParseState(n_reads=own_state.n_reads)
+        gz = Path(path).suffix == ".gz"
+        f = _open_raw(path)
+        try:
+            if not gz and start:
+                f.seek(start)
+            remaining = None if (gz or end < 0) else end - start
+            leftover = b""
+            while True:
+                want = CHUNK_BYTES if remaining is None else min(
+                    CHUNK_BYTES, remaining)
+                if want == 0:
+                    break
+                chunk = f.read(want)
+                if not chunk:
+                    break
+                if remaining is not None:
+                    remaining -= len(chunk)
+                buf = leftover + chunk
+                cut = buf.rfind(b"\n") + 1
+                if cut == 0:
+                    leftover = buf
+                    continue
+                leftover = buf[cut:]
+                arr = np.frombuffer(buf, dtype=np.uint8, count=cut)
+                yield parse(arr, st)
+                own_state.consumed_bytes += cut
+            if leftover:
+                arr = np.frombuffer(leftover + b"\n", dtype=np.uint8)
+                yield parse(arr, st)
+                own_state.consumed_bytes += len(leftover)
+        finally:
+            f.close()
+        own_state.n_reads = st.n_reads
+        if last:
+            # file boundary sentinel (k-mers must not span files)
+            yield np.full(1, CODE_INVALID, dtype=np.uint8)
+
+
 def parallel_code_stream(paths, fmt: str, state: ParseState | None = None,
                          n_threads: int = 2) -> Iterator[np.ndarray]:
     """file_code_stream with N parser threads (the native C parsers release

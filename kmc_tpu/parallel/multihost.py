@@ -71,9 +71,16 @@ from .distributed import make_mesh
 
 def _ingest_shard(packed, mask, cols, counts, n_used, occ, skm, prev, *, s, k,
                   sig_len, both_strands, prefix_bits, fuse, n_dead_bin,
-                  n_devices, axis, has_counts, extract_mode="xla"):
+                  n_devices, axis, has_counts, extract_mode="xla",
+                  chain_perm=None, chain_heads=None):
     """Per-device fused extract+bin+append (mirrors ops/store._ingest_prefix,
-    without the leading device axis: shard_map strips it)."""
+    without the leading device axis: shard_map strips it).
+
+    chain_perm/chain_heads describe the carry chain of the super-k-mer
+    stats: consecutive batches of ONE host stream go to consecutive devices
+    of that host, so the ppermute rings are per-host when input is sharded
+    per process (and one global ring when a single stream feeds every
+    device)."""
     c4, bad = _unpack_device(packed[0], mask[0])
     if extract_mode in ("compiled", "interpret"):
         from ..ops.pallas_extract import extract_for_ingest
@@ -90,11 +97,13 @@ def _ingest_shard(packed, mask, cols, counts, n_used, occ, skm, prev, *, s, k,
     # from the previous group, and saves what it receives (this group's last
     # device) as the next group's carry.
     last_sig = sig_pos[-1:]
-    recv = jax.lax.ppermute(
-        last_sig, axis, [(i, (i + 1) % n_devices) for i in range(n_devices)]
-    )
+    if chain_perm is None:
+        chain_perm = tuple((i, (i + 1) % n_devices) for i in range(n_devices))
+        chain_heads = (True,) + (False,) * (n_devices - 1)
+    recv = jax.lax.ppermute(last_sig, axis, list(chain_perm))
     me = jax.lax.axis_index(axis)
-    prev_use = jnp.where(me == 0, prev[0], recv)
+    heads = jnp.asarray(np.array(chain_heads, dtype=bool))
+    prev_use = jnp.where(heads[me], prev[0], recv)
     carry_next = recv
     prv = jnp.concatenate([prev_use, sig_pos[:-1]])
     new_skm = (sig_pos != INVALID_SIG) & (sig_pos != prv)
@@ -345,10 +354,30 @@ class ShardedKmerStore:
 
     def __init__(self, mesh: Mesh, capacity_rows_per_device: int, *,
                  k: int, sig_len: int = 9, both_strands: bool = True,
-                 n_bins: int = 512, axis: str = "d"):
+                 n_bins: int = 512, axis: str = "d", chain: str = "global"):
         self.mesh = mesh
         self.axis = axis
         self.D = mesh.devices.size
+        # carry-chain topology for the super-k-mer stats: "global" = one
+        # ring over all devices (a single input stream dealt round-robin to
+        # every device); "per_host" = one ring per process (each host
+        # parses its own input shard and feeds only its local devices)
+        if chain == "per_host":
+            by_proc: dict[int, list[int]] = {}
+            for pos, dev in enumerate(mesh.devices.flat):
+                by_proc.setdefault(dev.process_index, []).append(pos)
+            perm, heads = [], [False] * self.D
+            for pos_list in by_proc.values():
+                n = len(pos_list)
+                heads[pos_list[0]] = True
+                perm += [(pos_list[j], pos_list[(j + 1) % n])
+                         for j in range(n)]
+            self.chain_perm = tuple(sorted(perm))
+            self.chain_heads = tuple(heads)
+        else:
+            self.chain_perm = tuple(
+                (i, (i + 1) % self.D) for i in range(self.D))
+            self.chain_heads = (True,) + (False,) * (self.D - 1)
         self.cap = int(capacity_rows_per_device)
         self.k = int(k)
         self.sig_len = int(sig_len)
@@ -397,6 +426,28 @@ class ShardedKmerStore:
         ]
         return jax.make_array_from_single_device_arrays(
             host_rows.shape, sh, shards)
+
+    def local_mesh_positions(self) -> list[int]:
+        """Mesh flat positions owned by this process, in flat order — the
+        round-robin dealing order of a per-host input shard."""
+        pid = jax.process_index()
+        return [i for i, dev in enumerate(self.mesh.devices.flat)
+                if dev.process_index == pid]
+
+    def to_global_from_local(self, local_rows: np.ndarray):
+        """uint8[ldc, ...] host batch (this process's local devices only)
+        -> global array row-sharded over the mesh.  Each process uploads
+        only what it parsed (per-host input sharding)."""
+        sh = NamedSharding(
+            self.mesh, P(self.axis, *([None] * (local_rows.ndim - 1))))
+        devs = list(self.mesh.devices.flat)
+        pos = self.local_mesh_positions()
+        assert local_rows.shape[0] == len(pos)
+        shards = [jax.device_put(local_rows[j : j + 1], devs[p])
+                  for j, p in enumerate(pos)]
+        global_shape = (self.D,) + tuple(local_rows.shape[1:])
+        return jax.make_array_from_single_device_arrays(
+            global_shape, sh, shards)
 
     # -- state --
 
@@ -449,7 +500,8 @@ class ShardedKmerStore:
             both_strands=self.both_strands, prefix_bits=self.prefix_bits,
             fuse=self.fuse, n_dead_bin=self.n_dead_bin,
             n_devices=self.D, axis=self.axis, has_counts=has_counts,
-            extract_mode=extract_mode,
+            extract_mode=extract_mode, chain_perm=self.chain_perm,
+            chain_heads=self.chain_heads,
         )
         nc = self.n_cols
         col_specs = tuple(P(self.axis, None) for _ in range(nc))
@@ -471,17 +523,21 @@ class ShardedKmerStore:
         return jax.jit(sharded, donate_argnums=donate)
 
     def ingest(self, packed_dm: np.ndarray, mask_dm: np.ndarray, *, s,
-               k=None, sig_len=None, both_strands=None):
-        """packed_dm/mask_dm: (D, L/4) and (D, L/8) — one batch per device."""
+               k=None, sig_len=None, both_strands=None, local=False):
+        """packed_dm/mask_dm: (D, L/4) and (D, L/8) — one batch per device.
+        With local=True the leading dim is this process's local device
+        count instead (per-host input sharding: each process uploads only
+        the batches it parsed)."""
         if self._rows_per_device + s > self.cap:
             self._make_room(s)
         if self._ingest_fn is None or self._ingest_has_counts != self.has_counts:
             self._ingest_fn = self.make_ingest(s=s, has_counts=self.has_counts)
             self._ingest_has_counts = self.has_counts
         counts_in = self.counts if self.has_counts else jnp.zeros((), jnp.uint32)
+        up = self.to_global_from_local if local else self.to_global
         (self.cols, counts_out, self.n_used, self.occ, self.skm,
          self.prev) = self._ingest_fn(
-            self.to_global(packed_dm), self.to_global(mask_dm), self.cols,
+            up(packed_dm), up(mask_dm), self.cols,
             counts_in, self.n_used, self.occ, self.skm, self.prev)
         if self.has_counts:
             self.counts = counts_out
@@ -749,53 +805,124 @@ def distributed_count(
     capacity_rows_per_device: int = 1 << 22,
     input_file_type: str = "fastq",
     output_type: str = "kmc",
+    shard_input: bool = True,
+    n_parse_threads: int | None = None,
+    min_shard_bytes: int = 32 << 20,
 ):
     """End-to-end multi-chip counting: data-parallel ingest over the mesh,
     owner-partitioned merge, KMC2 database out.  Returns stats dict.
 
     Multi-host: runs as the same program on every process (call
-    init_multihost first); every process parses the input stream and feeds
-    its local devices' batch rows; process 0 writes the database.
+    init_multihost first).  With shard_input=True (default) each process
+    parses only a DISJOINT record-aligned byte-range shard of the input
+    with N parser threads (io.readers.process_input_shards /
+    shard_code_stream — the multi-host analogue of the reference giving
+    each reader thread distinct files, kmc.h:276-292) and uploads only its
+    local devices' batches; total host parse work is constant as process
+    count grows.  shard_input=False keeps the legacy duplicated-parse path
+    (every process parses everything, uploads local slices).  Process 0
+    writes the database; output bytes are identical either way.
 
     Uses the prefix signature->bin policy: no stage-0 sampling pass is
     needed (the map is a shift; see ops/store.py)."""
+    import os as _os
+
     from ..defs import calc_counter_size
     from ..formats.kmc_db import DbInfo, Kmc2DbWriter, pick_lut_prefix_len
     from ..io.native import pack_codes
-    from ..io.readers import BatchStream, ParseState, file_code_stream
+    from ..io.readers import (BatchStream, ParseState, file_code_stream,
+                              process_input_shards, shard_code_stream)
     from ..runner import words_to_kmer_bytes
 
     mesh = mesh or make_mesh()
     D = mesh.devices.size
     s = batch_positions
+    multi = jax.process_count() > 1
 
     store = ShardedKmerStore(mesh, capacity_rows_per_device, k=k,
                              sig_len=sig_len, both_strands=both_strands,
-                             n_bins=n_bins)
+                             n_bins=n_bins,
+                             chain="per_host" if shard_input else "global")
     state = ParseState()
     bs = BatchStream(s, k)
-    gen = file_code_stream(input_files, input_file_type, state)
-    group_p, group_m = [], []
     L = bs.batch_bytes
 
-    def flush():
-        while len(group_p) < D:  # pad missing shards with invalid codes
-            pad = np.full(L, 4, np.uint8)
-            pp, mm = pack_codes(pad)
-            group_p.append(pp)
-            group_m.append(mm)
-        store.ingest(np.stack(group_p), np.stack(group_m), s=s)
-        group_p.clear()
-        group_m.clear()
+    def _pad_batch():
+        return pack_codes(np.full(L, 4, np.uint8))
 
-    for batch in bs.batches(gen):
-        packed, mask = pack_codes(batch)
-        group_p.append(packed)
-        group_m.append(mask)
-        if len(group_p) == D:
+    if shard_input:
+        if n_parse_threads is None:
+            try:
+                n_parse_threads = len(_os.sched_getaffinity(0))
+            except AttributeError:
+                n_parse_threads = _os.cpu_count() or 1
+        parts = process_input_shards(input_files, input_file_type,
+                                     jax.process_count(),
+                                     min_shard_bytes=min_shard_bytes)
+        my_shards = parts[jax.process_index()]
+        gen = shard_code_stream(my_shards, input_file_type, state,
+                                n_threads=n_parse_threads)
+        local_pos = store.local_mesh_positions()
+        ldc = len(local_pos)
+        batch_iter = bs.batches(gen)
+        done = False
+        if multi:
+            from jax.experimental import multihost_utils
+        while True:
+            group_p, group_m = [], []
+            while len(group_p) < ldc and not done:
+                try:
+                    batch = next(batch_iter)
+                except StopIteration:
+                    done = True
+                    break
+                pp, mm = pack_codes(batch)
+                group_p.append(pp)
+                group_m.append(mm)
+            have = len(group_p) > 0
+            if multi:
+                # lockstep: every process enters the same number of global
+                # ingest dispatches, padding once its own shard runs dry
+                flags = multihost_utils.process_allgather(
+                    np.array([have], dtype=np.int32))
+                cont = bool(np.asarray(flags).sum())
+            else:
+                cont = have
+            if not cont:
+                break
+            while len(group_p) < ldc:  # pad missing shards, invalid codes
+                pp, mm = _pad_batch()
+                group_p.append(pp)
+                group_m.append(mm)
+            store.ingest(np.stack(group_p), np.stack(group_m), s=s,
+                         local=True)
+        n_reads_local = state.n_reads
+        if multi:
+            n_reads_all = multihost_utils.process_allgather(
+                np.array([state.n_reads], dtype=np.int64))
+            state.n_reads = int(np.asarray(n_reads_all).sum())
+    else:
+        gen = file_code_stream(input_files, input_file_type, state)
+        group_p, group_m = [], []
+
+        def flush():
+            while len(group_p) < D:  # pad missing shards with invalid codes
+                pp, mm = _pad_batch()
+                group_p.append(pp)
+                group_m.append(mm)
+            store.ingest(np.stack(group_p), np.stack(group_m), s=s)
+            group_p.clear()
+            group_m.clear()
+
+        for batch in bs.batches(gen):
+            packed, mask = pack_codes(batch)
+            group_p.append(packed)
+            group_m.append(mask)
+            if len(group_p) == D:
+                flush()
+        if group_p:
             flush()
-    if group_p:
-        flush()
+        n_reads_local = state.n_reads
 
     sig_map = store.host_sig_map()
     n_used_bins = store.n_used_bins
@@ -852,6 +979,11 @@ def distributed_count(
         "n_total": n_total,
         "n_super_kmers": n_skm,
         "n_reads": state.n_reads,
+        # per-process parse accounting: with shard_input the sum of
+        # consumed_bytes_local across processes equals the input size (each
+        # byte parsed once fleet-wide), not n_processes x input size
+        "n_reads_local": n_reads_local,
+        "consumed_bytes_local": state.consumed_bytes,
         "n_devices": D,
         "n_processes": jax.process_count(),
     }

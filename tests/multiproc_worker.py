@@ -38,6 +38,8 @@ def main():
     stats = distributed_count(
         [reads], out, k=25, mesh=mesh, batch_positions=1 << 10,
         cutoff_min=1, capacity_rows_per_device=cap,
+        shard_input=os.environ.get("MP_SHARD_INPUT", "1") != "0",
+        min_shard_bytes=int(os.environ.get("MP_MIN_SHARD", 32 << 20)),
     )
     with open(f"{out}.stats.{pid}", "w") as f:
         json.dump(stats, f)

@@ -122,3 +122,72 @@ def test_runner_parallel_ingest_db_identical(tmp_path):
         with open(out1 + suf, "rb") as a, open(out2 + suf, "rb") as b:
             assert a.read() == b.read(), suf
     assert dump_db_file(out1) == dump_db_file(out2)
+
+
+def _assert_process_shards_cover(paths, fmt, n_parts, min_shard=2048):
+    """Concatenating the per-process shard streams in part order must
+    reproduce the serial stream exactly (shards split at record starts, so
+    no codes are lost, duplicated, or reordered)."""
+    s1 = readers.ParseState()
+    serial = _cat(readers.file_code_stream(paths, fmt, s1))
+    parts = readers.process_input_shards(paths, fmt, n_parts,
+                                         min_shard_bytes=min_shard)
+    assert len(parts) == n_parts
+    chunks, n_reads = [], 0
+    for shard_list in parts:
+        st = readers.ParseState()
+        chunks.append(_cat(readers.shard_code_stream(shard_list, fmt, st,
+                                                     n_threads=2)))
+        n_reads += st.n_reads
+    merged = np.concatenate(chunks) if chunks else np.zeros(0, np.uint8)
+    assert np.array_equal(serial, merged)
+    assert n_reads == s1.n_reads
+    return parts
+
+
+def test_process_shards_single_fastq(tmp_path):
+    reads = random_reads(400, 120, seed=7)
+    path = write_fastq(tmp_path / "big.fastq", reads)
+    parts = _assert_process_shards_cover([path], "fastq", 3)
+    # the split must be real: every part parses something
+    assert all(parts)
+
+
+def test_process_shards_fasta_and_gz(tmp_path):
+    reads = random_reads(300, 100, seed=8)
+    p1 = write_fasta(tmp_path / "a.fasta", reads)
+    p2 = tmp_path / "b.fastq.gz"
+    lines = []
+    for i, r in enumerate(random_reads(100, 80, seed=9)):
+        lines.append(f"@g{i}\n{r}\n+\n{'I' * len(r)}\n")
+    with gzip.open(p2, "wt") as f:
+        f.write("".join(lines))
+    # fasta file shards; the gz file stays one atomic unit
+    _assert_process_shards_cover([str(p1)], "fasta", 2)
+    _assert_process_shards_cover([str(p2)], "fastq", 2)
+
+
+def test_process_shards_numpy_fallback(tmp_path, monkeypatch):
+    """shard_code_stream must fall back to the NumPy range parser when the
+    native library is unavailable, with identical codes."""
+    reads = random_reads(200, 110, seed=10)
+    path = write_fastq(tmp_path / "fb.fastq", reads)
+    parts = readers.process_input_shards([path], "fastq", 2,
+                                         min_shard_bytes=2048)
+    native_chunks = [
+        _cat(readers.shard_code_stream(p, "fastq", readers.ParseState()))
+        for p in parts
+    ]
+    import kmc_tpu.io.native as native_mod
+
+    def boom(fmt):
+        raise RuntimeError("forced fallback")
+
+    monkeypatch.setattr(native_mod, "NativeParser", boom)
+    st_total = 0
+    for p, want in zip(parts, native_chunks):
+        st = readers.ParseState()
+        got = _cat(readers.shard_code_stream(p, "fastq", st))
+        assert np.array_equal(want, got)
+        st_total += st.n_reads
+    assert st_total == 200

@@ -41,6 +41,7 @@ def main():
     stats = distributed_count(
         [reads], out, k=int(k), mesh=mesh, batch_positions=int(bp),
         cutoff_min=1, capacity_rows_per_device=int(cap),
+        min_shard_bytes=4 << 20,  # bench inputs are tens of MB: still shard
     )
     stats["t_init_s"] = round(t_init, 2)
     stats["t_count_s"] = round(time.perf_counter() - t0, 2)
