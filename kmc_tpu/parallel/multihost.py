@@ -191,22 +191,29 @@ def _exchange_shard(cols, counts, n_used, *, k, fuse, n_devices, capacity,
 
     # slot rows into fixed-capacity per-owner segments (the ragged
     # all-to-all of SURVEY.md §2.6, segment size measured exactly by
-    # _owner_hist_shard)
+    # _owner_hist_shard).  After the owner sort each owner's rows are a
+    # CONTIGUOUS run, so the segment layout is D dynamic slices + a tail
+    # mask — no full-width scatter (the 2.19 s/pass-at-2^28 primitive,
+    # docs/PERFORMANCE.md) ever runs.
     pay = [cnts] if has_counts else []
     ops = jax.lax.sort([owner] + key_cols + pay, num_keys=1 + len(key_cols))
     owner_s = ops[0]
     cols_s = ops[1:]
     owner_start = jnp.searchsorted(owner_s, jnp.arange(D + 1, dtype=jnp.uint32))
-    pos_in_owner = idx - owner_start[jnp.minimum(owner_s, D).astype(jnp.int32)]
-    in_cap = (pos_in_owner < capacity) & (owner_s < D)
-    n_dropped = jnp.sum(((owner_s < D) & ~in_cap).astype(jnp.int32))
+    n_per_owner = (owner_start[1 : D + 1] - owner_start[:D]).astype(jnp.int32)
+    n_dropped = jnp.sum(jnp.maximum(n_per_owner - capacity, 0))
+    starts = owner_start[:D].astype(jnp.int32)
+    pos = jnp.arange(capacity, dtype=jnp.int32)
+    seg_valid = pos[None, :] < jnp.minimum(n_per_owner, capacity)[:, None]
 
     def seg(col, fill):
-        out = jnp.full((D * capacity + 1,), fill, col.dtype)
-        slot = jnp.where(in_cap, owner_s.astype(jnp.int32) * capacity + pos_in_owner,
-                         D * capacity)
-        out = out.at[slot].set(jnp.where(in_cap, col, fill))
-        return out[: D * capacity].reshape(D, capacity)
+        pad = jnp.full((capacity,), fill, col.dtype)
+        col_pad = jnp.concatenate([col, pad])
+        rows = jnp.stack([
+            jax.lax.dynamic_slice(col_pad, (starts[d],), (capacity,))
+            for d in range(D)
+        ])
+        return jnp.where(seg_valid, rows, fill)
 
     send_cols = [seg(c, U32MAX) for c in cols_s[: len(key_cols)]]
     if has_counts:
@@ -220,9 +227,7 @@ def _exchange_shard(cols, counts, n_used, *, k, fuse, n_devices, capacity,
     # segment tails undefined).
     from .pallas_a2a import pallas_ragged_all_to_all
 
-    n_per_dst = jnp.minimum(
-        (owner_start[1 : D + 1] - owner_start[:D]).astype(jnp.int32),
-        capacity)
+    n_per_dst = jnp.minimum(n_per_owner, capacity)
     chunk = min(512, capacity)
     recv_cols = []
     recv_rows = None
