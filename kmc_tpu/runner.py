@@ -328,28 +328,7 @@ class Runner:
         self._n_reads = state.n_reads
 
     def _kmc_db_chunks(self, params: Stage1Params, state):
-        """-fkmc input: every k-mer stored in the database becomes one read
-        (counters ignored), matching CBinaryFilesReader::ProcessKMC
-        (binary_reader.h:238-305)."""
-        from .formats.kmc_db import read_db
-
-        for path in params.input_files:
-            db = read_db(path)
-            kmers = db.kmers_bytes()
-            k_in = db.info.kmer_len
-            block = 1 << 16
-            for lo in range(0, len(kmers), block):
-                rows = kmers[lo : lo + block]
-                n, kb = rows.shape
-                codes = np.empty((n, kb * 4), np.uint8)
-                codes[:, 0::4] = (rows >> 6) & 3
-                codes[:, 1::4] = (rows >> 4) & 3
-                codes[:, 2::4] = (rows >> 2) & 3
-                codes[:, 3::4] = rows & 3
-                out = np.full((n, k_in + 1), defs.CODE_INVALID, np.uint8)
-                out[:, :k_in] = codes[:, kb * 4 - k_in :]
-                state.n_reads += n
-                yield out.reshape(-1)
+        return kmc_db_code_chunks(params.input_files, state)
 
     def _run_stage0(self, params: Stage1Params):
         """Sampled signature histogram -> greedy signature->bin map."""
@@ -794,53 +773,96 @@ class Runner:
 
     def _run_stage2_small_k(self, params: Stage2Params, results: Stage2Results):
         s1 = self._s1
-        k = s1.kmer_len
-        hist = self._smallk_hist
-        nonzero = np.flatnonzero(hist)
-        cnts = hist[nonzero]
-        results.n_unique_kmers = len(nonzero)
-        results.n_total_kmers = int(cnts.sum())
-        below = cnts < params.cutoff_min
-        above = cnts > params.cutoff_max
-        results.n_below_cutoff_min = int(below.sum())
-        results.n_above_cutoff_max = int(above.sum())
-        keep = ~below & ~above
-        kmers_int = nonzero[keep].astype(np.uint64)
-        counts = np.minimum(cnts[keep], params.counter_max).astype(np.uint32)
+        stats = smallk_finalize_and_write(
+            self._smallk_hist, s1.kmer_len,
+            cutoff_min=params.cutoff_min, cutoff_max=params.cutoff_max,
+            counter_max=params.counter_max, canonical=s1.canonical_kmers,
+            output_file_name=params.output_file_name,
+            output_kff=params.output_file_type == OutputFileType.KFF,
+            write=not params.without_output)
+        (results.n_unique_kmers, results.n_below_cutoff_min,
+         results.n_above_cutoff_max, results.n_total_kmers) = stats
 
-        counter_size = calc_counter_size(params.cutoff_max, params.counter_max)
-        lut_prefix_len = pick_lut_prefix_len(k, 1, len(kmers_int), kmc1=True)
-        if not params.without_output:
-            kb = (k + 3) // 4
-            kmer_bytes = np.zeros((len(kmers_int), kb), dtype=np.uint8)
-            v = kmers_int.copy()
-            for j in range(kb - 1, -1, -1):
-                kmer_bytes[:, j] = (v & np.uint64(0xFF)).astype(np.uint8)
-                v >>= np.uint64(8)
-            if params.output_file_type == OutputFileType.KFF:
-                from .formats.kff import KffWriter
 
-                w = KffWriter(
-                    params.output_file_name + ".kff",
-                    canonical=s1.canonical_kmers,
-                    k=k,
-                    counter_size=counter_size,
-                    min_count=params.cutoff_min,
-                    max_count=params.cutoff_max,
-                )
-                w.store_section(kmer_bytes, counts)
-                w.close()
-                return
+def kmc_db_code_chunks(paths, state):
+    """-fkmc input: every k-mer stored in the database becomes one read
+    (counters ignored), matching CBinaryFilesReader::ProcessKMC
+    (binary_reader.h:238-305)."""
+    from .formats.kmc_db import read_db
+
+    for path in paths:
+        db = read_db(path)
+        kmers = db.kmers_bytes()
+        k_in = db.info.kmer_len
+        block = 1 << 16
+        for lo in range(0, len(kmers), block):
+            rows = kmers[lo : lo + block]
+            n, kb = rows.shape
+            codes = np.empty((n, kb * 4), np.uint8)
+            codes[:, 0::4] = (rows >> 6) & 3
+            codes[:, 1::4] = (rows >> 4) & 3
+            codes[:, 2::4] = (rows >> 2) & 3
+            codes[:, 3::4] = rows & 3
+            out = np.full((n, k_in + 1), defs.CODE_INVALID, np.uint8)
+            out[:, :k_in] = codes[:, kb * 4 - k_in :]
+            state.n_reads += n
+            yield out.reshape(-1)
+
+
+def smallk_finalize_and_write(hist, k, *, cutoff_min, cutoff_max,
+                              counter_max, canonical, output_file_name,
+                              output_kff=False, write=True):
+    """Shared small-k (k<=13) finalize: threshold the dense 4^k histogram
+    and write a KMC1-format database (or one KFF section), mirroring the
+    reference's CSmallKCompleter (kb_completer.h:92, kmc.h:677-970).
+    Returns (n_unique, n_below, n_above, n_total).  Used by the
+    single-chip Runner and the multi-chip distributed_count."""
+    nonzero = np.flatnonzero(hist)
+    cnts = hist[nonzero]
+    n_unique = len(nonzero)
+    n_total = int(cnts.sum())
+    below = cnts < cutoff_min
+    above = cnts > cutoff_max
+    n_below = int(below.sum())
+    n_above = int(above.sum())
+    keep = ~below & ~above
+    kmers_int = nonzero[keep].astype(np.uint64)
+    counts = np.minimum(cnts[keep], counter_max).astype(np.uint32)
+
+    counter_size = calc_counter_size(cutoff_max, counter_max)
+    lut_prefix_len = pick_lut_prefix_len(k, 1, len(kmers_int), kmc1=True)
+    if write:
+        kb = (k + 3) // 4
+        kmer_bytes = np.zeros((len(kmers_int), kb), dtype=np.uint8)
+        v = kmers_int.copy()
+        for j in range(kb - 1, -1, -1):
+            kmer_bytes[:, j] = (v & np.uint64(0xFF)).astype(np.uint8)
+            v >>= np.uint64(8)
+        if output_kff:
+            from .formats.kff import KffWriter
+
+            w = KffWriter(
+                output_file_name + ".kff",
+                canonical=canonical,
+                k=k,
+                counter_size=counter_size,
+                min_count=cutoff_min,
+                max_count=cutoff_max,
+            )
+            w.store_section(kmer_bytes, counts)
+            w.close()
+        else:
             info = DbInfo(
                 kmer_len=k,
                 counter_size=counter_size,
                 lut_prefix_len=lut_prefix_len,
-                cutoff_min=params.cutoff_min,
-                cutoff_max=params.cutoff_max,
-                both_strands=s1.canonical_kmers,
+                cutoff_min=cutoff_min,
+                cutoff_max=cutoff_max,
+                both_strands=canonical,
                 version=0,
             )
-            write_kmc1_db(params.output_file_name, info, kmer_bytes, counts)
+            write_kmc1_db(output_file_name, info, kmer_bytes, counts)
+    return n_unique, n_below, n_above, n_total
 
 
 def words_to_kmer_bytes(words: np.ndarray, k: int) -> np.ndarray:
