@@ -158,7 +158,9 @@ def main():
                     print(f"  first diff: ref={a!r} tpu={b!r}")
                     break
 
-    # -e estimated histogram vs the reference binary
+    # -e estimated histogram vs the reference binary: the sketch and the
+    # ntCard recurrence are deterministic, so the histogram must be
+    # byte-identical in .ehist form (VERDICT r2 missing #4)
     ref_hist = workdir / "ref.ehist"
     subprocess.run([str(kmc), "-e", "-k27", "-fq", "-t1", str(fq),
                     str(ref_hist), str(workdir)], check=True,
@@ -166,16 +168,11 @@ def main():
     st = distributed_count([str(fq)], str(workdir / "unused"), k=27,
                            mesh=make_mesh(8), batch_positions=1 << 12,
                            estimate_only=True)
-    th = {i: v for i, v in enumerate(st["estimated_histogram"])}
-    rh = {int(a): int(b) for a, b in
-          (l.split("\t") for l in ref_hist.read_text().splitlines())}
-    est_fail = 0
-    for i in range(1, 6):
-        r, t = rh.get(i, 0), th.get(i, 0)
-        if r + t > 1000 and abs(r - t) > 0.15 * max(r, t):
-            est_fail += 1
-            print(f"  estimate bin {i}: ref={r} tpu={t}")
-    print(f"mc_-e_estimate  : {'MATCH' if not est_fail else 'MISMATCH'}")
+    h = st["estimated_histogram"]
+    ours = "".join(f"{i}\t{h[i]}\n" for i in range(1, len(h)))
+    est_fail = 0 if ours == ref_hist.read_text() else 1
+    print(f"mc_-e_estimate  : "
+          f"{'MATCH (byte-identical .ehist)' if not est_fail else 'MISMATCH'}")
     failures += est_fail
 
     total = len(cases) + 1
