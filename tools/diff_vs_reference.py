@@ -311,6 +311,74 @@ def main():
                 if a != b:
                     print(f"  first diff: ref={a!r} tpu={b!r}")
                     break
+
+    # parameter-dimension cases the reference's own CI matrix varies
+    # (run_small_fastq_tests.py:21-35): non-canonical -b, signature
+    # lengths, bin counts, -cs1 counter-size-0 records, small -cx, @list
+    fq2 = workdir / "reads_part2.fastq"
+    make_input(fq2, fmt="fastq", seed=9, n_reads=800)
+    lst = workdir / "inputs.lst"
+    lst.write_text(f"{fq}\n{fq2}\n")
+    param_cases = [
+        ("-b non-canonical", ["-k25", "-ci1", "-b"], [fq],
+         dict(k=25, cutoff_min=1, canonical_kmers=False)),
+        ("-p5 signature", ["-k25", "-ci1", "-p5"], [fq],
+         dict(k=25, cutoff_min=1, signature_len=5)),
+        ("-p7 signature", ["-k25", "-ci1", "-p7"], [fq],
+         dict(k=25, cutoff_min=1, signature_len=7)),
+        ("-p11 signature", ["-k25", "-ci1", "-p11"], [fq],
+         dict(k=25, cutoff_min=1, signature_len=11)),
+        ("-n64 bins", ["-k25", "-ci1", "-n64"], [fq],
+         dict(k=25, cutoff_min=1, n_bins=64)),
+        ("-n2000 bins", ["-k25", "-ci1", "-n2000"], [fq],
+         dict(k=25, cutoff_min=1, n_bins=2000)),
+        ("-cs1 counter-size-0", ["-k25", "-ci1", "-cs1"], [fq],
+         dict(k=25, cutoff_min=1, counter_max=1)),
+        ("-cx3 small cutoff-max", ["-k25", "-ci1", "-cx3"], [fq],
+         dict(k=25, cutoff_min=1, cutoff_max=3)),
+        ("@list multi-file", ["-k25", "-ci1"], [fq, fq2],
+         dict(k=25, cutoff_min=1)),
+    ]
+    from kmc_tpu.runner import count as _count
+
+    for tag, flags, inputs, kw in param_cases:
+        rdb = workdir / f"refdb_{tag.split()[0].strip('-@')}"
+        tmp = workdir / "tmp"
+        tmp.mkdir(exist_ok=True)
+        in_arg = str(inputs[0]) if len(inputs) == 1 else "@" + str(lst)
+        subprocess.run([str(kmc), *flags, "-fq", "-t1", "-hp", in_arg,
+                        str(rdb), str(tmp)], check=True,
+                       capture_output=True)
+        rout = workdir / f"ref_{tag.split()[0].strip('-@')}.dump"
+        if "-cs1" in flags:
+            # the reference's kmc_tools refuses counter-size-0 DBs
+            # entirely ("does not support k-mer sets without counters");
+            # its legacy kmc_dump binary reads them — dump and sort the
+            # lines (k-mers unique: line order == sorted-dump order)
+            kmc_dump = kmc.parent / "kmc_dump"
+            subprocess.run([str(kmc_dump), str(rdb), str(rout)],
+                           check=True, capture_output=True)
+            want = "".join(sorted(rout.read_text().splitlines(True)))
+        else:
+            subprocess.run([str(kmc_tools), "transform", str(rdb), "sort",
+                            str(rdb) + ".s"], check=True,
+                           capture_output=True)
+            subprocess.run([str(kmc_tools), "transform", str(rdb) + ".s",
+                            "dump", str(rout)], check=True,
+                           capture_output=True)
+            want = rout.read_text()
+        tdb = str(workdir / f"tpudb_{tag.split()[0].strip('-@')}")
+        _count([str(p) for p in inputs], tdb, batch_positions=1 << 14, **kw)
+        got = dump_db_file(tdb)
+        ok = want == got
+        print(f"{tag}: {'MATCH' if ok else 'MISMATCH'} "
+              f"({want.count(chr(10))} kmers)")
+        if not ok:
+            failures += 1
+            for a, b in zip(want.splitlines(), got.splitlines()):
+                if a != b:
+                    print(f"  first diff: ref={a!r} tpu={b!r}")
+                    break
     sys.exit(1 if failures else 0)
 
 
