@@ -67,6 +67,25 @@ class KffWriter:
             data = rec.tobytes()
             self._write(data)
 
+    def begin_streamed_section(self) -> int:
+        """Start an 'r' section whose record payload an EXTERNAL writer
+        (the native tools core) will append directly to the file; returns
+        the byte offset where records begin.  The caller must invoke
+        end_streamed_section(n_recs, rec_bytes) once the external append
+        is complete (and its file handle closed) before close()."""
+        self._index.append(self._pos)
+        self._write(b"r")
+        self._nb_off = self._pos
+        self._write(_be(0))  # nb_recs placeholder, patched later
+        self._f.flush()
+        return self._pos
+
+    def end_streamed_section(self, n_recs: int, rec_bytes: int):
+        self._f.seek(self._nb_off)
+        self._f.write(_be(n_recs))
+        self._pos += n_recs * rec_bytes
+        self._f.seek(self._pos)
+
     def close(self):
         nb_sections = len(self._index) + 1  # +1 footer
         index_size = 1 + 8 + nb_sections * 9 + 8

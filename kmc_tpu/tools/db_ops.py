@@ -317,31 +317,34 @@ def _simple_out_info(op_params: OutputParams, k: int, both_strands: bool,
     )
 
 
-def _native_simple(op, db1, db2, out, mode, op_params, eff1, eff2):
+def _native_simple(op, db1, db2, out, mode, op_params, eff1, eff2,
+                   encoding=DEFAULT_ENCODING):
     """Native streamed set op; None when ineligible (caller falls back)."""
-    if str(out).endswith(".kff"):
-        return None
     from . import native_tools
 
     if op.startswith("reverse_"):
         op, db1, db2, eff1, eff2 = op[len("reverse_"):], db2, db1, eff2, eff1
     try:
-        info1 = read_db_header_info(db1)
-        info2 = read_db_header_info(db2)
-    except (OSError, ValueError):
+        info1 = read_any_header_info(db1)
+        info2 = read_any_header_info(db2)
+    except (OSError, ValueError, NotImplementedError):
         return None
     if info1 is None or info2 is None:
         return None
     if info1.kmer_len != info2.kmer_len:
         raise ValueError(
             f"k-mer length mismatch: {info1.kmer_len} vs {info2.kmer_len}")
+    if encoding != DEFAULT_ENCODING and not str(out).endswith(".kff"):
+        return None  # Python path handles the forced-KFF rename + warning
     info_out = _simple_out_info(
         op_params, info1.kmer_len, info1.both_strands,
         [info1.n_unique_stored, info2.n_unique_stored])
     return native_tools.run_op(
         op, db1, out, info_out, op_params, db2=db2,
         mode=mode or DEFAULT_COUNTER_MODE.get(op, "sum"),
-        in1_cut=eff1, in2_cut=eff2)
+        in1_cut=eff1, in2_cut=eff2,
+        kff_out=_native_kff_out(out, encoding, info1.both_strands,
+                                op_params))
 
 
 def read_db_header_info(path):
@@ -351,6 +354,42 @@ def read_db_header_info(path):
     from ..formats.kmc_db import read_pre_meta
 
     return read_pre_meta(str(path))[0]
+
+
+def read_any_header_info(path):
+    """Header-only DbInfo for a KMC database OR a KFF file (section table
+    walked, payload untouched) — the metadata the native streamed paths
+    need (db_reader_factory.h analogue)."""
+    if not str(path).endswith(".kff"):
+        return read_db_header_info(path)
+    from ..formats.kff import read_kff_meta
+
+    m = read_kff_meta(str(path))
+    return DbInfo(
+        kmer_len=m.k,
+        counter_size=m.counter_size,
+        lut_prefix_len=0,
+        cutoff_min=m.min_count,
+        cutoff_max=m.max_count,
+        both_strands=m.canonical,
+        n_unique_stored=sum(n for _, n in m.sections),
+        encoding=m.encoding,
+    )
+
+
+def _native_kff_out(out, encoding, both_strands, op_params,
+                    counter_value=None):
+    """kff_out dict for native_tools.run_op when `out` is .kff, else
+    None."""
+    if not str(out).endswith(".kff"):
+        return None
+    return dict(
+        canonical=both_strands,
+        encoding=encoding,
+        counter_size=tools_counter_size(op_params.cutoff_max,
+                                        op_params.counter_max,
+                                        counter_value, kff=True),
+    )
 
 
 def run_simple_op(op: str, db1: str, db2: str, out: str, mode: str | None = None,
@@ -364,10 +403,10 @@ def run_simple_op(op: str, db1: str, db2: str, out: str, mode: str | None = None
     eff2 = effective_input_cut(db2, in2_cut)
     encoding = _check_encodings([db1, db2])
     out_params = _resolve_out_params(out_params, [db1, db2], [eff1, eff2])
-    if encoding == DEFAULT_ENCODING:
-        n = _native_simple(op, db1, db2, out, mode, out_params, eff1, eff2)
-        if n is not None:
-            return n
+    n = _native_simple(op, db1, db2, out, mode, out_params, eff1, eff2,
+                       encoding=encoding)
+    if n is not None:
+        return n
     if (not str(out).endswith(".kff") and encoding == DEFAULT_ENCODING
             and _stored_count(db1) + _stored_count(db2) > _stream_threshold()):
         from ..formats.streaming import stream_simple_op
@@ -408,10 +447,11 @@ def run_simple_ops(db1: str, db2: str, ops, in1_cut=None, in2_cut=None):
     from . import native_tools
 
     if (native_tools.get_lib() is not None and native_tools._enabled()
-            and native_tools._eligible(db1) and native_tools._eligible(db2)
-            and not any(str(o[2]).endswith(".kff") for o in ops)):
+            and native_tools._eligible(db1) and native_tools._eligible(db2)):
         # the native streamed passes are fast enough that per-op passes
         # beat one shared in-memory merge; run_simple_op delegates each
+        # (KFF outputs included: the native core appends the raw record
+        # section, the Python KffWriter wraps it)
         for op, mode, out, params in ops:
             run_simple_op(op, db1, db2, out, mode, params,
                           in1_cut=in1_cut, in2_cut=in2_cut)
@@ -564,16 +604,17 @@ def _stream_single(db, out) -> bool:
 def _native_transform(db, out, p: OutputParams, eff, *,
                       set_value: int | None = None):
     """Native streamed single-input transform; None when ineligible."""
-    if str(out).endswith(".kff"):
-        return None
     from . import native_tools
 
     try:
-        info = read_db_header_info(db)
-    except (OSError, ValueError):
+        info = read_any_header_info(db)
+    except (OSError, ValueError, NotImplementedError):
         return None
     if info is None:
         return None
+    encoding = getattr(info, "encoding", DEFAULT_ENCODING)
+    if encoding != DEFAULT_ENCODING and not str(out).endswith(".kff"):
+        return None  # Python path handles the forced-KFF rename + warning
     info_out = DbInfo(
         kmer_len=info.kmer_len,
         counter_size=tools_counter_size(p.cutoff_max, p.counter_max,
@@ -585,8 +626,10 @@ def _native_transform(db, out, p: OutputParams, eff, *,
         both_strands=info.both_strands,
         version=0,
     )
-    return native_tools.run_op("copy", db, out, info_out, p,
-                               in1_cut=eff, set_value=set_value)
+    return native_tools.run_op(
+        "copy", db, out, info_out, p, in1_cut=eff, set_value=set_value,
+        kff_out=_native_kff_out(out, encoding, info.both_strands, p,
+                                counter_value=set_value))
 
 
 def transform_sort(db: str, out: str,
@@ -680,25 +723,25 @@ def transform_histogram(db: str, out_path: str, cutoff_min: int | None = None,
     eff = effective_input_cut(db, in_cut)
     if cutoff_min is None:
         cutoff_min = eff[0]
-    if not str(db).endswith(".kff"):
-        from . import native_tools
+    # native counters-only scan (KMC and KFF inputs)
+    from . import native_tools
 
-        try:
-            info = read_db_header_info(db)
-        except (OSError, ValueError):
-            info = None
-        if info is not None:
-            hi = cutoff_max
-            if hi is None:
-                hi = min(info.cutoff_max, 10000)
-                if info.counter_size:
-                    hi = min(hi, (1 << (8 * info.counter_size)) - 1)
-            hist = native_tools.run_histogram(db, hi, in_cut=eff)
-            if hist is not None:
-                with open(out_path, "w") as f:
-                    for v in range(cutoff_min, hi + 1):
-                        f.write(f"{v}\t{hist[v]}\n")
-                return
+    try:
+        info = read_any_header_info(db)
+    except (OSError, ValueError, NotImplementedError):
+        info = None
+    if info is not None:
+        hi = cutoff_max
+        if hi is None:
+            hi = min(info.cutoff_max, 10000)
+            if info.counter_size:
+                hi = min(hi, (1 << (8 * info.counter_size)) - 1)
+        hist = native_tools.run_histogram(db, hi, in_cut=eff)
+        if hist is not None:
+            with open(out_path, "w") as f:
+                for v in range(cutoff_min, hi + 1):
+                    f.write(f"{v}\t{hist[v]}\n")
+            return
     if _stream_single(db, out_path):
         from ..formats.streaming import stream_histogram
 
@@ -720,22 +763,28 @@ def transform_histogram(db: str, out_path: str, cutoff_min: int | None = None,
 def transform_dump(db: str, out_path: str, sorted_output: bool = True,
                    in_cut=None):
     explicit_cut = in_cut is not None and any(v for v in in_cut)
-    if not str(db).endswith(".kff"):
-        try:
-            hdr = read_db_header_info(db)
-        except (OSError, ValueError):
-            hdr = None
-        if hdr is not None:
-            from . import native_tools
+    try:
+        hdr = read_any_header_info(db)
+    except (OSError, ValueError, NotImplementedError):
+        hdr = None
+    # the dump's ACGT text depends on the file's symbol encoding: the
+    # native dump prints default-encoding symbols only
+    if (hdr is not None
+            and getattr(hdr, "encoding", DEFAULT_ENCODING)
+            == DEFAULT_ENCODING):
+        from . import native_tools
 
-            eff = (effective_input_cut(db, in_cut) if explicit_cut
-                   else (None, None))
-            # without -s a KMC2 database dumps in file (bin) order, the
-            # reference's sequential open mode (kmc_tools.cpp:83-92)
-            if native_tools.run_dump(db, str(out_path), in_cut=eff,
-                                     sorted_order=sorted_output
-                                     or hdr.version == 0) is not None:
-                return
+        eff = (effective_input_cut(db, in_cut) if explicit_cut
+               else (None, None))
+        # without -s a KMC2 database dumps in file (bin) order, the
+        # reference's sequential open mode (kmc_tools.cpp:83-92); KFF
+        # inputs always dump through the sorted merge (matching the
+        # load_sorted fallback)
+        sorted_order = (sorted_output or hdr.version == 0
+                        or str(db).endswith(".kff"))
+        if native_tools.run_dump(db, str(out_path), in_cut=eff,
+                                 sorted_order=sorted_order) is not None:
+            return
     if sorted_output and not str(db).endswith(".kff") \
             and _stored_count(db) > _stream_threshold():
         from ..formats.streaming import stream_dump

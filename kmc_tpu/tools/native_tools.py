@@ -55,6 +55,11 @@ class _InputSpec(ctypes.Structure):
         ("counter_size", ctypes.c_uint32),
         ("ci", ctypes.c_uint64),
         ("cx", ctypes.c_uint64),
+        # format 0 = KMC .kmc_suf, 1 = KFF raw sections (whole big-endian
+        # k-mer bytes + BE counters; sections at sec_offsets/sec_counts)
+        ("format", ctypes.c_uint32),
+        ("sec_offsets", ctypes.POINTER(ctypes.c_uint64)),
+        ("sec_counts", ctypes.POINTER(ctypes.c_uint64)),
     ]
 
 
@@ -108,6 +113,7 @@ def get_lib():
         lib.kst_op.restype = ctypes.c_int64
         lib.kst_op.argtypes = [isp, isp, ctypes.c_int32, ctypes.c_int32,
                                ctypes.c_char_p, ctypes.c_uint32,
+                               ctypes.c_uint64, ctypes.c_uint32,
                                ctypes.c_uint32, ctypes.c_uint64,
                                ctypes.c_uint64, ctypes.c_uint64,
                                ctypes.c_int64, u64p]
@@ -131,6 +137,37 @@ class _NativeInput:
     """An InputSpec plus the Python objects keeping its pointers alive."""
 
     def __init__(self, path: str, cut=(None, None)):
+        ci, cx = cut
+        if str(path).endswith(".kff"):
+            # KFF raw sections: ordered (internally sorted) 'r' sections
+            # streamed as cursors, like formats/streaming._KffSectionCursor
+            # (reference: kff_db_reader.h:1226-1455)
+            from ..formats.kff import read_kff_meta
+
+            m = read_kff_meta(str(path))
+            if (m.m_sections or m.max_in_block != 1 or not m.ordered):
+                raise ValueError("KFF shape outside native scope")
+            self.kff_meta = m
+            self.sec_offsets = np.array([o for o, _ in m.sections],
+                                        np.uint64)
+            self.sec_counts = np.array([n for _, n in m.sections],
+                                       np.uint64)
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            self.spec = _InputSpec(
+                suf_path=str(path).encode(),
+                luts=None,
+                n_sections=len(m.sections),
+                lut_size=0,
+                kmer_len=m.k,
+                lut_prefix_len=0,
+                counter_size=m.counter_size,
+                ci=int(ci) if ci else 1,
+                cx=int(cx) if cx is not None and cx else (1 << 64) - 1,
+                format=1,
+                sec_offsets=self.sec_offsets.ctypes.data_as(u64p),
+                sec_counts=self.sec_counts.ctypes.data_as(u64p),
+            )
+            return
         self.info, luts, _ = read_pre_meta(str(path), mmap_luts=True)
         if self.info.version == KMC1_VER:
             # mmap'd KMC1 LUTs carry no trailing n_recs sentinel: load the
@@ -144,7 +181,6 @@ class _NativeInput:
         else:
             self.luts = luts
             n_sections = self.info.n_bins
-        ci, cx = cut
         self.spec = _InputSpec(
             suf_path=(str(path) + ".kmc_suf").encode(),
             luts=self.luts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
@@ -155,15 +191,29 @@ class _NativeInput:
             counter_size=self.info.counter_size,
             ci=int(ci) if ci else 1,
             cx=int(cx) if cx is not None and cx else (1 << 64) - 1,
+            format=0,
+            sec_offsets=None,
+            sec_counts=None,
         )
+
+    @property
+    def kmer_len(self) -> int:
+        return int(self.spec.kmer_len)
 
 
 def _eligible(path) -> bool:
-    """KMC .kmc_pre/.kmc_suf databases only (KFF and non-default encodings
-    stay on the Python paths)."""
+    """KMC .kmc_pre/.kmc_suf databases, or ordered max=1 KFF files without
+    minimizer sections (the same subset the streaming Python path covers);
+    anything else stays on the Python fallbacks."""
     p = str(path)
     if p.endswith(".kff"):
-        return False
+        try:
+            from ..formats.kff import read_kff_meta
+
+            m = read_kff_meta(p)
+            return (not m.m_sections and m.max_in_block == 1 and m.ordered)
+        except (OSError, ValueError, NotImplementedError):
+            return False
     try:
         with open(p + ".kmc_pre", "rb") as f:
             return f.read(4) == PRE_MARKER
@@ -176,14 +226,18 @@ def _open_inputs(paths_cuts):
         return None
     try:
         return [_NativeInput(p, cut) for p, cut in paths_cuts]
-    except (OSError, ValueError):
+    except (OSError, ValueError, NotImplementedError):
         return None
 
 
 def run_op(op: str, db1, out: str, info_out, out_params, db2=None,
            mode: str | None = None, in1_cut=(None, None),
-           in2_cut=(None, None), set_value: int | None = None):
-    """One streamed operation -> KMC1 database at `out`.
+           in2_cut=(None, None), set_value: int | None = None,
+           kff_out: dict | None = None):
+    """One streamed operation -> KMC1 database at `out`, or a KFF file
+    when kff_out is given (dict with canonical/encoding/counter_size; the
+    Python KffWriter wraps the header/index/footer around the natively
+    appended raw record section — reference: kff_db_writer.h).
 
     info_out: the output DbInfo (kmer_len/counter_size/lut_prefix_len/
     cutoffs/both_strands already resolved by the caller — identical fields
@@ -196,20 +250,51 @@ def run_op(op: str, db1, out: str, info_out, out_params, db2=None,
     if specs is None:
         return None
     lib = get_lib()
+    op_code = OP_CODES["copy" if db2 is None else op]
+    mode_code = MODE_CODES.get((mode or "sum").lower(), 2)
+    sv = -1 if set_value is None else int(set_value)
+    if kff_out is not None:
+        from ..formats.kff import DEFAULT_ENCODING, KffWriter
+
+        k = specs[0].kmer_len
+        cs = int(kff_out["counter_size"])
+        w = KffWriter(
+            str(out),
+            canonical=bool(kff_out["canonical"]),
+            k=k,
+            counter_size=cs,
+            min_count=int(out_params.cutoff_min),
+            max_count=int(out_params.cutoff_max),
+            encoding=int(kff_out.get("encoding", DEFAULT_ENCODING)),
+        )
+        data_off = w.begin_streamed_section()
+        hist = np.zeros(1, np.uint64)  # unused in KFF mode
+        n = lib.kst_op(
+            ctypes.byref(specs[0].spec),
+            ctypes.byref(specs[1].spec) if db2 is not None else None,
+            op_code, mode_code, str(out).encode(), 1, data_off,
+            0, cs,
+            int(out_params.cutoff_min), int(out_params.cutoff_max),
+            int(out_params.counter_max), sv,
+            hist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        if n < 0:
+            raise OSError(f"native tools op failed on {db1}")
+        w.end_streamed_section(int(n), (k + 3) // 4 + cs)
+        w.close()
+        return int(n)
     lut_size = 1 << (2 * info_out.lut_prefix_len)
     hist = np.zeros(lut_size, np.uint64)
     n = lib.kst_op(
         ctypes.byref(specs[0].spec),
         ctypes.byref(specs[1].spec) if db2 is not None else None,
-        OP_CODES["copy" if db2 is None else op],
-        MODE_CODES.get((mode or "sum").lower(), 2),
-        (str(out) + ".kmc_suf").encode(),
+        op_code, mode_code,
+        (str(out) + ".kmc_suf").encode(), 0, 0,
         info_out.lut_prefix_len,
         info_out.counter_size,
         int(out_params.cutoff_min),
         int(out_params.cutoff_max),
         int(out_params.counter_max),
-        -1 if set_value is None else int(set_value),
+        sv,
         hist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )
     if n < 0:
@@ -308,7 +393,7 @@ def run_compare(db1, db2):
     specs = _open_inputs([(db1, (None, None)), (db2, (None, None))])
     if specs is None:
         return None
-    if specs[0].info.kmer_len != specs[1].info.kmer_len:
+    if specs[0].kmer_len != specs[1].kmer_len:
         return False
     r = get_lib().kst_compare(ctypes.byref(specs[0].spec),
                               ctypes.byref(specs[1].spec))

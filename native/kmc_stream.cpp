@@ -1,19 +1,26 @@
 // Native streaming kmc_tools core: sorted-stream readers over KMC1/KMC2
-// databases, k-way bin merge, two-stream set operations, and KMC1 record
-// emission — the hot record-level loops behind kmc_tpu/tools/db_ops.py.
+// databases and KFF raw sections, k-way bin merge, two-stream set
+// operations, and KMC1/KFF record emission — the hot record-level loops
+// behind kmc_tpu/tools/db_ops.py.
 //
 // Reference analogues (semantics, not code): CKMC2DbReader's 512-bin sorted
 // merge (kmc_tools/kmc2_db_reader.h:400-560), CKMC1DbReader
-// (kmc_tools/kmc1_db_reader.h), the CUnion/CIntersection/C*Subtract sorted
-// merges (kmc_tools/operations.h:85-258) and CKMC1DbWriter's record+LUT
-// emission (kmc_tools/kmc1_db_writer.h).  The Python paths in
+// (kmc_tools/kmc1_db_reader.h), CKFFDbReader's raw-section streaming
+// (kmc_tools/kff_db_reader.h:1226-1455), the CUnion/CIntersection/
+// C*Subtract sorted merges (kmc_tools/operations.h:85-258), CKMC1DbWriter's
+// record+LUT emission (kmc_tools/kmc1_db_writer.h) and CKFFDbWriter's raw
+// record emission (kmc_tools/kff_db_writer.h).  The Python paths in
 // kmc_tpu/tools/db_ops.py and kmc_tpu/formats/streaming.py remain the
 // fallback and the oracle: outputs here are byte-identical to theirs.
 //
 // Memory model: per-section pread buffers (no mmap) + one write buffer, so
 // resident set AND address space stay bounded at any database size — the
-// same property as the reference's buffered per-bin readers.
+// same property as the reference's buffered per-bin readers.  Buffer sizes
+// scale inversely with the live section count (one big KMC1 stream gets a
+// multi-MB buffer; a 512-bin KMC2 merge gets 128 KiB each) under one fixed
+// total budget.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -25,8 +32,10 @@
 
 namespace {
 
-constexpr uint32_t MAX_KW = 8;          // key words: 64 bytes = k<=256
-constexpr size_t SEC_BUF_BYTES = 64 << 10;   // per-section read buffer
+constexpr uint32_t MAX_KW = 8;               // key words: 64 bytes = k<=256
+constexpr size_t SEC_BUF_BUDGET = 64 << 20;  // total read-buffer budget
+constexpr size_t SEC_BUF_MIN = 64 << 10;
+constexpr size_t SEC_BUF_MAX = 8 << 20;
 constexpr size_t OUT_BUF_BYTES = 4 << 20;    // writer buffer
 
 struct Key {
@@ -40,16 +49,91 @@ static inline int key_cmp(const Key& a, const Key& b, uint32_t kw) {
     return 0;
 }
 
-// One contiguous sorted record range of a .kmc_suf file (a KMC2 bin, or the
-// whole of a KMC1 database), with LUT-driven prefix reconstruction.
+static inline uint64_t load_be64(const uint8_t* p) {
+    uint64_t v;
+    memcpy(&v, p, 8);
+    return __builtin_bswap64(v);
+}
+
+// Stable sort of (key, payload) pairs by the low `key_bytes` bytes of
+// .first — MSD radix (one counting-scatter byte pass + insertion sorts of
+// the tiny sub-buckets; std::sort's per-element branch misses measured as
+// ~85% of the whole KMC2 merge drain).  Stability: the counting scatter
+// and the strict-> insertion keep equal keys in append order.  `tmp` must
+// have room for n elements.
+static void sort_pairs_lowbytes(std::pair<uint64_t, uint64_t>* a, size_t n,
+                                std::pair<uint64_t, uint64_t>* tmp,
+                                uint32_t key_bytes) {
+    if (n < 2) return;
+    if (n < 48 || key_bytes == 0) {
+        for (size_t i = 1; i < n; ++i) {
+            auto v = a[i];
+            size_t j = i;
+            while (j && a[j - 1].first > v.first) {
+                a[j] = a[j - 1];
+                --j;
+            }
+            a[j] = v;
+        }
+        return;
+    }
+    // one MSD byte pass + insertion sorts of the tiny sub-buckets (the
+    // common window bucket is ~records/prefix elements, so sub-buckets
+    // hold a couple of elements each); recursion only for skewed buckets
+    const uint32_t shift = 8 * (key_bytes - 1);
+    uint32_t cnt[256] = {0};
+    for (size_t i = 0; i < n; ++i)
+        ++cnt[(a[i].first >> shift) & 0xFF];
+    if (cnt[(a[0].first >> shift) & 0xFF] == n) {
+        sort_pairs_lowbytes(a, n, tmp, key_bytes - 1);  // uniform byte
+        return;
+    }
+    uint32_t off[257];
+    off[0] = 0;
+    for (uint32_t c = 0; c < 256; ++c) off[c + 1] = off[c] + cnt[c];
+    uint32_t pos[256];
+    memcpy(pos, off, sizeof(pos));
+    for (size_t i = 0; i < n; ++i)
+        tmp[pos[(a[i].first >> shift) & 0xFF]++] = a[i];
+    for (uint32_t c = 0; c < 256; ++c) {
+        const size_t lo = off[c], m = off[c + 1] - off[c];
+        if (m < 2) continue;
+        if (m < 48) {
+            auto* s = tmp + lo;
+            for (size_t i = 1; i < m; ++i) {
+                auto v = s[i];
+                size_t j = i;
+                while (j && s[j - 1].first > v.first) {
+                    s[j] = s[j - 1];
+                    --j;
+                }
+                s[j] = v;
+            }
+        } else {
+            sort_pairs_lowbytes(tmp + lo, m, a + lo, key_bytes - 1);
+        }
+    }
+    memcpy(a, tmp, n * sizeof(*a));
+}
+
+static inline uint64_t load_le64(const uint8_t* p) {
+    uint64_t v;
+    memcpy(&v, p, 8);
+    return v;
+}
+
+// One contiguous sorted record range: a KMC2 bin (or the whole of a KMC1
+// database) of a .kmc_suf file with LUT-driven prefix reconstruction, or
+// one KFF 'r' section (whole big-endian k-mers, BE counters, no LUT).
 struct Section {
-    uint64_t pos = 0, hi = 0;      // global record indices
+    uint64_t pos = 0, hi = 0;      // record indices (KMC: global; KFF: local)
+    uint64_t off = 0;              // KFF: file offset of the record data
     const uint64_t* lut = nullptr; // lut_size+1 cumulative boundaries
     uint64_t lut_size = 0;
     uint64_t cur_prefix = 0;
     // read buffer
     std::vector<uint8_t> buf;
-    uint64_t buf_first = 0;        // global index of buf[0]'s record
+    uint64_t buf_first = 0;        // record index of buf[0]'s record
     uint32_t buf_n = 0, buf_i = 0; // records buffered / consumed
 };
 
@@ -60,31 +144,60 @@ struct InputSpec {  // mirrors the ctypes struct in native_tools.py
     uint64_t lut_size;         // 4^lut_prefix_len
     uint32_t kmer_len, lut_prefix_len, counter_size;
     uint64_t ci, cx;           // input filter (effective -ci/-cx)
+    uint32_t format;           // 0 = KMC .kmc_suf, 1 = KFF raw sections
+    const uint64_t* sec_offsets;  // KFF: per-section record-data offsets
+    const uint64_t* sec_counts;   // KFF: per-section record counts
 };
 
 struct Reader {
     int fd = -1;
+    uint32_t fmt = 0;                 // 0 KMC, 1 KFF
     uint32_t k = 0, lpl = 0, cs = 0;  // kmer len, lut prefix len, counter size
-    uint32_t sb = 0;                  // suffix bytes
+    uint32_t sb = 0;                  // stored k-mer bytes per record
     uint32_t kb = 0;                  // (k+3)/4 total kmer bytes
     uint32_t kw = 0;                  // key words
     uint32_t pad = 0;                 // kw*8 - kb leading zero bytes
     uint32_t rec_bytes = 0;
     uint64_t ci = 1, cx = ~0ull;
+    uint64_t cnt_mask = 0;            // (1 << 8*cs) - 1 (0 when cs == 0)
     std::vector<Section> secs;
     std::vector<Key> cur_key;         // per-section decoded head
     std::vector<uint64_t> cur_cnt;
     // loser-tree merge over the live sections: tree[1..P-1] hold loser
     // slots, the winner rides outside; one root-to-leaf replay (log2 P key
     // comparisons) per pop — half a binary heap's sift-down
-    std::vector<uint32_t> slot_sid;   // slot -> section id
+    std::vector<uint32_t> slot_sid;
     std::vector<uint8_t> slot_dead;
     std::vector<uint32_t> tree;
     uint32_t P = 0;                   // slots (power of two)
     bool single = false;              // one live section: skip the tree
-    uint32_t single_slot = 0;
+    bool pair = false;                // two live sections: direct compare
+    uint32_t pair_a = 0, pair_b = 0;  // live sids in pair mode
     bool sequential = false;          // file (bin) order: no merge at all
     bool ok = true;
+
+    // prefix-major block merge (KMC multi-section): in a KMC2 database
+    // every bin's records for LUT prefix p are one contiguous sorted run,
+    // so the global merge collects the per-bin runs of a prefix window
+    // into one scratch block and sorts it — contiguous data, no
+    // per-record tree pops, no LUT walk (the prefix is the loop
+    // variable).  ~2x the loser tree's throughput at 512 sections.
+    bool blockmerge = false;
+    static constexpr uint64_t BLOCK = 8192;
+    std::vector<std::pair<uint64_t, uint64_t>> blk1;  // kw==1: key, seq|cnt
+    std::vector<std::pair<uint64_t, uint64_t>> blk_tmp;  // radix scratch
+    struct WideRec { Key key; uint64_t cnt; uint32_t seq; };
+    std::vector<WideRec> blkw;                        // kw>1
+    uint64_t blk_i = 0, blk_n = 0;
+    uint64_t next_prefix = 0;
+    std::vector<uint64_t> pfx_total;  // records per prefix, all sections
+    std::vector<uint64_t> win_off;    // per-window bucket offsets
+    std::vector<uint32_t> win_fill;   // per-window bucket fills
+    Key head_key;
+    uint64_t head_cnt = 0;
+    void refill_block();
+    template <typename Emit>
+    void collect_run(Section& s, uint64_t hi, const Emit& emit);
 
     bool open(const InputSpec* in);
     void close() { if (fd >= 0) ::close(fd); fd = -1; }
@@ -105,39 +218,71 @@ struct Reader {
     uint32_t head_slot = 0;
     void prime();
     void pop();
-    const Key& key() const { return cur_key[head_sid]; }
-    uint64_t cnt() const { return cur_cnt[head_sid]; }
+    const Key& key() const {
+        return blockmerge ? head_key : cur_key[head_sid];
+    }
+    uint64_t cnt() const {
+        return blockmerge ? head_cnt : cur_cnt[head_sid];
+    }
 };
 
 bool Reader::open(const InputSpec* in) {
     fd = ::open(in->suf_path, O_RDONLY);
     if (fd < 0) return false;
-    uint8_t marker[4];
-    if (pread(fd, marker, 4, 0) != 4 || memcmp(marker, "KMCS", 4) != 0)
-        return false;
+    fmt = in->format;
     k = in->kmer_len;
-    lpl = in->lut_prefix_len;
+    lpl = fmt ? 0 : in->lut_prefix_len;
     cs = in->counter_size;
-    sb = (k - lpl) / 4;
     kb = (k + 3) / 4;
+    sb = fmt ? kb : (k - in->lut_prefix_len) / 4;
     kw = (kb + 7) / 8;
     if (kw > MAX_KW) return false;
     pad = kw * 8 - kb;
     rec_bytes = sb + cs;
     ci = in->ci ? in->ci : 1;
     cx = in->cx;
+    cnt_mask = cs >= 8 ? ~0ull : ((1ull << (8 * cs)) - 1);
+    if (fmt == 0) {
+        uint8_t marker[4];
+        if (pread(fd, marker, 4, 0) != 4 || memcmp(marker, "KMCS", 4) != 0)
+            return false;
+    }
+    size_t per_sec = SEC_BUF_BUDGET / (in->n_sections ? in->n_sections : 1);
+    if (per_sec < SEC_BUF_MIN) per_sec = SEC_BUF_MIN;
+    if (per_sec > SEC_BUF_MAX) per_sec = SEC_BUF_MAX;
     secs.resize(in->n_sections);
     cur_key.resize(in->n_sections);
     cur_cnt.assign(in->n_sections, 0);
     for (uint64_t b = 0; b < in->n_sections; ++b) {
         Section& s = secs[b];
-        s.lut = in->luts + b * in->lut_size;
-        s.lut_size = in->lut_size;
-        s.pos = s.lut[0];
-        s.hi = s.lut[in->lut_size];  // next section's first == this one's end
-        s.cur_prefix = 0;
-        s.buf.resize(SEC_BUF_BYTES / (rec_bytes ? rec_bytes : 1) * rec_bytes
-                     + rec_bytes);
+        if (fmt) {
+            s.off = in->sec_offsets[b];
+            s.pos = 0;
+            s.hi = in->sec_counts[b];
+        } else {
+            s.lut = in->luts + b * in->lut_size;
+            s.lut_size = in->lut_size;
+            s.pos = s.lut[0];
+            s.hi = s.lut[in->lut_size];
+            s.cur_prefix = 0;
+        }
+        // +8 slack so 8-byte loads at the final record never overrun
+        s.buf.resize(per_sec / (rec_bytes ? rec_bytes : 1) * rec_bytes
+                     + rec_bytes + 8);
+    }
+    // the prefix-major block merge needs the shared LUT structure of a
+    // multi-bin KMC database; 1-2 sections run cheaper head-to-head
+    blockmerge = (fmt == 0 && !sequential && secs.size() >= 3
+                  && (kw > 1 || cs <= 4));
+    if (blockmerge) {
+        // per-prefix global record counts, accumulated SECTION-major so
+        // every LUT streams sequentially (one pass, L1-resident target)
+        pfx_total.assign(in->lut_size, 0);
+        for (uint64_t b = 0; b < in->n_sections; ++b) {
+            const uint64_t* lut = secs[b].lut;
+            for (uint64_t p = 0; p < in->lut_size; ++p)
+                pfx_total[p] += lut[p + 1] - lut[p];
+        }
     }
     prime();
     return true;
@@ -145,11 +290,12 @@ bool Reader::open(const InputSpec* in) {
 
 bool Reader::refill(Section& s) {
     if (s.pos >= s.hi) return false;
-    uint64_t want = (s.buf.size() / rec_bytes);
+    uint64_t want = (s.buf.size() - 8) / rec_bytes;
     uint64_t left = s.hi - s.pos;
     if (want > left) want = left;
-    ssize_t got = pread(fd, s.buf.data(), want * rec_bytes,
-                        4 + (off_t)s.pos * rec_bytes);
+    off_t base = fmt ? (off_t)s.off + (off_t)s.pos * rec_bytes
+                     : 4 + (off_t)s.pos * rec_bytes;
+    ssize_t got = pread(fd, s.buf.data(), want * rec_bytes, base);
     if (got < (ssize_t)(want * rec_bytes)) { ok = false; return false; }
     s.buf_first = s.pos;
     s.buf_n = (uint32_t)want;
@@ -167,37 +313,46 @@ bool Reader::advance(uint32_t sid) {
         uint64_t idx = s.buf_first + s.buf_i;
         ++s.buf_i;
         s.pos = idx + 1;
-        // prefix slot whose cumulative range contains idx
-        while (s.cur_prefix + 1 <= s.lut_size && s.lut[s.cur_prefix + 1] <= idx)
-            ++s.cur_prefix;
         uint64_t cnt = 1;
         if (cs) {
-            cnt = 0;
-            for (int32_t j = (int32_t)cs - 1; j >= 0; --j)
-                cnt = (cnt << 8) | rec[sb + j];   // little-endian on disk
+            // branchless decode: 8-byte load (slack guaranteed) + mask;
+            // KMC counters little-endian on disk, KFF big-endian
+            cnt = fmt ? (load_be64(rec + sb) >> (64 - 8 * cs))
+                      : (load_le64(rec + sb) & cnt_mask);
         }
         if (cnt < ci || cnt > cx) continue;
-        // assemble the key: kb big-endian bytes = prefix bits over suffix
         Key& key = cur_key[sid];
-        if (kw == 1) {
-            uint64_t v = s.cur_prefix;
-            for (uint32_t j = 0; j < sb; ++j) v = (v << 8) | rec[j];
-            key.w[0] = v;
-        } else {
-            uint8_t tmp[MAX_KW * 8];
-            memset(tmp, 0, kw * 8);
-            uint32_t pb = kb - sb;  // prefix bytes
-            uint64_t p = s.cur_prefix;
-            for (int32_t j = (int32_t)pb - 1; j >= 0; --j) {
-                tmp[pad + j] = (uint8_t)(p & 0xFF);
-                p >>= 8;
+        if (fmt) {
+            // KFF: the record IS the kb big-endian k-mer bytes
+            if (kw == 1) {
+                key.w[0] = load_be64(rec) >> (64 - 8 * kb);
+            } else {
+                uint8_t tmp[MAX_KW * 8];
+                memset(tmp, 0, pad);
+                memcpy(tmp + pad, rec, kb);
+                for (uint32_t wi = 0; wi < kw; ++wi)
+                    key.w[wi] = load_be64(tmp + wi * 8);
             }
-            memcpy(tmp + pad + pb, rec, sb);
-            for (uint32_t wi = 0; wi < kw; ++wi) {
-                uint64_t v = 0;
-                for (uint32_t j = 0; j < 8; ++j)
-                    v = (v << 8) | tmp[wi * 8 + j];
-                key.w[wi] = v;
+        } else {
+            // prefix slot whose cumulative range contains idx
+            while (s.cur_prefix + 1 <= s.lut_size
+                   && s.lut[s.cur_prefix + 1] <= idx)
+                ++s.cur_prefix;
+            if (kw == 1) {
+                uint64_t sfx = sb ? (load_be64(rec) >> (64 - 8 * sb)) : 0;
+                key.w[0] = (sb < 8 ? (s.cur_prefix << (8 * sb)) : 0) | sfx;
+            } else {
+                uint8_t tmp[MAX_KW * 8];
+                memset(tmp, 0, kw * 8);
+                uint32_t pb = kb - sb;  // prefix bytes
+                uint64_t p = s.cur_prefix;
+                for (int32_t j = (int32_t)pb - 1; j >= 0; --j) {
+                    tmp[pad + j] = (uint8_t)(p & 0xFF);
+                    p >>= 8;
+                }
+                memcpy(tmp + pad + pb, rec, sb);
+                for (uint32_t wi = 0; wi < kw; ++wi)
+                    key.w[wi] = load_be64(tmp + wi * 8);
             }
         }
         cur_cnt[sid] = cnt;
@@ -205,7 +360,169 @@ bool Reader::advance(uint32_t sid) {
     }
 }
 
+// Decode the raw records of section s from s.pos up to record index `hi`
+// (monotone; buffered), invoking emit(rec_ptr, cnt) for every record that
+// passes the input filter.
+template <typename Emit>
+void Reader::collect_run(Section& s, uint64_t hi, const Emit& emit) {
+    while (s.pos < hi) {
+        if (s.buf_i >= s.buf_n) {
+            if (!refill(s)) return;  // read error: refill() set ok=false
+        }
+        uint64_t run = s.buf_n - s.buf_i;
+        uint64_t left = hi - s.pos;
+        if (run > left) run = left;
+        const uint8_t* rec = s.buf.data() + (size_t)s.buf_i * rec_bytes;
+        for (uint64_t i = 0; i < run; ++i, rec += rec_bytes) {
+            uint64_t cnt = 1;
+            if (cs) cnt = load_le64(rec + sb) & cnt_mask;
+            if (cnt >= ci && cnt <= cx) emit(rec, cnt);
+        }
+        s.buf_i += (uint32_t)run;
+        s.pos += run;
+    }
+}
+
+void Reader::refill_block() {
+    // Window = a prefix range [p0, p1) holding ~BLOCK records (always >= 1
+    // prefix).  Collection runs SECTION-major so each section's LUT slice
+    // and record bytes stream sequentially (prefix-major scanning touches
+    // 512 scattered LUTs per prefix — measured as pure cache misses), and
+    // lands records in per-prefix buckets sized from the precomputed
+    // pfx_total, so only tiny per-bucket sorts (~records/prefix elements,
+    // L1-resident) remain.
+    const uint64_t lut_size = secs.empty() ? 0 : secs[0].lut_size;
+    const uint32_t n_secs = (uint32_t)secs.size();
+    for (;;) {
+        if (next_prefix >= lut_size) {
+            has = false;
+            return;
+        }
+        const uint64_t p0 = next_prefix;
+        uint64_t p1 = p0;
+        uint64_t total = 0;
+        while (p1 < lut_size && (total == 0 || total < BLOCK))
+            total += pfx_total[p1++];
+        next_prefix = p1;
+        if (total == 0) continue;
+        const uint64_t W = p1 - p0;
+        win_off.resize(W + 1);
+        win_fill.assign(W, 0);
+        win_off[0] = 0;
+        for (uint64_t i = 0; i < W; ++i)
+            win_off[i + 1] = win_off[i] + pfx_total[p0 + i];
+        if (kw == 1) {
+            blk1.resize(total);
+            for (uint32_t b = 0; b < n_secs; ++b) {
+                Section& s = secs[b];
+                for (uint64_t p = p0; p < p1; ++p) {
+                    const uint64_t hi = s.lut[p + 1];
+                    if (s.pos >= hi) continue;
+                    const uint64_t wi = p - p0;
+                    const uint64_t base = win_off[wi];
+                    const uint64_t pfx = sb < 8 ? (p << (8 * sb)) : 0;
+                    uint32_t& fill = win_fill[wi];
+                    collect_run(s, hi, [&](const uint8_t* rec,
+                                           uint64_t cnt) {
+                        uint64_t sfx =
+                            sb ? (load_be64(rec) >> (64 - 8 * sb)) : 0;
+                        // bucket-local seq in the HIGH bits: equal keys
+                        // keep section/append order under the plain pair
+                        // sort (the loser tree / Python tie-break); cnt
+                        // fits 32 bits (cs <= 4 guard at open)
+                        blk1[base + fill] = {pfx | sfx,
+                                             ((uint64_t)fill << 32) | cnt};
+                        ++fill;
+                    });
+                }
+            }
+            // per-bucket stable radix sort (within a bucket the prefix
+            // is constant: only the low 8*sb suffix bits differ; LSD
+            // stability keeps equal keys in section/append order, so the
+            // seq tag is belt-and-braces) + compaction of filtered gaps
+            if (blk_tmp.size() < total) blk_tmp.resize(total);
+            uint64_t out = 0;
+            for (uint64_t i = 0; i < W; ++i) {
+                const uint64_t b0 = win_off[i];
+                const uint64_t n = win_fill[i];
+                if (n)
+                    sort_pairs_lowbytes(blk1.data() + b0, n,
+                                        blk_tmp.data(), sb);
+                if (out != b0 && n)
+                    memmove(blk1.data() + out, blk1.data() + b0,
+                            n * sizeof(blk1[0]));
+                out += n;
+            }
+            blk_n = out;
+            blk_i = 0;
+            if (blk_n) {
+                head_key.w[0] = blk1[0].first;
+                head_cnt = blk1[0].second & 0xFFFFFFFFull;
+                return;
+            }
+        } else {
+            blkw.resize(total);
+            const uint32_t pb = kb - sb;
+            for (uint32_t b = 0; b < n_secs; ++b) {
+                Section& s = secs[b];
+                for (uint64_t p = p0; p < p1; ++p) {
+                    const uint64_t hi = s.lut[p + 1];
+                    if (s.pos >= hi) continue;
+                    const uint64_t wi = p - p0;
+                    const uint64_t base = win_off[wi];
+                    uint32_t& fill = win_fill[wi];
+                    collect_run(s, hi, [&](const uint8_t* rec,
+                                           uint64_t cnt) {
+                        WideRec& r = blkw[base + fill];
+                        uint8_t tmp[MAX_KW * 8];
+                        memset(tmp, 0, kw * 8);
+                        uint64_t pv = p;
+                        for (int32_t j = (int32_t)pb - 1; j >= 0; --j) {
+                            tmp[pad + j] = (uint8_t)(pv & 0xFF);
+                            pv >>= 8;
+                        }
+                        memcpy(tmp + pad + pb, rec, sb);
+                        for (uint32_t wi2 = 0; wi2 < kw; ++wi2)
+                            r.key.w[wi2] = load_be64(tmp + wi2 * 8);
+                        r.cnt = cnt;
+                        r.seq = fill++;
+                    });
+                }
+            }
+            uint64_t out = 0;
+            const uint32_t kww = kw;
+            for (uint64_t i = 0; i < W; ++i) {
+                const uint64_t b0 = win_off[i];
+                const uint64_t n = win_fill[i];
+                if (n)
+                    std::sort(blkw.begin() + b0, blkw.begin() + b0 + n,
+                              [kww](const WideRec& a, const WideRec& b) {
+                                  int c = key_cmp(a.key, b.key, kww);
+                                  return c < 0 || (c == 0 && a.seq < b.seq);
+                              });
+                if (out != b0 && n)
+                    memmove(blkw.data() + out, blkw.data() + b0,
+                            n * sizeof(blkw[0]));
+                out += n;
+            }
+            blk_n = out;
+            blk_i = 0;
+            if (blk_n) {
+                head_key = blkw[0].key;
+                head_cnt = blkw[0].cnt;
+                return;
+            }
+        }
+        // fully filtered window: keep collecting
+    }
+}
+
 void Reader::prime() {
+    if (blockmerge) {
+        has = true;
+        refill_block();
+        return;
+    }
     if (sequential) {
         // listing order = sections in file order (the CKMCFile
         // OpenForListing traversal, kmc_api/kmc_file.h:180)
@@ -230,6 +547,14 @@ void Reader::prime() {
     if (live.size() == 1) {
         single = true;
         head_sid = live[0];
+        return;
+    }
+    if (live.size() == 2) {
+        pair = true;
+        pair_a = live[0];
+        pair_b = live[1];
+        head_sid = key_cmp(cur_key[pair_a], cur_key[pair_b], kw) <= 0
+                       ? pair_a : pair_b;
         return;
     }
     P = 1;
@@ -259,6 +584,20 @@ void Reader::prime() {
 }
 
 void Reader::pop() {
+    if (blockmerge) {
+        if (++blk_i >= blk_n) {
+            refill_block();
+            return;
+        }
+        if (kw == 1) {
+            head_key.w[0] = blk1[blk_i].first;
+            head_cnt = blk1[blk_i].second & 0xFFFFFFFFull;
+        } else {
+            head_key = blkw[blk_i].key;
+            head_cnt = blkw[blk_i].cnt;
+        }
+        return;
+    }
     if (sequential) {
         if (advance(head_sid)) return;
         for (uint32_t sid = head_sid + 1; sid < secs.size(); ++sid) {
@@ -272,6 +611,20 @@ void Reader::pop() {
     }
     if (single) {
         if (!advance(head_sid)) has = false;
+        return;
+    }
+    if (pair) {
+        uint32_t other = head_sid == pair_a ? pair_b : pair_a;
+        if (!advance(head_sid)) {
+            single = true;
+            pair = false;
+            head_sid = other;
+            return;
+        }
+        // stability: on equal keys the lower sid wins (matches the loser
+        // tree's slot tie-break, which follows section order)
+        int c = key_cmp(cur_key[pair_a], cur_key[pair_b], kw);
+        head_sid = (c < 0 || (c == 0)) ? pair_a : pair_b;
         return;
     }
     uint32_t slot = head_slot;
@@ -289,10 +642,13 @@ void Reader::pop() {
     head_sid = slot_sid[cur];
 }
 
-// KMC1 record writer: suffix bytes + LE counter, with the output-side
-// cutoff filter / clamp and the per-prefix LUT histogram.
+// Record writer with the output-side cutoff filter / clamp.  KMC1 mode:
+// suffix bytes + LE counter + per-prefix LUT histogram.  KFF mode: whole
+// big-endian k-mer bytes + BE counter appended at a caller-given offset
+// (the Python side writes the KFF header/index/footer around it).
 struct Writer {
     FILE* f = nullptr;
+    uint32_t fmt = 0;  // 0 KMC1, 1 KFF raw records
     uint32_t k = 0, lpl = 0, cs = 0, sb = 0, kb = 0, kw = 0, pad = 0;
     uint64_t ci = 1, cx = ~0ull, csmax = ~0ull;
     int64_t set_value = -1;
@@ -302,20 +658,32 @@ struct Writer {
     size_t buf_pos = 0;
     bool ok = true;
 
-    bool open(const char* path, uint32_t k_, uint32_t lpl_, uint32_t cs_,
+    bool open(const char* path, uint32_t fmt_, uint64_t kff_offset,
+              uint32_t k_, uint32_t lpl_, uint32_t cs_,
               uint64_t ci_, uint64_t cx_, uint64_t csmax_, int64_t setv,
               uint64_t* hist) {
-        f = fopen(path, "wb");
-        if (!f) return false;
-        k = k_; lpl = lpl_; cs = cs_;
-        sb = (k - lpl) / 4;
+        fmt = fmt_;
+        k = k_; lpl = fmt ? 0 : lpl_; cs = cs_;
         kb = (k + 3) / 4;
+        sb = fmt ? kb : (k - lpl_) / 4;
         kw = (kb + 7) / 8;
         pad = kw * 8 - kb;
         ci = ci_; cx = cx_; csmax = csmax_;
         set_value = setv;
         lut_hist = hist;
         buf.resize(OUT_BUF_BYTES);
+        if (fmt) {
+            f = fopen(path, "r+b");
+            if (!f) return false;
+            if (fseeko(f, (off_t)kff_offset, SEEK_SET) != 0) {
+                fclose(f);
+                f = nullptr;
+                return false;
+            }
+            return true;
+        }
+        f = fopen(path, "wb");
+        if (!f) return false;
         if (fwrite("KMCS", 1, 4, f) != 4) {
             fclose(f);
             f = nullptr;
@@ -332,7 +700,7 @@ struct Writer {
 
     bool close() {
         flush();
-        if (fwrite("KMCS", 1, 4, f) != 4) ok = false;
+        if (fmt == 0 && fwrite("KMCS", 1, 4, f) != 4) ok = false;
         if (fclose(f) != 0) ok = false;
         f = nullptr;
         return ok;
@@ -347,34 +715,53 @@ struct Writer {
             if (cnt < ci || cnt > cx) return;
             if (cnt > csmax) cnt = csmax;
         }
-        if (buf_pos + sb + cs + 8 > buf.size()) flush();
+        if (buf_pos + kw * 8 + cs + 16 > buf.size()) flush();
         uint8_t* out = buf.data() + buf_pos;
-        // key bytes, big-endian: byte j of the padded repr is
-        // (w[j/8] >> (8*(7-j%8))); suffix = last sb bytes
+        if (fmt) {
+            // KFF record: kb big-endian k-mer bytes + BE counter
+            if (kw == 1) {
+                uint64_t x = __builtin_bswap64(key.w[0] << (64 - 8 * kb));
+                memcpy(out, &x, 8);  // first kb bytes are the k-mer
+            } else {
+                for (uint32_t wi = 0; wi < kw; ++wi) {
+                    uint64_t x = __builtin_bswap64(key.w[wi]);
+                    memcpy(out + wi * 8, &x, 8);
+                }
+                memmove(out, out + pad, kb);
+            }
+            for (int32_t j = (int32_t)cs - 1; j >= 0; --j) {
+                out[kb + j] = (uint8_t)(cnt & 0xFF);
+                cnt >>= 8;
+            }
+            buf_pos += kb + cs;
+            ++n;
+            return;
+        }
+        // KMC1 record: suffix bytes (BE) + LE counter + prefix histogram
         uint64_t prefix_id;
         if (kw == 1) {
             uint64_t v = key.w[0];
-            for (int32_t j = (int32_t)sb - 1; j >= 0; --j) {
-                out[j] = (uint8_t)(v & 0xFF);
-                v >>= 8;
+            if (sb) {
+                uint64_t x = __builtin_bswap64(v << (64 - 8 * sb));
+                memcpy(out, &x, 8);  // first sb bytes are the suffix
             }
-            prefix_id = v;  // remaining high bits = 2*lpl-bit prefix
+            prefix_id = sb < 8 ? (v >> (8 * sb)) : 0;
         } else {
             uint8_t tmp[MAX_KW * 8];
             for (uint32_t wi = 0; wi < kw; ++wi) {
-                uint64_t v = key.w[wi];
-                for (int32_t j = 7; j >= 0; --j) {
-                    tmp[wi * 8 + j] = (uint8_t)(v & 0xFF);
-                    v >>= 8;
-                }
+                uint64_t x = __builtin_bswap64(key.w[wi]);
+                memcpy(tmp + wi * 8, &x, 8);
             }
             memcpy(out, tmp + pad + (kb - sb), sb);
             prefix_id = 0;
             for (uint32_t j = 0; j < kb - sb; ++j)
                 prefix_id = (prefix_id << 8) | tmp[pad + j];
         }
-        for (uint32_t j = 0; j < cs; ++j)
-            out[sb + j] = (uint8_t)((cnt >> (8 * j)) & 0xFF);
+        uint64_t c = cnt;
+        for (uint32_t j = 0; j < cs; ++j) {
+            out[sb + j] = (uint8_t)(c & 0xFF);
+            c >>= 8;
+        }
         buf_pos += sb + cs;
         ++lut_hist[prefix_id];
         ++n;
@@ -399,18 +786,21 @@ extern "C" {
 // op: 0 copy (single input), 1 union, 2 intersect, 3 kmers_subtract,
 //     4 counters_subtract.  mode: 0 min, 1 max, 2 sum, 3 diff, 4 left,
 //     5 right.  set_value >= 0: fixed counter (set_counts).
-// Writes "KMCS"+records+"KMCS" to out_suf_path, accumulates the output
-// prefix histogram into lut_hist (4^out_lpl zeroed slots), returns the
-// record count, or -1 on error.
+// out_format 0: writes "KMCS"+records+"KMCS" to out_path and accumulates
+// the output prefix histogram into lut_hist (4^out_lpl zeroed slots).
+// out_format 1: appends KFF raw records (BE k-mer + BE counter) to the
+// existing file at out_offset (lut_hist unused).
+// Returns the record count, or -1 on error.
 int64_t kst_op(const InputSpec* a, const InputSpec* b, int32_t op,
-               int32_t mode, const char* out_suf_path, uint32_t out_lpl,
+               int32_t mode, const char* out_path, uint32_t out_format,
+               uint64_t out_offset, uint32_t out_lpl,
                uint32_t out_cs, uint64_t out_ci, uint64_t out_cx,
                uint64_t out_csmax, int64_t set_value, uint64_t* lut_hist) {
     Reader ra;
     if (!ra.open(a)) { ra.close(); return -1; }
     Writer w;
-    if (!w.open(out_suf_path, a->kmer_len, out_lpl, out_cs, out_ci, out_cx,
-                out_csmax, set_value, lut_hist)) {
+    if (!w.open(out_path, out_format, out_offset, a->kmer_len, out_lpl,
+                out_cs, out_ci, out_cx, out_csmax, set_value, lut_hist)) {
         ra.close();
         return -1;
     }
@@ -485,37 +875,63 @@ int64_t kst_dump(const InputSpec* a, const char* out_path,
     }
     // the first used byte holds ((k-1)%4)+1 symbols; the rest hold 4 each
     const uint32_t lead = ((k - 1) & 3) + 1;
+    // two-digit decimal pairs for the counter text
+    char dd[100][2];
+    for (int d = 0; d < 100; ++d) {
+        dd[d][0] = (char)('0' + d / 10);
+        dd[d][1] = (char)('0' + d % 10);
+    }
     int64_t n = 0;
     bool ok = true;
-    uint8_t tmp[MAX_KW * 8];
+    uint8_t tmp[MAX_KW * 8 + 8];
+    const bool one_word = r.kw == 1;
+    const uint32_t kb_shift = 64 - 8 * r.kb;
     while (r.has) {
         if (pos + k + 24 > buf.size()) {
             if (fwrite(buf.data(), 1, pos, f) != pos) { ok = false; break; }
             pos = 0;
         }
         const Key& key = r.key();
-        for (uint32_t wi = 0; wi < r.kw; ++wi) {
-            uint64_t v = key.w[wi];
-            for (int32_t j = 7; j >= 0; --j) {
-                tmp[wi * 8 + j] = (uint8_t)(v & 0xFF);
-                v >>= 8;
+        const uint8_t* kb_bytes;
+        if (one_word) {
+            uint64_t x = __builtin_bswap64(key.w[0] << kb_shift);
+            memcpy(tmp, &x, 8);
+            kb_bytes = tmp;
+        } else {
+            for (uint32_t wi = 0; wi < r.kw; ++wi) {
+                uint64_t x = __builtin_bswap64(key.w[wi]);
+                memcpy(tmp + wi * 8, &x, 8);
             }
+            kb_bytes = tmp + r.pad;
         }
         uint8_t* out = buf.data() + pos;
-        const uint8_t* kb_bytes = tmp + r.pad;
         memcpy(out, lut4[kb_bytes[0]] + (4 - lead), lead);
         uint8_t* o = out + lead;
         for (uint32_t j = 1; j < r.kb; ++j, o += 4)
             memcpy(o, lut4[kb_bytes[j]], 4);
         out[k] = '\t';
         uint64_t c = r.cnt();
-        char num[24];
-        int nd = 0;
-        do {
-            num[nd++] = (char)('0' + c % 10);
-            c /= 10;
-        } while (c);
-        for (int j = 0; j < nd; ++j) out[k + 1 + j] = (uint8_t)num[nd - 1 - j];
+        uint32_t nd;
+        if (c < 10) {
+            out[k + 1] = (char)('0' + c);
+            nd = 1;
+        } else if (c < 100) {
+            memcpy(out + k + 1, dd[c], 2);
+            nd = 2;
+        } else if (c < 1000) {
+            out[k + 1] = (char)('0' + c / 100);
+            memcpy(out + k + 2, dd[c % 100], 2);
+            nd = 3;
+        } else {
+            char num[24];
+            nd = 0;
+            do {
+                num[nd++] = (char)('0' + c % 10);
+                c /= 10;
+            } while (c);
+            for (uint32_t j = 0; j < nd; ++j)
+                out[k + 1 + j] = (uint8_t)num[nd - 1 - j];
+        }
         out[k + 1 + nd] = '\n';
         pos += k + 2 + nd;
         ++n;
@@ -535,38 +951,52 @@ int64_t kst_dump(const InputSpec* a, const char* out_path,
 int64_t kst_histogram(const InputSpec* a, uint64_t* hist, uint64_t hist_len) {
     int fd = ::open(a->suf_path, O_RDONLY);
     if (fd < 0) return -1;
-    uint8_t marker[4];
-    if (pread(fd, marker, 4, 0) != 4 || memcmp(marker, "KMCS", 4) != 0) {
-        ::close(fd);
-        return -1;
-    }
-    const uint32_t k = a->kmer_len, lpl = a->lut_prefix_len;
-    const uint32_t cs = a->counter_size, sb = (k - lpl) / 4;
+    const uint32_t k = a->kmer_len, cs = a->counter_size;
+    const uint32_t kb = (k + 3) / 4;
+    const uint32_t sb = a->format ? kb : (k - a->lut_prefix_len) / 4;
     const uint32_t rec_bytes = sb + cs;
     const uint64_t ci = a->ci ? a->ci : 1, cx = a->cx;
-    const uint64_t lo = a->luts[0];
-    const uint64_t hi = a->luts[a->n_sections * a->lut_size];
+    const uint64_t cnt_mask = cs >= 8 ? ~0ull : ((1ull << (8 * cs)) - 1);
     int64_t n = 0;
-    std::vector<uint8_t> buf((4u << 20) / rec_bytes * rec_bytes);
-    for (uint64_t pos = lo; pos < hi;) {
-        uint64_t want = buf.size() / rec_bytes;
-        if (want > hi - pos) want = hi - pos;
-        ssize_t got = pread(fd, buf.data(), want * rec_bytes,
-                            4 + (off_t)pos * rec_bytes);
-        if (got < (ssize_t)(want * rec_bytes)) { ::close(fd); return -1; }
-        const uint8_t* p = buf.data() + sb;
-        for (uint64_t i = 0; i < want; ++i, p += rec_bytes) {
-            uint64_t c = 1;
-            if (cs) {
-                c = 0;
-                for (int32_t j = (int32_t)cs - 1; j >= 0; --j)
-                    c = (c << 8) | p[j];
+    std::vector<uint8_t> buf((4u << 20) / rec_bytes * rec_bytes + 8);
+    // section spans: KMC = one global record range; KFF = per-section
+    uint64_t n_spans = a->format ? a->n_sections : 1;
+    for (uint64_t si = 0; si < n_spans; ++si) {
+        uint64_t lo, hi;
+        off_t base;
+        if (a->format) {
+            lo = 0;
+            hi = a->sec_counts[si];
+            base = (off_t)a->sec_offsets[si];
+        } else {
+            uint8_t marker[4];
+            if (pread(fd, marker, 4, 0) != 4
+                || memcmp(marker, "KMCS", 4) != 0) {
+                ::close(fd);
+                return -1;
             }
-            if (c < ci || c > cx) continue;
-            ++hist[c < hist_len ? c : hist_len - 1];
-            ++n;
+            lo = a->luts[0];
+            hi = a->luts[a->n_sections * a->lut_size];
+            base = 4;
         }
-        pos += want;
+        for (uint64_t pos = lo; pos < hi;) {
+            uint64_t want = (buf.size() - 8) / rec_bytes;
+            if (want > hi - pos) want = hi - pos;
+            ssize_t got = pread(fd, buf.data(), want * rec_bytes,
+                                base + (off_t)pos * rec_bytes);
+            if (got < (ssize_t)(want * rec_bytes)) { ::close(fd); return -1; }
+            const uint8_t* p = buf.data() + sb;
+            for (uint64_t i = 0; i < want; ++i, p += rec_bytes) {
+                uint64_t c = 1;
+                if (cs)
+                    c = a->format ? (load_be64(p) >> (64 - 8 * cs))
+                                  : (load_le64(p) & cnt_mask);
+                if (c < ci || c > cx) continue;
+                ++hist[c < hist_len ? c : hist_len - 1];
+                ++n;
+            }
+            pos += want;
+        }
     }
     ::close(fd);
     return n;
@@ -635,6 +1065,24 @@ int64_t kst_counters_for_seq(const uint8_t* seq, int64_t seq_len,
         out[w] = (len && keys[lo] == key) ? counts[lo] : 0;
     }
     return n;
+}
+
+// Benchmark helper: drain one sorted stream, returning record count and
+// a checksum (keeps the loop honest under -O3).
+int64_t kst_drain(const InputSpec* a, uint64_t* checksum) {
+    Reader r;
+    if (!r.open(a)) { r.close(); return -1; }
+    int64_t n = 0;
+    uint64_t sum = 0;
+    while (r.has) {
+        sum += r.key().w[0] + r.cnt();
+        ++n;
+        r.pop();
+    }
+    if (checksum) *checksum = sum;
+    bool ok = r.ok;
+    r.close();
+    return ok ? n : -1;
 }
 
 // Record-level equality of two sorted streams (operations.h:258).

@@ -362,3 +362,87 @@ def test_counter_size_zero_input(tmp_path, monkeypatch):
     _both_paths(monkeypatch,
                 lambda o: db_ops.transform_dump(str(db), o + ".txt", True),
                 tmp_path, "cs0dump", [".txt"])
+
+
+def _write_kff(path, k, kmers, counts, counter_size=2, n_sections=1,
+               encoding=0b00011011):
+    """An ordered KFF file, optionally split into several internally
+    sorted 'r' sections (record ranges of the sorted stream)."""
+    from kmc_tpu.formats.kff import KffWriter
+
+    w = KffWriter(str(path), canonical=True, k=k, counter_size=counter_size,
+                  min_count=1, max_count=10**9, encoding=encoding)
+    n = len(kmers)
+    bounds = np.linspace(0, n, n_sections + 1).astype(int)
+    for i in range(n_sections):
+        lo, hi = bounds[i], bounds[i + 1]
+        w.store_section(kmers[lo:hi], counts[lo:hi])
+    w.close()
+
+
+@pytest.mark.parametrize("k,n_sections,lpl2",
+                         [(21, 1, 5), (27, 5, 7), (55, 3, 3)])
+def test_kff_native_equivalence(k, n_sections, lpl2, tmp_path, monkeypatch):
+    """KFF inputs and -okff outputs through the native core byte-match the
+    Python paths (VERDICT r2 missing #2): transforms, dump, histogram,
+    set ops with KFF operands, and KFF outputs from KMC inputs."""
+    rng = np.random.default_rng(k + n_sections)
+    kmers, counts = _random_records(rng, k, 2500)
+    kff = tmp_path / "in.kff"
+    _write_kff(kff, k, kmers, counts, n_sections=n_sections)
+    kmers2, counts2 = _random_records(rng, k, 1500)
+    db2 = tmp_path / "db2"
+    _write_kmc1(db2, k, kmers2, counts2, lpl=lpl2, cutoff_min=1)
+
+    # KFF input -> KMC1 output transforms
+    _both_paths(monkeypatch,
+                lambda o: db_ops.transform_sort(str(kff), o),
+                tmp_path, "ksort", [".kmc_pre", ".kmc_suf"])
+    _both_paths(monkeypatch,
+                lambda o: db_ops.transform_dump(str(kff), o + ".txt", True),
+                tmp_path, "kdump", [".txt"])
+    _both_paths(monkeypatch,
+                lambda o: db_ops.transform_histogram(str(kff), o + ".txt"),
+                tmp_path, "khist", [".txt"])
+    # KFF output from a KMC input
+    _both_paths(monkeypatch,
+                lambda o: db_ops.transform_sort(str(db2), o + ".kff"),
+                tmp_path, "okff", [".kff"])
+    # set op with mixed KFF/KMC operands, both output formats
+    _both_paths(monkeypatch,
+                lambda o: db_ops.run_simple_op(
+                    "union", str(kff), str(db2), o, "sum", {}),
+                tmp_path, "kunion", [".kmc_pre", ".kmc_suf"])
+    _both_paths(monkeypatch,
+                lambda o: db_ops.run_simple_op(
+                    "intersect", str(kff), str(db2), o + ".kff", "min", {}),
+                tmp_path, "kint", [".kff"])
+    # set_counts to KFF (the kff counter-size rule ignores counter_value)
+    _both_paths(monkeypatch,
+                lambda o: db_ops.transform_set_counts(str(kff), o + ".kff",
+                                                      9),
+                tmp_path, "ksetc", [".kff"])
+
+
+def test_kff_non_default_encoding_native(tmp_path, monkeypatch):
+    """Non-default-encoding KFF operands: the native core merges the raw
+    encoded bytes (the Python path's semantics) and stamps the encoding
+    into the .kff output header."""
+    rng = np.random.default_rng(99)
+    k = 25
+    kmers, counts = _random_records(rng, k, 1200)
+    a = tmp_path / "a.kff"
+    b = tmp_path / "b.kff"
+    enc = 0b00011110  # A=0 C=1 G=3 T=2
+    _write_kff(a, k, kmers, counts, encoding=enc, n_sections=2)
+    kmers2, counts2 = _random_records(rng, k, 900)
+    _write_kff(b, k, kmers2, counts2, encoding=enc)
+    _both_paths(monkeypatch,
+                lambda o: db_ops.run_simple_op(
+                    "union", str(a), str(b), o + ".kff", "sum", {}),
+                tmp_path, "eunion", [".kff"])
+    # dump of a non-default encoding must fall back to Python (symbol
+    # translation) — both paths must still agree
+    _both_paths(monkeypatch,
+                lambda o: db_ops.transform_dump(str(a), o + ".txt", True),
+                tmp_path, "edump", [".txt"])

@@ -49,7 +49,8 @@ def main():
     ap.add_argument("--db", default="/tmp/kmc_tpu_bench/bench_out",
                     help="existing KMC DB prefix (default: bench.py output)")
     ap.add_argument("--ops", default="dump,histogram,sort,union,intersect,"
-                    "kmers_subtract,compact,reduce")
+                    "kmers_subtract,compact,reduce,kff_dump,kff_union,"
+                    "okff_sort")
     ap.add_argument("--stream", action="store_true",
                     help="force the kmc_tpu streaming path (KMC_TPU_STREAM_THRESHOLD=0)")
     args = ap.parse_args()
@@ -73,8 +74,15 @@ def main():
     # second operand for set ops: reduce of the DB at ci3 (distinct but
     # heavily overlapping k-mer set)
     db2 = str(work / "db2")
-    if any(o in ops for o in ("union", "intersect", "kmers_subtract")):
+    if any(o in ops for o in ("union", "intersect", "kmers_subtract",
+                              "kff_union")):
         run([str(ref_tools), "-t1", "transform", db, "-ci3", "reduce", db2])
+    # KFF-format copy of the DB for the KFF-input rows (reference-produced)
+    kffdb = str(work / "dbk")
+    if any(o.startswith("kff_") for o in ops):
+        run([str(ref_tools), "-t1", "transform", db, "sort", kffdb,
+             "-okff"])
+        kffdb += ".kff"
 
     rows = []
 
@@ -127,6 +135,28 @@ def main():
                   [str(ref_tools), "-t1", "simple", db, db2, op, str(a)],
                   ["simple", db, db2, op, str(b)],
                   [(str(a) + s, str(b) + s) for s in (".kmc_pre", ".kmc_suf")])
+        elif op == "kff_dump":
+            a, b = work / "ref_kff.dump", work / "our_kff.dump"
+            bench("dump (KFF input)",
+                  [str(ref_tools), "-t1", "transform", kffdb, "dump", "-s",
+                   str(a)],
+                  ["transform", kffdb, "dump", "-s", str(b)],
+                  [(a, b)])
+        elif op == "kff_union":
+            a, b = work / "ref_ku", work / "our_ku"
+            bench("union (KFF operand)",
+                  [str(ref_tools), "-t1", "simple", kffdb, db2, "union",
+                   str(a)],
+                  ["simple", kffdb, db2, "union", str(b)],
+                  [(str(a) + s, str(b) + s)
+                   for s in (".kmc_pre", ".kmc_suf")])
+        elif op == "okff_sort":
+            a, b = work / "ref_okff", work / "our_okff"
+            bench("sort -okff output",
+                  [str(ref_tools), "-t1", "transform", db, "sort", str(a),
+                   "-okff"],
+                  ["transform", db, "sort", str(b), "-okff"],
+                  [(str(a) + ".kff", str(b) + ".kff")])
 
     n_bad = sum(1 for *_, ok in rows if not ok)
     print(f"\n{len(rows)} ops timed, {n_bad} mismatches")
