@@ -259,13 +259,16 @@ def _parse_complex_file(path: str):
                 raise ValueError(f"bad input line: {ln}")
             name = m.group(1)
             parts = m.group(2).split()
-            p = OutputParams()
+            ci = cx = None
             for tok in parts[1:]:
                 if tok.startswith("-ci"):
-                    p.cutoff_min = int(tok[3:])
+                    ci = int(tok[3:])
                 elif tok.startswith("-cx"):
-                    p.cutoff_max = int(tok[3:])
-            inputs[name] = (parts[0], p)
+                    cx = int(tok[3:])
+            # unset per-input cutoffs default from the input's header,
+            # like the reference (parameters_parser.cpp:840-847)
+            inputs[name] = (parts[0],
+                            db_ops.effective_input_cut(parts[0], (ci, cx)))
         elif section == "output":
             if output_line is None:
                 output_line = ln
@@ -281,7 +284,12 @@ def _parse_complex_file(path: str):
 
 def run_complex_file(path: str):
     inputs, out_path, expr, out_params_tokens = _parse_complex_file(path)
-    p, rest = _parse_out_params(out_params_tokens)
+    overrides, rest = _parse_out_params(out_params_tokens)
+    # unset output params default from the inputs: min effective ci, max
+    # cx, max counter range (parameters_parser.cpp:893-908)
+    p = db_ops.default_output_params(
+        [db for db, _ in inputs.values()],
+        [cut for _, cut in inputs.values()], overrides)
     # OUTPUT_PARAMS may carry -o<kmc|kff> (parser.cpp:222-227); the
     # reference's KFF writer appends ".kff" itself (kff_db_writer.h:79)
     for tok in rest:
@@ -295,7 +303,9 @@ def run_complex_file(path: str):
 
     encoding = db_ops._check_encodings([db for db, _ in inputs.values()])
     if (encoding == db_ops.DEFAULT_ENCODING
-            and not str(out_path).endswith(".kff")):
+            or str(out_path).endswith(".kff")):
+        # native single-pass network; non-default encodings only when the
+        # output stays KFF (the Python path handles the forced rename)
         out = _run_complex_native(inputs, out_path, expr, p)
         if out is not None:
             return out
@@ -310,9 +320,10 @@ def run_complex_file(path: str):
 
     loaded = {}
     input_infos = []
-    for name, (path_db, ip) in inputs.items():
+    for name, (path_db, cut) in inputs.items():
         info, kmers, counts = db_ops.load_sorted(path_db)
-        keep = (counts >= ip.cutoff_min) & (counts <= ip.cutoff_max)
+        keep = ((counts.astype(np.uint64) >= cut[0])
+                & (counts.astype(np.uint64) <= cut[1]))
         loaded[name] = (kmers[keep], counts[keep].astype(np.uint64))
         input_infos.append(info)
     kmers, counts = evaluate_expression(expr, loaded)
@@ -331,14 +342,13 @@ _COMPLEX_OP_NAME = {"+": "union", "*": "intersect", "-": "kmers_subtract",
 
 
 def _run_complex_native(inputs, out_path, expr, p):
-    """Lower the expression tree to a chain of native streamed passes:
-    every internal node runs as one C pread-merge into a temp KMC1 DB with
-    neutral output params (ci=1, cx=cs=uint32 max — counters stay exact
-    below 2^32, where the in-memory uint64 tree agrees), and the root pass
-    applies the real OUTPUT_PARAMS.  Returns out_path, or None when
-    ineligible (KFF inputs, k>native scope, library unavailable)."""
-    import tempfile
-
+    """Lower the expression tree to ONE single-pass native merger network
+    (kst_expr): leaves are per-occurrence input cursors, internal nodes
+    are incremental 2-stream merges, the root applies the OUTPUT_PARAMS —
+    no intermediate databases (round 2 chained temp-DB passes; the single
+    pass reads every input exactly once, like the reference's
+    CInput-over-CInput trees).  Returns out_path, or None when ineligible
+    (library unavailable, k > native scope)."""
     from . import native_tools
     from ..formats.kmc_db import DbInfo
 
@@ -348,9 +358,9 @@ def _run_complex_native(inputs, out_path, expr, p):
         if not native_tools._eligible(db):
             return None
     try:
-        infos = {name: db_ops.read_db_header_info(db)
+        infos = {name: db_ops.read_any_header_info(db)
                  for name, (db, _) in inputs.items()}
-    except (OSError, ValueError):
+    except (OSError, ValueError, NotImplementedError):
         return None
     ks = {i.kmer_len for i in infos.values()}
     if len(ks) > 1:
@@ -359,68 +369,47 @@ def _run_complex_native(inputs, out_path, expr, p):
     lut_prefix_len = db_ops.tools_lut_prefix_len(
         k, [i.n_unique_stored for i in infos.values()])
     some = next(iter(infos.values()))
-    neutral = OutputParams(cutoff_min=1, cutoff_max=0xFFFFFFFF,
-                           counter_max=0xFFFFFFFF)
-
-    def node_info(params: OutputParams) -> DbInfo:
-        return DbInfo(
-            kmer_len=k,
-            counter_size=db_ops.tools_counter_size(params.cutoff_max,
-                                                   params.counter_max),
-            lut_prefix_len=lut_prefix_len,
-            cutoff_min=params.cutoff_min,
-            cutoff_max=params.cutoff_max,
-            both_strands=some.both_strands,
-            version=0,
-        )
+    info_out = DbInfo(
+        kmer_len=k,
+        counter_size=db_ops.tools_counter_size(p.cutoff_max, p.counter_max),
+        lut_prefix_len=lut_prefix_len,
+        cutoff_min=p.cutoff_min,
+        cutoff_max=p.cutoff_max,
+        both_strands=some.both_strands,
+        version=0,
+    )
 
     ast = parse_expression_ast(expr)
-    tmpdir = tempfile.mkdtemp(prefix="kmc_cplx_")
-    counter = [0]
+    leaves = []   # (db_path, cut) per leaf occurrence
+    prog = []     # 4 int32 per node; children precede parents
+    from .native_tools import MODE_CODES, OP_CODES
 
-    def emit(node, out, params):
-        """Evaluate `node` into the KMC1 DB `out` under `params`."""
-        kind = node[0]
-        if kind == "name":
+    def lower(node) -> int:
+        if node[0] == "name":
             if node[1] not in inputs:
                 raise ValueError(f"undefined input {node[1]}")
-            db, ip = inputs[node[1]]
-            n = native_tools.run_op(
-                "copy", db, out, node_info(params), params,
-                in1_cut=(ip.cutoff_min, ip.cutoff_max))
-            if n is None:
-                raise NotImplementedError
-            return
-        _, op, mode, left, right = node
+            db, cut = inputs[node[1]]
+            leaves.append((db, cut))
+            prog.extend([0, len(leaves) - 1, 0, 0])
+        else:
+            _, op, mode, left, right = node
+            a = lower(left)
+            b = lower(right)
+            prog.extend([
+                OP_CODES[_COMPLEX_OP_NAME[op]], a, b,
+                MODE_CODES.get((mode or _DEFAULT_MODE[op] or "sum").lower(),
+                               2),
+            ])
+        return len(prog) // 4 - 1
 
-        def operand(sub):
-            if sub[0] == "name":
-                if sub[1] not in inputs:
-                    raise ValueError(f"undefined input {sub[1]}")
-                db, ip = inputs[sub[1]]
-                return db, (ip.cutoff_min, ip.cutoff_max)
-            counter[0] += 1
-            tmp = f"{tmpdir}/n{counter[0]}"
-            emit(sub, tmp, neutral)
-            return tmp, (None, None)
-
-        db1, cut1 = operand(left)
-        db2, cut2 = operand(right)
-        n = native_tools.run_op(
-            _COMPLEX_OP_NAME[op], db1, out, node_info(params), params,
-            db2=db2, mode=mode or _DEFAULT_MODE[op] or "sum",
-            in1_cut=cut1, in2_cut=cut2)
-        if n is None:
-            raise NotImplementedError
-
-    import shutil
-
-    try:
-        emit(ast, str(out_path), p)
-    except NotImplementedError:
+    lower(ast)
+    kff_out = db_ops._native_kff_out(
+        out_path, db_ops._check_encodings([db for db, _ in inputs.values()]),
+        some.both_strands, p)
+    n = native_tools.run_expr(leaves, prog, str(out_path), info_out, p,
+                              kff_out=kff_out)
+    if n is None:
         return None
-    finally:
-        shutil.rmtree(tmpdir, ignore_errors=True)
     return out_path
 
 
@@ -451,8 +440,8 @@ def _run_complex_streaming(inputs, out_path, expr, p):
 
     def factory(db, ip):
         def make():
-            r = DbStreamReader(db, cutoff_min=ip.cutoff_min,
-                               cutoff_max=ip.cutoff_max)
+            r = DbStreamReader(db, cutoff_min=cut[0],
+                               cutoff_max=cut[1])
             try:
                 yield from r.key_blocks()
             finally:
@@ -486,15 +475,19 @@ def _run_complex_streaming(inputs, out_path, expr, p):
 
 
 def _parse_out_params(tokens):
-    p = OutputParams()
+    """(overrides dict with only the explicitly-set ci/cx/cs, rest tokens).
+    Unset fields default from the INPUTS (min effective ci / max cx / max
+    counter range), exactly like the reference's complex-mode defaulting
+    (parameters_parser.cpp:893-908)."""
+    overrides = {}
     rest = []
     for tok in tokens:
         if tok.startswith("-ci"):
-            p.cutoff_min = int(tok[3:])
+            overrides["ci"] = int(tok[3:])
         elif tok.startswith("-cx"):
-            p.cutoff_max = int(tok[3:])
+            overrides["cx"] = int(tok[3:])
         elif tok.startswith("-cs"):
-            p.counter_max = int(tok[3:])
+            overrides["cs"] = int(tok[3:])
         else:
             rest.append(tok)
-    return p, rest
+    return overrides, rest

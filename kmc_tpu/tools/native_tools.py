@@ -119,6 +119,13 @@ def get_lib():
                                ctypes.c_int64, u64p]
         lib.kst_dump.restype = ctypes.c_int64
         lib.kst_dump.argtypes = [isp, ctypes.c_char_p, ctypes.c_int32]
+        lib.kst_expr.restype = ctypes.c_int64
+        lib.kst_expr.argtypes = [isp, ctypes.POINTER(ctypes.c_int32),
+                                 ctypes.c_int32, ctypes.c_char_p,
+                                 ctypes.c_uint32, ctypes.c_uint64,
+                                 ctypes.c_uint32, ctypes.c_uint32,
+                                 ctypes.c_uint64, ctypes.c_uint64,
+                                 ctypes.c_uint64, u64p]
         lib.kst_histogram.restype = ctypes.c_int64
         lib.kst_histogram.argtypes = [isp, u64p, ctypes.c_uint64]
         lib.kst_compare.restype = ctypes.c_int32
@@ -299,6 +306,66 @@ def run_op(op: str, db1, out: str, info_out, out_params, db2=None,
     )
     if n < 0:
         raise OSError(f"native tools op failed on {db1}")
+    from ..formats.streaming import write_kmc1_pre
+
+    write_kmc1_pre(str(out), info_out, hist, int(n))
+    return int(n)
+
+
+def run_expr(leaf_paths_cuts, prog, out: str, info_out, out_params,
+             kff_out: dict | None = None):
+    """Single-pass complex-expression evaluation (kst_expr): the whole
+    parenthesized set algebra as one pull-based merger network over the
+    leaf streams — no intermediate databases (the reference's
+    CInput-over-CInput trees, expression_node.h:26-196).
+
+    leaf_paths_cuts: [(db_path, (ci, cx))] one per LEAF OCCURRENCE.
+    prog: flat int32 node program, 4 per node [kind, a, b, mode]; kind 0 =
+    leaf (a = leaf index), 1..4 = union/intersect/kmers_subtract/
+    counters_subtract over child node ids; root last.  Returns record
+    count or None (fallback)."""
+    for p, _ in leaf_paths_cuts:
+        if not _eligible(p):
+            return None
+    specs = _open_inputs(leaf_paths_cuts)
+    if specs is None:
+        return None
+    lib = get_lib()
+    spec_arr = (_InputSpec * len(specs))(*[s.spec for s in specs])
+    prog_arr = (ctypes.c_int32 * len(prog))(*prog)
+    if kff_out is not None:
+        from ..formats.kff import DEFAULT_ENCODING, KffWriter
+
+        k = specs[0].kmer_len
+        cs = int(kff_out["counter_size"])
+        w = KffWriter(
+            str(out), canonical=bool(kff_out["canonical"]), k=k,
+            counter_size=cs, min_count=int(out_params.cutoff_min),
+            max_count=int(out_params.cutoff_max),
+            encoding=int(kff_out.get("encoding", DEFAULT_ENCODING)))
+        data_off = w.begin_streamed_section()
+        hist = np.zeros(1, np.uint64)
+        n = lib.kst_expr(
+            spec_arr, prog_arr, len(prog) // 4, str(out).encode(), 1,
+            data_off, 0, cs, int(out_params.cutoff_min),
+            int(out_params.cutoff_max), int(out_params.counter_max),
+            hist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        if n < 0:
+            raise OSError("native expression evaluation failed")
+        w.end_streamed_section(int(n), (k + 3) // 4 + cs)
+        w.close()
+        return int(n)
+    lut_size = 1 << (2 * info_out.lut_prefix_len)
+    hist = np.zeros(lut_size, np.uint64)
+    n = lib.kst_expr(
+        spec_arr, prog_arr, len(prog) // 4,
+        (str(out) + ".kmc_suf").encode(), 0, 0,
+        info_out.lut_prefix_len, info_out.counter_size,
+        int(out_params.cutoff_min), int(out_params.cutoff_max),
+        int(out_params.counter_max),
+        hist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    if n < 0:
+        raise OSError("native expression evaluation failed")
     from ..formats.streaming import write_kmc1_pre
 
     write_kmc1_pre(str(out), info_out, hist, int(n))

@@ -1067,6 +1067,164 @@ int64_t kst_counters_for_seq(const uint8_t* seq, int64_t seq_len,
     return n;
 }
 
+// Single-pass complex-expression evaluation: the parenthesized set
+// algebra runs as a pull-based merger network (each internal node is an
+// incremental 2-stream merge; leaves are Readers) — the reference's
+// CInput-over-CInput operation trees (expression_node.h:26-196,
+// bundle.h:18-245) without intermediate databases.
+// prog: n_nodes * 4 int32s [kind, a, b, mode]; kind 0 = leaf (a = input
+// index), kind 1..4 = union/intersect/kmers_subtract/counters_subtract
+// over child NODE ids a and b (topological order, root last).
+namespace {
+
+struct ENode {
+    int32_t op = 0, mode = 0;
+    ENode* l = nullptr;
+    ENode* r = nullptr;
+    Reader* rd = nullptr;
+    bool has = false;
+    Key key;
+    uint64_t cnt = 0;
+
+    void adv(uint32_t kw) {
+        if (rd) {
+            if (rd->has) {
+                key = rd->key();
+                cnt = rd->cnt();
+                rd->pop();
+                has = true;
+            } else {
+                has = false;
+            }
+            return;
+        }
+        step(kw);
+    }
+
+    void init(uint32_t kw) {
+        if (rd) {
+            adv(kw);
+            return;
+        }
+        l->init(kw);
+        r->init(kw);
+        step(kw);
+    }
+
+    void step(uint32_t kw) {
+        for (;;) {
+            const bool lh = l->has, rh = r->has;
+            if (lh && rh) {
+                int c = key_cmp(l->key, r->key, kw);
+                if (c < 0) {
+                    if (op == 1 || op == 3 || op == 4) {
+                        key = l->key;
+                        cnt = l->cnt;
+                        has = true;
+                        l->adv(kw);
+                        return;
+                    }
+                    l->adv(kw);
+                    continue;
+                }
+                if (c > 0) {
+                    if (op == 1) {
+                        key = r->key;
+                        cnt = r->cnt;
+                        has = true;
+                        r->adv(kw);
+                        return;
+                    }
+                    r->adv(kw);
+                    continue;
+                }
+                uint64_t cc = combine(l->cnt, r->cnt, mode);
+                Key kk = l->key;
+                l->adv(kw);
+                r->adv(kw);
+                if (op != 3 && cc > 0) {
+                    key = kk;
+                    cnt = cc;
+                    has = true;
+                    return;
+                }
+                continue;
+            }
+            if (lh) {
+                if (op == 1 || op == 3 || op == 4) {
+                    key = l->key;
+                    cnt = l->cnt;
+                    has = true;
+                    l->adv(kw);
+                    return;
+                }
+                has = false;
+                return;
+            }
+            if (rh && op == 1) {
+                key = r->key;
+                cnt = r->cnt;
+                has = true;
+                r->adv(kw);
+                return;
+            }
+            has = false;
+            return;
+        }
+    }
+};
+
+}  // namespace
+
+extern "C"
+int64_t kst_expr(const InputSpec* inputs, const int32_t* prog,
+                 int32_t n_nodes, const char* out_path, uint32_t out_format,
+                 uint64_t out_offset, uint32_t out_lpl, uint32_t out_cs,
+                 uint64_t out_ci, uint64_t out_cx, uint64_t out_csmax,
+                 uint64_t* lut_hist) {
+    std::vector<ENode> nodes(n_nodes);
+    std::vector<Reader*> readers;  // one per LEAF occurrence
+    bool open_ok = true;
+    uint32_t kw = 0;
+    for (int32_t i = 0; i < n_nodes; ++i) {
+        const int32_t kind = prog[4 * i];
+        if (kind == 0) {
+            Reader* rd = new Reader();
+            readers.push_back(rd);
+            if (!rd->open(&inputs[prog[4 * i + 1]])) open_ok = false;
+            nodes[i].rd = rd;
+            kw = rd->kw;
+        } else {
+            nodes[i].op = kind;
+            nodes[i].mode = prog[4 * i + 3];
+            nodes[i].l = &nodes[prog[4 * i + 1]];
+            nodes[i].r = &nodes[prog[4 * i + 2]];
+        }
+    }
+    int64_t result = -1;
+    if (open_ok && n_nodes > 0) {
+        Writer w;
+        uint32_t k = inputs[0].kmer_len;
+        if (w.open(out_path, out_format, out_offset, k, out_lpl, out_cs,
+                   out_ci, out_cx, out_csmax, -1, lut_hist)) {
+            ENode& root = nodes[n_nodes - 1];
+            root.init(kw);
+            while (root.has) {
+                w.put(root.key, root.cnt);
+                root.adv(kw);
+            }
+            bool rd_ok = true;
+            for (Reader* rd : readers) rd_ok = rd_ok && rd->ok;
+            if (w.close() && rd_ok) result = (int64_t)w.n;
+        }
+    }
+    for (Reader* rd : readers) {
+        rd->close();
+        delete rd;
+    }
+    return result;
+}
+
 // Benchmark helper: drain one sorted stream, returning record count and
 // a checksum (keeps the loop honest under -O3).
 int64_t kst_drain(const InputSpec* a, uint64_t* checksum) {

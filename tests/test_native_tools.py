@@ -446,3 +446,35 @@ def test_kff_non_default_encoding_native(tmp_path, monkeypatch):
     _both_paths(monkeypatch,
                 lambda o: db_ops.transform_dump(str(a), o + ".txt", True),
                 tmp_path, "edump", [".txt"])
+
+
+def test_complex_native_kff_and_single_pass(tmp_path, monkeypatch):
+    """Complex expressions through the single-pass native network: KMC and
+    KFF operands, KMC1 and KFF outputs, byte-identical to the Python
+    evaluator; output params default from the inputs when OUTPUT_PARAMS is
+    absent (parameters_parser.cpp:893-908)."""
+    from kmc_tpu.tools.complex_ops import run_complex_file
+
+    rng = np.random.default_rng(5)
+    k = 25
+    kmers, counts = _random_records(rng, k, 2000)
+    db1 = tmp_path / "c1"
+    _write_kmc1(db1, k, kmers, counts, lpl=5, cutoff_min=2)
+    kmers2, counts2 = _random_records(rng, k, 1500)
+    kff2 = tmp_path / "c2.kff"
+    _write_kff(kff2, k, kmers2, counts2, n_sections=2)
+
+    def run(out, tag):
+        defp = tmp_path / f"{tag}.def"
+        defp.write_text(
+            "INPUT:\n"
+            f"a={db1}\n"
+            f"b={kff2} -ci2\n"
+            "OUTPUT:\n"
+            f"{out}=(a*max b)+(a-b)\n")
+        assert run_complex_file(str(defp))
+
+    _both_paths(monkeypatch, lambda o: run(o, "ck"),
+                tmp_path, "cplx_kmc", [".kmc_pre", ".kmc_suf"])
+    _both_paths(monkeypatch, lambda o: run(o + ".kff", "cf"),
+                tmp_path, "cplx_kff", [".kff"])

@@ -50,7 +50,7 @@ def main():
                     help="existing KMC DB prefix (default: bench.py output)")
     ap.add_argument("--ops", default="dump,histogram,sort,union,intersect,"
                     "kmers_subtract,compact,reduce,kff_dump,kff_union,"
-                    "okff_sort")
+                    "okff_sort,complex")
     ap.add_argument("--stream", action="store_true",
                     help="force the kmc_tpu streaming path (KMC_TPU_STREAM_THRESHOLD=0)")
     args = ap.parse_args()
@@ -75,7 +75,7 @@ def main():
     # heavily overlapping k-mer set)
     db2 = str(work / "db2")
     if any(o in ops for o in ("union", "intersect", "kmers_subtract",
-                              "kff_union")):
+                              "kff_union", "complex")):
         run([str(ref_tools), "-t1", "transform", db, "-ci3", "reduce", db2])
     # KFF-format copy of the DB for the KFF-input rows (reference-produced)
     kffdb = str(work / "dbk")
@@ -148,6 +148,21 @@ def main():
                   [str(ref_tools), "-t1", "simple", kffdb, db2, "union",
                    str(a)],
                   ["simple", kffdb, db2, "union", str(b)],
+                  [(str(a) + s, str(b) + s)
+                   for s in (".kmc_pre", ".kmc_suf")])
+        elif op == "complex":
+            a, b = work / "ref_cplx", work / "our_cplx"
+            for defp, outdb in ((work / "c_ref.def", a),
+                                (work / "c_our.def", b)):
+                defp.write_text(
+                    "INPUT:\n"
+                    f"a={db}\n"
+                    f"b={db2}\n"
+                    "OUTPUT:\n"
+                    f"{outdb}=(a*max b)+(a-b)\n")
+            bench("complex (a*max b)+(a-b)",
+                  [str(ref_tools), "-t1", "complex", str(work / "c_ref.def")],
+                  ["complex", str(work / "c_our.def")],
                   [(str(a) + s, str(b) + s)
                    for s in (".kmc_pre", ".kmc_suf")])
         elif op == "okff_sort":
