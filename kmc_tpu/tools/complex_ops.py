@@ -438,7 +438,7 @@ def _run_complex_streaming(inputs, out_path, expr, p):
         # equal instead of erroring
         raise ValueError("k-mer length mismatch between databases")
 
-    def factory(db, ip):
+    def factory(db, cut):
         def make():
             r = DbStreamReader(db, cutoff_min=cut[0],
                                cutoff_max=cut[1])
@@ -449,7 +449,8 @@ def _run_complex_streaming(inputs, out_path, expr, p):
 
         return make
 
-    factories = {name: factory(db, ip) for name, (db, ip) in inputs.items()}
+    factories = {name: factory(db, cut)
+                 for name, (db, cut) in inputs.items()}
     stream = evaluate_expression_streaming(expr, factories)
 
     some = next(iter(infos.values()))

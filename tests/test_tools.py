@@ -680,3 +680,30 @@ def test_filter_db_cutoffs_and_fasta_output(two_dbs, tmp_path):
     assert fa_text.startswith(">common\n")
     assert "+" not in fa_text and "@" not in fa_text  # no quality blocks
     assert fa_text.count(">") == 2
+
+
+def test_complex_streaming_path_equivalence(two_dbs, tmp_path, monkeypatch):
+    """The bounded-memory streaming complex evaluator (native off, stream
+    threshold 0) must byte-match the in-memory evaluator (regression: the
+    streaming path previously had no direct coverage)."""
+    db1, db2, _, _ = two_dbs
+    from kmc_tpu.tools.complex_ops import run_complex_file
+
+    outs = {}
+    for tag, env in (("mem", {"KMC_TPU_NATIVE_TOOLS": "0",
+                              "KMC_TPU_STREAM_THRESHOLD": str(1 << 60)}),
+                     ("stream", {"KMC_TPU_NATIVE_TOOLS": "0",
+                                 "KMC_TPU_STREAM_THRESHOLD": "0"})):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        out = tmp_path / f"cxs_{tag}"
+        ops_file = tmp_path / f"ops_{tag}.txt"
+        ops_file.write_text(
+            f"INPUT:\na = {db1} -ci2\nb = {db2}\n"
+            f"OUTPUT:\n{out} = (a - b) + (a *max b)\n")
+        run_complex_file(str(ops_file))
+        outs[tag] = out
+    for suf in (".kmc_pre", ".kmc_suf"):
+        with open(str(outs["mem"]) + suf, "rb") as fa, \
+                open(str(outs["stream"]) + suf, "rb") as fb:
+            assert fa.read() == fb.read(), suf
