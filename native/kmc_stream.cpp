@@ -122,13 +122,19 @@ static inline uint64_t load_le64(const uint8_t* p) {
     return v;
 }
 
+// LUT pointers come from Python as mmap views of .kmc_pre starting 4 bytes
+// past the "KMCP" marker, so they are 4-mod-8 aligned.  An aligned(1) u64
+// typedef makes every load through them a legitimate unaligned access
+// (identical x86 codegen; avoids UB on the plain-uint64_t cast).
+typedef uint64_t uu64 __attribute__((aligned(1), may_alias));
+
 // One contiguous sorted record range: a KMC2 bin (or the whole of a KMC1
 // database) of a .kmc_suf file with LUT-driven prefix reconstruction, or
 // one KFF 'r' section (whole big-endian k-mers, BE counters, no LUT).
 struct Section {
     uint64_t pos = 0, hi = 0;      // record indices (KMC: global; KFF: local)
     uint64_t off = 0;              // KFF: file offset of the record data
-    const uint64_t* lut = nullptr; // lut_size+1 cumulative boundaries
+    const uu64* lut = nullptr;     // lut_size+1 cumulative boundaries
     uint64_t lut_size = 0;
     uint64_t cur_prefix = 0;
     // read buffer
@@ -139,7 +145,7 @@ struct Section {
 
 struct InputSpec {  // mirrors the ctypes struct in native_tools.py
     const char* suf_path;
-    const uint64_t* luts;      // n_sections*lut_size + 1 entries, cumulative
+    const uu64* luts;          // n_sections*lut_size + 1 entries, cumulative
     uint64_t n_sections;
     uint64_t lut_size;         // 4^lut_prefix_len
     uint32_t kmer_len, lut_prefix_len, counter_size;
@@ -279,7 +285,7 @@ bool Reader::open(const InputSpec* in) {
         // every LUT streams sequentially (one pass, L1-resident target)
         pfx_total.assign(in->lut_size, 0);
         for (uint64_t b = 0; b < in->n_sections; ++b) {
-            const uint64_t* lut = secs[b].lut;
+            const uu64* lut = secs[b].lut;
             for (uint64_t p = 0; p < in->lut_size; ++p)
                 pfx_total[p] += lut[p + 1] - lut[p];
         }
