@@ -308,6 +308,7 @@ class KMCFile:
         self._kmers = None  # (N, KB) sorted (RA mode)
         self._kmers_keys = None  # cached _rows_search_keys(self._kmers)
         self._keys_idx16 = None  # cached top-16-bit range table (native RA)
+        self._rows_idx16_cache = None  # wide-key (k>32) jump table
         self._counts = None
         self._pos = 0
         self._min_count = 1
@@ -612,6 +613,16 @@ class KMCFile:
             self._keys_idx16 = build_key_index16(self._kmers_keys)
         return self._keys_idx16
 
+    def _rows_idx16(self):
+        """Jump table for the wide (k>32) native lookup, keyed on the
+        first two key-row bytes; cached like _hay_idx16."""
+        if getattr(self, "_rows_idx16_cache", None) is None \
+                and self._kmers is not None and len(self._kmers):
+            from .tools.native_tools import build_row_index16
+
+            self._rows_idx16_cache = build_row_index16(self._kmers)
+        return getattr(self, "_rows_idx16_cache", None)
+
     def IsKmer(self, kmer) -> bool:
         return self.CheckKmer(kmer)[0]
 
@@ -625,23 +636,31 @@ class KMCFile:
         """GetCountersForRead returning the raw uint32 array (no Python
         list round-trip) — the filter's bulk entry point."""
         # native in-RAM windowed lookup (rolling canonical k-mer + binary
-        # search in C) for k<=32, default encoding
+        # search in C), default encoding: u64 keys for k<=32, raw byte
+        # rows + memcmp for k in (32, 256] (the reference serves every k
+        # through the same C++ path, kmc_file.cpp:1193 / kmer_api.h:28-35)
         if (self._file_ra is None and self._kmers is not None
-                and self._sym_map is None
-                and self._info.kmer_len <= 32):
+                and self._sym_map is None):
             from .tools import native_tools
 
-            keys = self._hay_keys()
-            if keys is not None and keys.dtype == np.uint64:
-                counters = native_tools.counters_for_seq(
+            counters = None
+            if self._info.kmer_len <= 32:
+                keys = self._hay_keys()
+                if keys is not None and keys.dtype == np.uint64:
+                    counters = native_tools.counters_for_seq(
+                        read.encode("ascii", errors="replace"),
+                        self._info.kmer_len, self._info.both_strands,
+                        keys, self._counts, idx16=self._hay_idx16())
+            else:
+                counters = native_tools.counters_for_seq_wide(
                     read.encode("ascii", errors="replace"),
                     self._info.kmer_len, self._info.both_strands,
-                    keys, self._counts, idx16=self._hay_idx16())
-                if counters is not None:
-                    counters = np.where(
-                        (counters >= self._min_count)
-                        & (counters <= self._max_count), counters, 0)
-                    return True, counters
+                    self._kmers, self._counts, idx16=self._rows_idx16())
+            if counters is not None:
+                counters = np.where(
+                    (counters >= self._min_count)
+                    & (counters <= self._max_count), counters, 0)
+                return True, counters
         return self._counters_for_read_numpy(read)
 
     def _counters_for_read_numpy(self, read: str) -> tuple[bool, np.ndarray]:

@@ -432,6 +432,10 @@ class ShardedKmerStore:
         self.has_counts = False
         self.spilled = []  # [(bins, words, counts) numpy triples], global
         self._multi = jax.process_count() > 1
+        # wall-clock phase splits (seconds), populated by finalize() and by
+        # barrier(); used by tools/tpu_sharded_run.py for the TPU-measured
+        # device splits of the sharded pipeline
+        self.timings: dict[str, float] = {}
 
     # -- multi-host plumbing --
 
@@ -690,8 +694,12 @@ class ShardedKmerStore:
         in global (bin, k-mer) order plus stats, reassembled across owners
         and spilled runs.  Cutoffs apply to the MERGED totals (spilled rows
         included), exactly like the single-chip host merge."""
+        import time as _time
+
         D = self.D
+        _t0 = _time.perf_counter()
         cap = capacity_per_owner or self._owner_capacity()
+        self.timings["owner_hist_s"] = _time.perf_counter() - _t0
         has = self.has_counts
         nc = self.n_cols
         col_specs = tuple(P(self.axis, None) for _ in range(nc))
@@ -713,12 +721,14 @@ class ShardedKmerStore:
                            P(self.axis, None), P(self.axis, None),
                            P(self.axis), P(self.axis)),
             )
+            _t0 = _time.perf_counter()
             (keys_s_d, before_d, src_t_d, offs_d, n_groups_d,
              dropped_d) = jax.jit(sharded_a, donate_argnums=(0,))(
                 self.cols, counts_in, self.n_used)
             self.cols = None
             self.counts = None
             n_groups = self._host(n_groups_d)
+            self.timings["exchange_groupsort_s"] = _time.perf_counter() - _t0
             if int(self._host(dropped_d).sum()):
                 raise MemoryError("all_to_all capacity exceeded; raise "
                                   "capacity_per_owner or leave it automatic")
@@ -736,9 +746,12 @@ class ShardedKmerStore:
                 out_specs=(P(self.axis, None), P(self.axis, None, None),
                            P(self.axis, None)),
             )
+            _t0 = _time.perf_counter()
             bins_d, words_d, counts_d = jax.jit(
                 sharded_b, donate_argnums=(0, 1, 2))(
                 keys_s_d, before_d, src_t_d, offs_d, n_groups_d)
+            jax.block_until_ready((bins_d, words_d, counts_d))
+            self.timings["finalize_exec_s"] = _time.perf_counter() - _t0
         else:
             body = functools.partial(
                 _finalize_shard, n_bins=self.n_used_bins, **common)
@@ -761,9 +774,12 @@ class ShardedKmerStore:
                 # capacity_per_owner override can get here
                 raise MemoryError("all_to_all capacity exceeded; raise "
                                   "capacity_per_owner or leave it automatic")
+        _t0 = _time.perf_counter()
         bins_h = self._host(bins_d)
         words_h = self._host(words_d)
         counts_h = self._host(counts_d)
+        self.timings["finalize_d2h_s"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         # host reassembly: owners hold disjoint bins; concat then stable
         # sort by bin only (rows within a bin are already k-mer sorted)
         parts_b, parts_w, parts_c = [], [], []
@@ -806,6 +822,7 @@ class ShardedKmerStore:
         else:
             order = np.argsort(bins, kind="stable")
             bins, words, counts = bins[order], words[order], counts[order]
+        self.timings["host_reassembly_s"] = _time.perf_counter() - _t0
         n_unique = int(len(bins))
         n_below = int((counts < cutoff_min).sum())
         n_above = int((counts > cutoff_max).sum())
@@ -818,6 +835,16 @@ class ShardedKmerStore:
             self._total64(self.occ_host()),
             self._total64(self._host(self.skm)),
         )
+
+    def barrier(self):
+        """Block until all dispatched device work (ingest/compact) has
+        executed — lets callers split host-parse+dispatch wall time from
+        device execution when measuring."""
+        for c in self.cols or ():
+            jax.block_until_ready(c)
+        if self.counts is not None:
+            jax.block_until_ready(self.counts)
+        jax.block_until_ready(self.n_used)
 
     def occ_host(self):
         return self._host(self.occ)
@@ -1232,6 +1259,9 @@ def distributed_count(
     bs = BatchStream(s, k)
     L = bs.batch_bytes
 
+    import time as _time
+
+    _t_ingest0 = _time.perf_counter()
     if shard_input:
         gen = _process_chunk_gen(input_files, input_file_type, state,
                                  shard_input=True,
@@ -1256,12 +1286,18 @@ def distributed_count(
             store.ingest(packed, mask, s=s)
         n_reads_local = state.n_reads
 
+    store.barrier()
+    _t_finalize0 = _time.perf_counter()
     sig_map = store.host_sig_map()
     n_used_bins = store.n_used_bins
     bins, words, counts, (n_unique, n_below, n_above), n_total, n_skm = (
         store.finalize(cutoff_min=cutoff_min, cutoff_max=cutoff_max,
                        counter_max=counter_max)
     )
+    _t_finalize1 = _time.perf_counter()
+    timings = dict(store.timings)
+    timings["ingest_wall_s"] = _t_finalize0 - _t_ingest0
+    timings["finalize_wall_s"] = _t_finalize1 - _t_finalize0
 
     counter_size = calc_counter_size(cutoff_max, counter_max)
     if est is not None:
@@ -1331,6 +1367,7 @@ def distributed_count(
         "consumed_bytes_local": state.consumed_bytes,
         "n_devices": D,
         "n_processes": jax.process_count(),
+        "timings": timings,
     }
     if estimated_histogram is not None:
         out["estimated_histogram"] = estimated_histogram

@@ -136,6 +136,10 @@ def get_lib():
         lib.kst_counters_for_seq.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_uint32, ctypes.c_int32,
             u64p, u32p, ctypes.c_uint64, u64p, u32p]
+        lib.kst_counters_for_seq_wide.restype = ctypes.c_int64
+        lib.kst_counters_for_seq_wide.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_uint32, ctypes.c_int32,
+            u8p, ctypes.c_uint32, u32p, ctypes.c_uint64, u64p, u32p]
         _lib = lib
         return _lib
 
@@ -445,6 +449,56 @@ def counters_for_seq(seq_bytes: bytes, k: int, both_strands: bool,
         keys.ctypes.data_as(u64p),
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         len(keys),
+        np.ascontiguousarray(idx16).ctypes.data_as(u64p)
+        if idx16 is not None else None,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    if got != n:
+        return None
+    return out
+
+
+def build_row_index16(rows: np.ndarray) -> np.ndarray:
+    """65537-entry jump table over sorted (N, KB) uint8 key rows, keyed on
+    the first two row bytes — the wide-key analogue of build_key_index16
+    (rows are lexicographically sorted, so their leading 16 bits are too)."""
+    key16 = (rows[:, 0].astype(np.uint32) << 8) | rows[:, 1]
+    idx = np.empty((1 << 16) + 1, np.uint64)
+    idx[:-1] = np.searchsorted(key16, np.arange(1 << 16, dtype=np.uint32))
+    idx[-1] = len(rows)
+    return idx
+
+
+def counters_for_seq_wide(seq_bytes: bytes, k: int, both_strands: bool,
+                          rows: np.ndarray, counts: np.ndarray,
+                          idx16: np.ndarray | None = None):
+    """Counters for every k-mer window of `seq_bytes` at k in (32, 256]
+    against the in-RAM RA index (sorted (N, KB) big-endian byte rows of
+    the API packing + u32 counts); None when the native path is
+    unavailable (reference: multi-word CKmerAPI lookups through
+    kmc_file.cpp:1193)."""
+    if not (32 < k <= 256) or not _enabled():
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(seq_bytes) - k + 1
+    if n <= 0:
+        return np.zeros(0, np.uint32)
+    kb = (k + 3) // 4
+    if (rows.dtype != np.uint8 or rows.ndim != 2 or rows.shape[1] != kb
+            or counts.dtype != np.uint32):
+        return None
+    rows = np.ascontiguousarray(rows)
+    counts = np.ascontiguousarray(counts)
+    seq = np.frombuffer(seq_bytes, np.uint8)
+    out = np.empty(n, np.uint32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    got = lib.kst_counters_for_seq_wide(
+        seq.ctypes.data_as(u8p), len(seq), k, 1 if both_strands else 0,
+        rows.ctypes.data_as(u8p), kb,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(rows),
         np.ascontiguousarray(idx16).ctypes.data_as(u64p)
         if idx16 is not None else None,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))

@@ -1073,6 +1073,93 @@ int64_t kst_counters_for_seq(const uint8_t* seq, int64_t seq_len,
     return n;
 }
 
+// Wide-key variant of kst_counters_for_seq for k in (32, 256]: the same
+// windowed lookup the reference serves through multi-word CKmerAPI keys
+// (kmc_api/kmc_file.cpp:1193, kmer_api.h:28-35).  The RA index here is
+// the raw sorted (n_keys x kb) byte-row array of the API's packing
+// (k codes right-aligned in kb = ceil(k/4) big-endian bytes), so
+// lexicographic memcmp == numeric compare and no key re-encoding is
+// needed.  Rolling state: W = ceil(k/32) u64 words per strand, word 0
+// most significant; the canonical needle is serialized big-endian and
+// binary-searched with memcmp, narrowed by the idx16 jump on the first
+// two needle bytes (same table shape as the k<=32 path).
+int64_t kst_counters_for_seq_wide(const uint8_t* seq, int64_t seq_len,
+                                  uint32_t k, int32_t both_strands,
+                                  const uint8_t* key_rows, uint32_t kb,
+                                  const uint32_t* counts, uint64_t n_keys,
+                                  const uint64_t* idx16, uint32_t* out) {
+    if (k < 33 || k > 256 || seq_len < (int64_t)k) return 0;
+    if (kb != (k + 3) / 4) return -1;
+    static uint8_t code[256];
+    static bool init = false;
+    if (!init) {
+        memset(code, 4, sizeof(code));
+        code['A'] = code['a'] = 0;
+        code['C'] = code['c'] = 1;
+        code['G'] = code['g'] = 2;
+        code['T'] = code['t'] = 3;
+        init = true;
+    }
+    const uint32_t W = (k + 31) / 32;
+    const uint32_t top_bits = 2 * k - 64 * (W - 1);  // bits used in word 0
+    const uint64_t top_mask =
+        (top_bits >= 64) ? ~0ull : ((1ull << top_bits) - 1);
+    const uint32_t ins_word = W - 1 - (2 * k - 2) / 64;  // rc insert slot
+    const uint32_t ins_bit = (2 * k - 2) % 64;
+    uint64_t fwd[8] = {0}, rc[8] = {0};
+    uint8_t need[64];
+    const int64_t n = seq_len - k + 1;
+    int64_t last_bad = -1;
+    for (int64_t i = 0; i < seq_len; ++i) {
+        uint64_t c = code[seq[i]];
+        if (c >= 4) {
+            last_bad = i;
+            c = 0;
+        }
+        for (uint32_t w = 0; w + 1 < W; ++w)
+            fwd[w] = (fwd[w] << 2) | (fwd[w + 1] >> 62);
+        fwd[W - 1] = (fwd[W - 1] << 2) | c;
+        fwd[0] &= top_mask;
+        for (uint32_t w = W - 1; w > 0; --w)
+            rc[w] = (rc[w] >> 2) | (rc[w - 1] << 62);
+        rc[0] >>= 2;
+        rc[ins_word] |= (3 - c) << ins_bit;
+        int64_t wpos = i - (int64_t)k + 1;
+        if (wpos < 0) continue;
+        if (last_bad >= wpos) {
+            out[wpos] = 0;
+            continue;
+        }
+        const uint64_t* v = fwd;
+        if (both_strands) {
+            for (uint32_t w = 0; w < W; ++w) {
+                if (rc[w] < fwd[w]) { v = rc; break; }
+                if (rc[w] > fwd[w]) break;
+            }
+        }
+        // serialize the canonical value big-endian, last kb bytes
+        for (uint32_t j = 0; j < kb; ++j) {
+            uint32_t ob = 8 * W - kb + j;
+            need[j] = (uint8_t)(v[ob / 8] >> (56 - 8 * (ob % 8)));
+        }
+        uint64_t lo = 0, len = n_keys;
+        if (idx16) {
+            uint64_t t = ((uint64_t)need[0] << 8) | need[1];
+            lo = idx16[t];
+            len = idx16[t + 1] - lo;
+        }
+        while (len > 1) {
+            uint64_t half = len / 2;
+            lo += (memcmp(key_rows + (lo + half - 1) * kb, need, kb) < 0)
+                      ? half : 0;
+            len -= half;
+        }
+        out[wpos] = (len && !memcmp(key_rows + lo * kb, need, kb))
+                        ? counts[lo] : 0;
+    }
+    return n;
+}
+
 // Single-pass complex-expression evaluation: the parenthesized set
 // algebra runs as a pull-based merger network (each internal node is an
 // incremental 2-stream merge; leaves are Readers) — the reference's

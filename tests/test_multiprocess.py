@@ -75,7 +75,7 @@ def test_two_process_count_matches_single(reads_file, tmp_path):
         s0 = json.load(f)
     with open(out + ".stats.1") as f:
         s1 = json.load(f)
-    local = ("n_reads_local", "consumed_bytes_local")
+    local = ("n_reads_local", "consumed_bytes_local", "timings")
     assert {k: v for k, v in s0.items() if k not in local} == \
            {k: v for k, v in s1.items() if k not in local}
     assert s0["n_processes"] == 2
@@ -125,7 +125,7 @@ def test_two_process_sharded_input_exact(reads_file, tmp_path):
         s0 = json.load(f)
     with open(out + ".stats.1") as f:
         s1 = json.load(f)
-    local = ("n_reads_local", "consumed_bytes_local")
+    local = ("n_reads_local", "consumed_bytes_local", "timings")
     assert {k: v for k, v in s0.items() if k not in local} == \
            {k: v for k, v in s1.items() if k not in local}
     # disjoint coverage: each byte parsed exactly once fleet-wide, and

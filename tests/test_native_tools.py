@@ -255,6 +255,67 @@ def test_counters_for_read_native_equivalence(tmp_path, monkeypatch):
             assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_counters_for_read_native_wide(tmp_path, monkeypatch):
+    """The wide-key (k>32) native RA lookup (kst_counters_for_seq_wide:
+    multi-word rolling canonical window + memcmp binary search + first-two-
+    byte jump table) against the NumPy windowed searchsorted — VERDICT r3
+    next #3 (reference: kmc_file.cpp:1193, kmer_api.h:28-35)."""
+    from kmc_tpu.api import KMCFile
+    from kmc_tpu.tools import native_tools
+
+    if native_tools.get_lib() is None:
+        import pytest
+
+        pytest.skip("native tools unavailable")
+    rng = np.random.default_rng(23)
+    for k, lpl in ((33, 5), (55, 7), (127, 3), (256, 4)):
+        kmers, counts = _random_records(rng, k, 2500)
+        db = tmp_path / f"wra{k}"
+        _write_kmc1(db, k, kmers, counts, lpl)
+        f = KMCFile()
+        assert f.OpenForRA(str(db))
+        # seed some reads with genuine members so hits are exercised, not
+        # just misses (only canonical stored rows can hit a canonical
+        # lookup — the fabricated records are random-strand)
+        member_reads = []
+        while len(member_reads) < 10:
+            row = kmers[int(rng.integers(0, len(kmers)))]
+            codes = _row_codes(row, k)
+            rc = (3 - codes)[::-1]
+            if tuple(codes) <= tuple(rc):
+                member_reads.append("".join("ACGT"[c] for c in codes))
+        alpha = "ACGTNacgt!"
+        rand_reads = [
+            "".join(alpha[i]
+                    for i in rng.integers(0, len(alpha),
+                                          int(rng.integers(1, k + 90))))
+            for _ in range(40)
+        ]
+        n_hits = 0
+        for s in member_reads + rand_reads:
+            _, a = f.counters_for_read_array(s)
+            _, b = f._counters_for_read_numpy(s)
+            assert np.array_equal(np.asarray(a), np.asarray(b)), (k, s)
+            n_hits += int((np.asarray(a) > 0).sum())
+        assert n_hits >= 10, k  # the member reads really did hit
+        f.SetMinCount(3)
+        f.SetMaxCount(90)
+        for s in member_reads:
+            _, a = f.counters_for_read_array(s)
+            _, b = f._counters_for_read_numpy(s)
+            assert np.array_equal(np.asarray(a), np.asarray(b)), k
+
+
+def _row_codes(row: np.ndarray, k: int) -> np.ndarray:
+    kb = len(row)
+    codes = np.empty(kb * 4, dtype=np.uint8)
+    codes[0::4] = (row >> 6) & 3
+    codes[1::4] = (row >> 4) & 3
+    codes[2::4] = (row >> 2) & 3
+    codes[3::4] = row & 3
+    return codes[kb * 4 - k:]
+
+
 def test_filter_native_equivalence(tmp_path, monkeypatch):
     """End-to-end filter output with the native lookup on vs off."""
     from kmc_tpu.tools.fastq_filter import filter_fastq
