@@ -28,6 +28,18 @@ from ..formats.kmc_db import KMC1_VER, PRE_MARKER, read_pre_meta
 _lock = threading.Lock()
 _lib = None
 _lib_tried = False
+_threads_pending = None  # set_threads() called before the lib was built
+
+
+def set_threads(n: int | None):
+    """Worker-thread count for the chunk-parallel native drivers
+    (kst_op/kst_dump/kst_expr): None/0 = auto (hardware concurrency),
+    1 = serial, N = N threads — the kmc_tools global -t flag
+    (kmc_tools/kmc2_db_reader.h:400-560 runs its merge across -t too)."""
+    global _threads_pending
+    _threads_pending = 0 if n is None else int(n)
+    if _lib is not None:
+        _lib.kst_set_threads(_threads_pending)
 
 _SRC = Path(__file__).resolve().parent.parent.parent / "native" / "kmc_stream.cpp"
 
@@ -97,7 +109,7 @@ def get_lib():
                 return None
             tmp = so.with_suffix(".so.tmp%d" % os.getpid())
             cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                   str(_SRC), "-o", str(tmp)]
+                   "-pthread", str(_SRC), "-o", str(tmp)]
             try:
                 subprocess.run(cmd, check=True, capture_output=True,
                                timeout=120)
@@ -140,6 +152,10 @@ def get_lib():
         lib.kst_counters_for_seq_wide.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_uint32, ctypes.c_int32,
             u8p, ctypes.c_uint32, u32p, ctypes.c_uint64, u64p, u32p]
+        lib.kst_set_threads.restype = None
+        lib.kst_set_threads.argtypes = [ctypes.c_int32]
+        if _threads_pending is not None:
+            lib.kst_set_threads(_threads_pending)
         _lib = lib
         return _lib
 

@@ -414,6 +414,11 @@ def main(argv=None) -> int:
             print(f"Error: unknown global option {a}", file=sys.stderr)
             return 1
         i += 1
+    # native chunk-parallel drivers honor -t (default: all cores, like the
+    # reference's parameters_parser.cpp defaults)
+    from .tools import native_tools
+
+    native_tools.set_threads(GLOBAL_PARAMS["threads"])
     if i >= len(argv):
         print(USAGE)
         return 1

@@ -21,10 +21,14 @@
 // total budget.
 
 #include <algorithm>
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <cstdlib>
+#include <mutex>
+#include <thread>
 #include <vector>
 
 #include <fcntl.h>
@@ -33,6 +37,17 @@
 namespace {
 
 constexpr uint32_t MAX_KW = 8;               // key words: 64 bytes = k<=256
+
+// worker threads for the chunk-parallel drivers (kst_set_threads);
+// 0 = auto (hardware concurrency), 1 = the classic serial paths
+std::atomic<int32_t> g_threads{1};
+
+int32_t resolve_threads() {
+    int32_t t = g_threads.load(std::memory_order_relaxed);
+    if (t > 0) return t;
+    unsigned hw = std::thread::hardware_concurrency();
+    return hw ? (int32_t)hw : 1;
+}
 constexpr size_t SEC_BUF_BUDGET = 64 << 20;  // total read-buffer budget
 constexpr size_t SEC_BUF_MIN = 64 << 10;
 constexpr size_t SEC_BUF_MAX = 8 << 20;
@@ -196,6 +211,7 @@ struct Reader {
     std::vector<WideRec> blkw;                        // kw>1
     uint64_t blk_i = 0, blk_n = 0;
     uint64_t next_prefix = 0;
+    uint64_t pfx_hi = 0;              // merge stops at this prefix (clamp)
     std::vector<uint64_t> pfx_total;  // records per prefix, all sections
     std::vector<uint64_t> win_off;    // per-window bucket offsets
     std::vector<uint32_t> win_fill;   // per-window bucket fills
@@ -207,6 +223,13 @@ struct Reader {
 
     bool open(const InputSpec* in);
     void close() { if (fd >= 0) ::close(fd); fd = -1; }
+    // re-clamp a KMC-format reader to the prefix range [p0, p1) (in its
+    // own lut_prefix_len space) and re-prime — the chunk-parallel drivers
+    // reuse one Reader (fds, buffers) across their claimed chunks.  Valid
+    // because chunk boundaries sit at prefix boundaries: every record of
+    // a prefix lands in exactly one chunk, so per-chunk merge order (and
+    // the section tie-break) concatenates to the serial order.
+    void reset_range(uint64_t p0, uint64_t p1);
     bool refill(Section& s);
     // decode the next record of section s that passes the input filter;
     // false when the section is exhausted
@@ -252,6 +275,7 @@ bool Reader::open(const InputSpec* in) {
         uint8_t marker[4];
         if (pread(fd, marker, 4, 0) != 4 || memcmp(marker, "KMCS", 4) != 0)
             return false;
+        pfx_hi = in->lut_size;
     }
     size_t per_sec = SEC_BUF_BUDGET / (in->n_sections ? in->n_sections : 1);
     if (per_sec < SEC_BUF_MIN) per_sec = SEC_BUF_MIN;
@@ -292,6 +316,23 @@ bool Reader::open(const InputSpec* in) {
     }
     prime();
     return true;
+}
+
+void Reader::reset_range(uint64_t p0, uint64_t p1) {
+    // KMC format only (sections carry LUTs); callers guard on fmt == 0
+    for (Section& s : secs) {
+        s.pos = s.lut[p0];
+        s.hi = s.lut[p1];
+        s.cur_prefix = p0;
+        s.buf_first = 0;
+        s.buf_n = s.buf_i = 0;
+    }
+    next_prefix = p0;
+    pfx_hi = p1;
+    blk_i = blk_n = 0;
+    single = pair = false;
+    has = false;
+    prime();
 }
 
 bool Reader::refill(Section& s) {
@@ -397,7 +438,7 @@ void Reader::refill_block() {
     // lands records in per-prefix buckets sized from the precomputed
     // pfx_total, so only tiny per-bucket sorts (~records/prefix elements,
     // L1-resident) remain.
-    const uint64_t lut_size = secs.empty() ? 0 : secs[0].lut_size;
+    const uint64_t lut_size = pfx_hi;  // clamped end (reset_range)
     const uint32_t n_secs = (uint32_t)secs.size();
     for (;;) {
         if (next_prefix >= lut_size) {
@@ -654,15 +695,49 @@ void Reader::pop() {
 // (the Python side writes the KFF header/index/footer around it).
 struct Writer {
     FILE* f = nullptr;
+    std::vector<uint8_t>* mem = nullptr;  // chunk-parallel sink (no file)
     uint32_t fmt = 0;  // 0 KMC1, 1 KFF raw records
     uint32_t k = 0, lpl = 0, cs = 0, sb = 0, kb = 0, kw = 0, pad = 0;
     uint64_t ci = 1, cx = ~0ull, csmax = ~0ull;
     int64_t set_value = -1;
     uint64_t* lut_hist = nullptr;
+    uint64_t lut_base = 0;  // chunk-parallel: hist is a window slice
     uint64_t n = 0;
     std::vector<uint8_t> buf;
     size_t buf_pos = 0;
     bool ok = true;
+
+    void open_mem(std::vector<uint8_t>* sink, uint32_t fmt_, uint32_t k_,
+                  uint32_t lpl_, uint32_t cs_, uint64_t ci_, uint64_t cx_,
+                  uint64_t csmax_, int64_t setv, uint64_t* hist,
+                  uint64_t hist_base) {
+        mem = sink;
+        fmt = fmt_;
+        k = k_; lpl = fmt ? 0 : lpl_; cs = cs_;
+        kb = (k + 3) / 4;
+        sb = fmt ? kb : (k - lpl_) / 4;
+        kw = (kb + 7) / 8;
+        pad = kw * 8 - kb;
+        ci = ci_; cx = cx_; csmax = csmax_;
+        set_value = setv;
+        lut_hist = hist;
+        lut_base = hist_base;
+        // smaller buffer than the file path: flushes are memcpys into the
+        // chunk sink, and workers keep one Writer across chunks
+        buf.resize(256 << 10);
+    }
+
+    // re-aim an open_mem Writer at the next chunk's sink/hist (config
+    // fields are per-op constants)
+    void retarget(std::vector<uint8_t>* sink, uint64_t* hist,
+                  uint64_t hist_base) {
+        mem = sink;
+        lut_hist = hist;
+        lut_base = hist_base;
+        n = 0;
+        buf_pos = 0;
+        ok = true;
+    }
 
     bool open(const char* path, uint32_t fmt_, uint64_t kff_offset,
               uint32_t k_, uint32_t lpl_, uint32_t cs_,
@@ -699,6 +774,11 @@ struct Writer {
     }
 
     void flush() {
+        if (mem) {
+            mem->insert(mem->end(), buf.data(), buf.data() + buf_pos);
+            buf_pos = 0;
+            return;
+        }
         if (buf_pos && fwrite(buf.data(), 1, buf_pos, f) != buf_pos)
             ok = false;
         buf_pos = 0;
@@ -706,6 +786,7 @@ struct Writer {
 
     bool close() {
         flush();
+        if (mem) return ok;
         if (fmt == 0 && fwrite("KMCS", 1, 4, f) != 4) ok = false;
         if (fclose(f) != 0) ok = false;
         f = nullptr;
@@ -769,7 +850,7 @@ struct Writer {
             c >>= 8;
         }
         buf_pos += sb + cs;
-        ++lut_hist[prefix_id];
+        ++lut_hist[prefix_id - lut_base];
         ++n;
     }
 };
@@ -785,138 +866,393 @@ static inline uint64_t combine(uint64_t a, uint64_t b, int mode) {
     }
 }
 
-}  // namespace
-
-extern "C" {
-
-// op: 0 copy (single input), 1 union, 2 intersect, 3 kmers_subtract,
-//     4 counters_subtract.  mode: 0 min, 1 max, 2 sum, 3 diff, 4 left,
-//     5 right.  set_value >= 0: fixed counter (set_counts).
-// out_format 0: writes "KMCS"+records+"KMCS" to out_path and accumulates
-// the output prefix histogram into lut_hist (4^out_lpl zeroed slots).
-// out_format 1: appends KFF raw records (BE k-mer + BE counter) to the
-// existing file at out_offset (lut_hist unused).
-// Returns the record count, or -1 on error.
-int64_t kst_op(const InputSpec* a, const InputSpec* b, int32_t op,
-               int32_t mode, const char* out_path, uint32_t out_format,
-               uint64_t out_offset, uint32_t out_lpl,
-               uint32_t out_cs, uint64_t out_ci, uint64_t out_cx,
-               uint64_t out_csmax, int64_t set_value, uint64_t* lut_hist) {
-    Reader ra;
-    if (!ra.open(a)) { ra.close(); return -1; }
-    Writer w;
-    if (!w.open(out_path, out_format, out_offset, a->kmer_len, out_lpl,
-                out_cs, out_ci, out_cx, out_csmax, set_value, lut_hist)) {
-        ra.close();
-        return -1;
-    }
-    if (op == 0) {
+// The one/two-stream merge loop of kst_op, sink-parameterized so the
+// serial (file Writer) and chunk-parallel (memory Writer) paths share
+// one body (reference: operations.h:85-258).
+template <class Sink>
+static void op_loop(Reader& ra, Reader* rb, int32_t op, int32_t mode,
+                    int64_t set_value, Sink& w) {
+    if (op == 0 || !rb) {
         while (ra.has) {
             w.put(ra.key(), ra.cnt());
             ra.pop();
         }
-    } else {
-        Reader rb;
-        if (!b || !rb.open(b)) {
-            ra.close();
-            rb.close();
-            w.close();
-            return -1;
-        }
-        while (ra.has && rb.has) {
-            int c = key_cmp(ra.key(), rb.key(), ra.kw);
-            if (c < 0) {
-                if (op == 1 || op == 3 || op == 4) w.put(ra.key(), ra.cnt());
-                ra.pop();
-            } else if (c > 0) {
-                if (op == 1) w.put(rb.key(), rb.cnt());
-                rb.pop();
-            } else {
-                if (op != 3) {
-                    uint64_t cnt = combine(ra.cnt(), rb.cnt(), mode);
-                    if (cnt > 0 || set_value >= 0) w.put(ra.key(), cnt);
-                }
-                ra.pop();
-                rb.pop();
-            }
-        }
-        while (ra.has && (op == 1 || op == 3 || op == 4)) {
-            w.put(ra.key(), ra.cnt());
-            ra.pop();
-        }
-        while (rb.has && op == 1) {
-            w.put(rb.key(), rb.cnt());
-            rb.pop();
-        }
-        bool rb_ok = rb.ok;
-        rb.close();
-        if (!rb_ok) { ra.close(); w.close(); return -1; }
+        return;
     }
-    bool read_ok = ra.ok;
-    ra.close();
-    if (!w.close() || !read_ok) return -1;
-    return (int64_t)w.n;
+    Reader& b = *rb;
+    while (ra.has && b.has) {
+        int c = key_cmp(ra.key(), b.key(), ra.kw);
+        if (c < 0) {
+            if (op == 1 || op == 3 || op == 4) w.put(ra.key(), ra.cnt());
+            ra.pop();
+        } else if (c > 0) {
+            if (op == 1) w.put(b.key(), b.cnt());
+            b.pop();
+        } else {
+            if (op != 3) {
+                uint64_t cnt = combine(ra.cnt(), b.cnt(), mode);
+                if (cnt > 0 || set_value >= 0) w.put(ra.key(), cnt);
+            }
+            ra.pop();
+            b.pop();
+        }
+    }
+    while (ra.has && (op == 1 || op == 3 || op == 4)) {
+        w.put(ra.key(), ra.cnt());
+        ra.pop();
+    }
+    while (b.has && op == 1) {
+        w.put(b.key(), b.cnt());
+        b.pop();
+    }
 }
 
-// Text dump: "ACGT...\tCOUNT\n" per record (dump_writer.h:241).
-// sorted_order != 0: globally sorted merge; 0: file (listing) order.
-int64_t kst_dump(const InputSpec* a, const char* out_path,
-                 int32_t sorted_order) {
-    Reader r;
-    r.sequential = sorted_order == 0;
-    if (!r.open(a)) { r.close(); return -1; }
-    FILE* f = fopen(out_path, "wb");
-    if (!f) { r.close(); return -1; }
-    std::vector<uint8_t> buf(OUT_BUF_BYTES);
-    size_t pos = 0;
-    const uint32_t k = r.k;
-    static const char BASES[4] = {'A', 'C', 'G', 'T'};
-    // byte -> its 4 symbols, in string order (high bits first)
-    uint8_t lut4[256][4];
-    for (uint32_t b = 0; b < 256; ++b) {
-        lut4[b][0] = (uint8_t)BASES[(b >> 6) & 3];
-        lut4[b][1] = (uint8_t)BASES[(b >> 4) & 3];
-        lut4[b][2] = (uint8_t)BASES[(b >> 2) & 3];
-        lut4[b][3] = (uint8_t)BASES[b & 3];
-    }
-    // the first used byte holds ((k-1)%4)+1 symbols; the rest hold 4 each
-    const uint32_t lead = ((k - 1) & 3) + 1;
-    // two-digit decimal pairs for the counter text
-    char dd[100][2];
-    for (int d = 0; d < 100; ++d) {
-        dd[d][0] = (char)('0' + d / 10);
-        dd[d][1] = (char)('0' + d % 10);
-    }
-    int64_t n = 0;
-    bool ok = true;
-    uint8_t tmp[MAX_KW * 8 + 8];
-    const bool one_word = r.kw == 1;
-    const uint32_t kb_shift = 64 - 8 * r.kb;
-    while (r.has) {
-        if (pos + k + 24 > buf.size()) {
-            if (fwrite(buf.data(), 1, pos, f) != pos) { ok = false; break; }
-            pos = 0;
+// ---- chunk-parallel engine -------------------------------------------
+//
+// The reference's kmc_tools runs its KMC2 merge and set ops across -t
+// threads (CMergerParent/CMergerChild + suf-bin reader threads,
+// kmc_tools/kmc2_db_reader.h:400-560).  The native core's equivalent:
+// the sorted key space is split at LUT-prefix boundaries into ~6*T
+// chunks; workers claim chunks dynamically, run the IDENTICAL serial
+// merge over prefix-clamped Readers into in-memory buffers, and the
+// calling thread drains chunks in order (bounded by a sliding window, so
+// memory stays O(threads * chunk)).  Chunk boundaries sit at prefix
+// boundaries, so equal keys never straddle chunks and the concatenated
+// output is byte-identical to the serial path's.
+
+struct ChunkSlot {
+    std::vector<uint8_t> bytes;
+    std::vector<uint64_t> hist;  // output-LUT slice [hist_base, +size)
+    uint64_t hist_base = 0;
+    uint64_t n = 0;
+    bool done = false;
+};
+
+// Chunk boundaries in plan_lpl prefix space, sized from the cumulative
+// LUTs so every chunk holds ~equal record work.
+static std::vector<uint64_t> plan_chunk_bounds(
+        const InputSpec* const* ins, size_t n_ins, uint32_t plan_lpl,
+        int32_t threads) {
+    const uint64_t n_plan = 1ull << (2 * plan_lpl);
+    std::vector<uint64_t> totals(n_plan, 0);
+    for (size_t i = 0; i < n_ins; ++i) {
+        const InputSpec* in = ins[i];
+        const uint32_t shift = 2 * (in->lut_prefix_len - plan_lpl);
+        for (uint64_t s = 0; s < in->n_sections; ++s) {
+            const uu64* lut = in->luts + s * in->lut_size;
+            for (uint64_t c = 0; c < n_plan; ++c)
+                totals[c] += lut[(c + 1) << shift] - lut[c << shift];
         }
-        const Key& key = r.key();
+    }
+    uint64_t total = 0;
+    for (uint64_t v : totals) total += v;
+    const uint64_t target = total / ((uint64_t)threads * 6) + 1;
+    std::vector<uint64_t> bounds{0};
+    uint64_t acc = 0;
+    for (uint64_t c = 0; c < n_plan; ++c) {
+        acc += totals[c];
+        if (acc >= target && c + 1 < n_plan) {
+            bounds.push_back(c + 1);
+            acc = 0;
+        }
+    }
+    bounds.push_back(n_plan);
+    return bounds;
+}
+
+// Output-LUT window covered by plan-space prefix range [p0, p1).
+static void hist_window(uint64_t p0, uint64_t p1, uint32_t plan_lpl,
+                        uint32_t out_lpl, uint64_t& base, uint64_t& len) {
+    if (out_lpl >= plan_lpl) {
+        const uint32_t d = 2 * (out_lpl - plan_lpl);
+        base = p0 << d;
+        len = (p1 - p0) << d;
+    } else {
+        const uint32_t d = 2 * (plan_lpl - out_lpl);
+        base = p0 >> d;
+        len = ((p1 - 1) >> d) - base + 1;
+    }
+}
+
+// Ordered chunk-parallel run: workers (one WorkerT each, reused across
+// chunks) claim chunk ids; the calling thread drains slots in order into
+// `f` and sums hist slices into lut_hist.  Returns total records or -1.
+template <class WorkerT>
+static int64_t run_chunked(const std::vector<uint64_t>& bounds,
+                           int32_t threads, FILE* f, uint64_t* lut_hist,
+                           const WorkerT& proto) {
+    const size_t M = bounds.size() - 1;
+    if ((size_t)threads > M) threads = (int32_t)M;
+    std::vector<ChunkSlot> slots(M);
+    std::atomic<size_t> next{0};
+    std::atomic<size_t> drained{0};
+    std::atomic<bool> fail{false};
+    std::mutex mu;
+    std::condition_variable cv_done, cv_window;
+    const size_t WINDOW = (size_t)threads * 2 + 2;
+    auto runner = [&]() {
+        WorkerT w(proto);
+        if (!w.init()) {
+            fail = true;
+            cv_done.notify_all();
+            return;
+        }
+        for (;;) {
+            size_t id = next.fetch_add(1);
+            if (id >= M) break;
+            {
+                std::unique_lock<std::mutex> lk(mu);
+                cv_window.wait(lk, [&] {
+                    return drained.load() + WINDOW > id || fail.load();
+                });
+            }
+            if (fail.load()) {
+                std::lock_guard<std::mutex> lk(mu);
+                slots[id].done = true;
+            } else {
+                if (!w.run_chunk(bounds[id], bounds[id + 1], slots[id]))
+                    fail = true;
+                std::lock_guard<std::mutex> lk(mu);
+                slots[id].done = true;
+            }
+            cv_done.notify_all();
+        }
+        cv_done.notify_all();
+    };
+    std::vector<std::thread> pool;
+    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(runner);
+    int64_t n_out = 0;
+    for (size_t id = 0; id < M; ++id) {
+        {
+            std::unique_lock<std::mutex> lk(mu);
+            cv_done.wait(lk, [&] { return slots[id].done || fail.load(); });
+        }
+        if (fail.load()) break;
+        ChunkSlot& s = slots[id];
+        if (!s.bytes.empty()
+            && fwrite(s.bytes.data(), 1, s.bytes.size(), f)
+                   != s.bytes.size())
+            fail = true;
+        if (lut_hist)
+            for (size_t i = 0; i < s.hist.size(); ++i)
+                lut_hist[s.hist_base + i] += s.hist[i];
+        n_out += (int64_t)s.n;
+        std::vector<uint8_t>().swap(s.bytes);
+        std::vector<uint64_t>().swap(s.hist);
+        {
+            std::lock_guard<std::mutex> lk(mu);
+            drained.store(id + 1);
+        }
+        cv_window.notify_all();
+    }
+    cv_window.notify_all();
+    for (auto& th : pool) th.join();
+    return fail.load() ? -1 : n_out;
+}
+
+struct OpWorker {
+    const InputSpec* a = nullptr;
+    const InputSpec* b = nullptr;
+    int32_t op = 0, mode = 0;
+    int64_t set_value = -1;
+    uint32_t plan_lpl = 0, out_lpl = 0, out_cs = 0, out_fmt = 0;
+    uint64_t out_ci = 1, out_cx = ~0ull, out_csmax = ~0ull;
+    Reader ra, rb;
+    Writer w;
+    bool opened = false;
+
+    OpWorker() = default;
+    OpWorker(const OpWorker& o)
+        : a(o.a), b(o.b), op(o.op), mode(o.mode), set_value(o.set_value),
+          plan_lpl(o.plan_lpl), out_lpl(o.out_lpl), out_cs(o.out_cs),
+          out_fmt(o.out_fmt), out_ci(o.out_ci), out_cx(o.out_cx),
+          out_csmax(o.out_csmax) {}
+    ~OpWorker() {
+        if (opened) {
+            ra.close();
+            rb.close();
+        }
+    }
+
+    bool init() {
+        opened = true;
+        if (!ra.open(a)) return false;
+        if (b && !rb.open(b)) return false;
+        w.open_mem(nullptr, out_fmt, a->kmer_len, out_lpl, out_cs,
+                   out_ci, out_cx, out_csmax, set_value, nullptr, 0);
+        return true;
+    }
+
+    bool run_chunk(uint64_t p0, uint64_t p1, ChunkSlot& s) {
+        ra.reset_range(p0 << (2 * (a->lut_prefix_len - plan_lpl)),
+                       p1 << (2 * (a->lut_prefix_len - plan_lpl)));
+        if (b)
+            rb.reset_range(p0 << (2 * (b->lut_prefix_len - plan_lpl)),
+                           p1 << (2 * (b->lut_prefix_len - plan_lpl)));
+        uint64_t base = 0, len = 0;
+        if (out_fmt == 0) {
+            hist_window(p0, p1, plan_lpl, out_lpl, base, len);
+            s.hist.assign(len, 0);
+        }
+        s.hist_base = base;
+        w.retarget(&s.bytes, out_fmt == 0 ? s.hist.data() : nullptr, base);
+        op_loop(ra, b ? &rb : nullptr, op, mode, set_value, w);
+        w.flush();
+        s.n = w.n;
+        return ra.ok && (!b || rb.ok) && w.ok;
+    }
+};
+
+// Pull-based merger-network node of the complex-expression evaluator
+// (the reference's CInput-over-CInput operation trees,
+// expression_node.h:26-196, bundle.h:18-245, without intermediate
+// databases); shared by the serial kst_expr and the chunk-parallel
+// ExprWorker.
+struct ENode {
+    int32_t op = 0, mode = 0;
+    ENode* l = nullptr;
+    ENode* r = nullptr;
+    Reader* rd = nullptr;
+    bool has = false;
+    Key key;
+    uint64_t cnt = 0;
+
+    void adv(uint32_t kw) {
+        if (rd) {
+            if (rd->has) {
+                key = rd->key();
+                cnt = rd->cnt();
+                rd->pop();
+                has = true;
+            } else {
+                has = false;
+            }
+            return;
+        }
+        step(kw);
+    }
+
+    void init(uint32_t kw) {
+        if (rd) {
+            adv(kw);
+            return;
+        }
+        l->init(kw);
+        r->init(kw);
+        step(kw);
+    }
+
+    void step(uint32_t kw) {
+        for (;;) {
+            const bool lh = l->has, rh = r->has;
+            if (lh && rh) {
+                int c = key_cmp(l->key, r->key, kw);
+                if (c < 0) {
+                    if (op == 1 || op == 3 || op == 4) {
+                        key = l->key;
+                        cnt = l->cnt;
+                        has = true;
+                        l->adv(kw);
+                        return;
+                    }
+                    l->adv(kw);
+                    continue;
+                }
+                if (c > 0) {
+                    if (op == 1) {
+                        key = r->key;
+                        cnt = r->cnt;
+                        has = true;
+                        r->adv(kw);
+                        return;
+                    }
+                    r->adv(kw);
+                    continue;
+                }
+                uint64_t cc = combine(l->cnt, r->cnt, mode);
+                Key kk = l->key;
+                l->adv(kw);
+                r->adv(kw);
+                if (op != 3 && cc > 0) {
+                    key = kk;
+                    cnt = cc;
+                    has = true;
+                    return;
+                }
+                continue;
+            }
+            if (lh) {
+                if (op == 1 || op == 3 || op == 4) {
+                    key = l->key;
+                    cnt = l->cnt;
+                    has = true;
+                    l->adv(kw);
+                    return;
+                }
+                has = false;
+                return;
+            }
+            if (rh && op == 1) {
+                key = r->key;
+                cnt = r->cnt;
+                has = true;
+                r->adv(kw);
+                return;
+            }
+            has = false;
+            return;
+        }
+    }
+};
+
+// "ACGT...\tCOUNT\n" record formatter (dump_writer.h:241), shared by the
+// serial and chunk-parallel dump paths.
+struct TextFmt {
+    uint32_t k = 0, kb = 0, kw = 0, pad = 0, lead = 0, kb_shift = 0;
+    uint8_t lut4[256][4];
+    char dd[100][2];
+
+    void init(uint32_t k_, uint32_t kw_, uint32_t kb_, uint32_t pad_) {
+        k = k_;
+        kw = kw_;
+        kb = kb_;
+        pad = pad_;
+        kb_shift = 64 - 8 * kb;
+        static const char BASES[4] = {'A', 'C', 'G', 'T'};
+        for (uint32_t b = 0; b < 256; ++b) {
+            lut4[b][0] = (uint8_t)BASES[(b >> 6) & 3];
+            lut4[b][1] = (uint8_t)BASES[(b >> 4) & 3];
+            lut4[b][2] = (uint8_t)BASES[(b >> 2) & 3];
+            lut4[b][3] = (uint8_t)BASES[b & 3];
+        }
+        // the first used byte holds ((k-1)%4)+1 symbols, the rest 4 each
+        lead = ((k - 1) & 3) + 1;
+        for (int d = 0; d < 100; ++d) {
+            dd[d][0] = (char)('0' + d / 10);
+            dd[d][1] = (char)('0' + d % 10);
+        }
+    }
+
+    // caller guarantees k + 32 bytes of space at `out`
+    size_t emit(const Key& key, uint64_t c, uint8_t* out) const {
+        uint8_t tmp[MAX_KW * 8 + 8];
         const uint8_t* kb_bytes;
-        if (one_word) {
+        if (kw == 1) {
             uint64_t x = __builtin_bswap64(key.w[0] << kb_shift);
             memcpy(tmp, &x, 8);
             kb_bytes = tmp;
         } else {
-            for (uint32_t wi = 0; wi < r.kw; ++wi) {
+            for (uint32_t wi = 0; wi < kw; ++wi) {
                 uint64_t x = __builtin_bswap64(key.w[wi]);
                 memcpy(tmp + wi * 8, &x, 8);
             }
-            kb_bytes = tmp + r.pad;
+            kb_bytes = tmp + pad;
         }
-        uint8_t* out = buf.data() + pos;
         memcpy(out, lut4[kb_bytes[0]] + (4 - lead), lead);
         uint8_t* o = out + lead;
-        for (uint32_t j = 1; j < r.kb; ++j, o += 4)
+        for (uint32_t j = 1; j < kb; ++j, o += 4)
             memcpy(o, lut4[kb_bytes[j]], 4);
         out[k] = '\t';
-        uint64_t c = r.cnt();
         uint32_t nd;
         if (c < 10) {
             out[k + 1] = (char)('0' + c);
@@ -939,7 +1275,263 @@ int64_t kst_dump(const InputSpec* a, const char* out_path,
                 out[k + 1 + j] = (uint8_t)num[nd - 1 - j];
         }
         out[k + 1 + nd] = '\n';
-        pos += k + 2 + nd;
+        return k + 2 + nd;
+    }
+};
+
+struct DumpWorker {
+    const InputSpec* a = nullptr;
+    uint32_t plan_lpl = 0;
+    Reader r;
+    TextFmt fmt;
+    bool opened = false;
+
+    DumpWorker() = default;
+    DumpWorker(const DumpWorker& o) : a(o.a), plan_lpl(o.plan_lpl) {}
+    ~DumpWorker() {
+        if (opened) r.close();
+    }
+
+    bool init() {
+        opened = true;
+        if (!r.open(a)) return false;
+        fmt.init(r.k, r.kw, r.kb, r.pad);
+        return true;
+    }
+
+    bool run_chunk(uint64_t p0, uint64_t p1, ChunkSlot& s) {
+        const uint32_t sh = 2 * (a->lut_prefix_len - plan_lpl);
+        r.reset_range(p0 << sh, p1 << sh);
+        size_t pos = 0;
+        uint64_t n = 0;
+        while (r.has) {
+            if (pos + fmt.k + 32 > s.bytes.size())
+                s.bytes.resize(std::max<size_t>(s.bytes.size() * 2,
+                                                64 << 10));
+            pos += fmt.emit(r.key(), r.cnt(), s.bytes.data() + pos);
+            ++n;
+            r.pop();
+        }
+        s.bytes.resize(pos);
+        s.n = n;
+        return r.ok;
+    }
+};
+
+// Chunk-parallel complex-expression worker: its own leaf Readers + node
+// network, re-clamped and re-primed per chunk.
+struct ExprWorker {
+    const InputSpec* inputs = nullptr;
+    const int32_t* prog = nullptr;
+    int32_t n_nodes = 0;
+    uint32_t plan_lpl = 0, out_lpl = 0, out_cs = 0, out_fmt = 0;
+    uint64_t out_ci = 1, out_cx = ~0ull, out_csmax = ~0ull;
+    std::vector<ENode> nodes;
+    std::vector<Reader*> readers;
+    std::vector<const InputSpec*> leaf_in;  // per reader
+    Writer w;
+    uint32_t kw = 0;
+    bool opened = false;
+
+    ExprWorker() = default;
+    ExprWorker(const ExprWorker& o)
+        : inputs(o.inputs), prog(o.prog), n_nodes(o.n_nodes),
+          plan_lpl(o.plan_lpl), out_lpl(o.out_lpl), out_cs(o.out_cs),
+          out_fmt(o.out_fmt), out_ci(o.out_ci), out_cx(o.out_cx),
+          out_csmax(o.out_csmax) {}
+    ~ExprWorker() {
+        for (Reader* rd : readers) {
+            rd->close();
+            delete rd;
+        }
+    }
+
+    bool init() {
+        opened = true;
+        nodes.resize(n_nodes);
+        bool ok = true;
+        for (int32_t i = 0; i < n_nodes; ++i) {
+            const int32_t kind = prog[4 * i];
+            if (kind == 0) {
+                Reader* rd = new Reader();
+                readers.push_back(rd);
+                leaf_in.push_back(&inputs[prog[4 * i + 1]]);
+                if (!rd->open(&inputs[prog[4 * i + 1]])) ok = false;
+                nodes[i].rd = rd;
+                kw = rd->kw;
+            } else {
+                nodes[i].op = kind;
+                nodes[i].mode = prog[4 * i + 3];
+                nodes[i].l = &nodes[prog[4 * i + 1]];
+                nodes[i].r = &nodes[prog[4 * i + 2]];
+            }
+        }
+        w.open_mem(nullptr, out_fmt, inputs[0].kmer_len, out_lpl, out_cs,
+                   out_ci, out_cx, out_csmax, -1, nullptr, 0);
+        return ok;
+    }
+
+    bool run_chunk(uint64_t p0, uint64_t p1, ChunkSlot& s) {
+        for (size_t i = 0; i < readers.size(); ++i) {
+            const uint32_t sh = 2 * (leaf_in[i]->lut_prefix_len - plan_lpl);
+            readers[i]->reset_range(p0 << sh, p1 << sh);
+        }
+        uint64_t base = 0, len = 0;
+        if (out_fmt == 0) {
+            hist_window(p0, p1, plan_lpl, out_lpl, base, len);
+            s.hist.assign(len, 0);
+        }
+        s.hist_base = base;
+        w.retarget(&s.bytes, out_fmt == 0 ? s.hist.data() : nullptr, base);
+        ENode& root = nodes[n_nodes - 1];
+        root.init(kw);
+        while (root.has) {
+            w.put(root.key, root.cnt);
+            root.adv(kw);
+        }
+        w.flush();
+        s.n = w.n;
+        bool ok = w.ok;
+        for (Reader* rd : readers) ok = ok && rd->ok;
+        return ok;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// op: 0 copy (single input), 1 union, 2 intersect, 3 kmers_subtract,
+//     4 counters_subtract.  mode: 0 min, 1 max, 2 sum, 3 diff, 4 left,
+//     5 right.  set_value >= 0: fixed counter (set_counts).
+// out_format 0: writes "KMCS"+records+"KMCS" to out_path and accumulates
+// the output prefix histogram into lut_hist (4^out_lpl zeroed slots).
+// out_format 1: appends KFF raw records (BE k-mer + BE counter) to the
+// existing file at out_offset (lut_hist unused).
+// Returns the record count, or -1 on error.
+void kst_set_threads(int32_t t) {
+    g_threads.store(t >= 0 ? t : 1, std::memory_order_relaxed);
+}
+
+int64_t kst_op(const InputSpec* a, const InputSpec* b, int32_t op,
+               int32_t mode, const char* out_path, uint32_t out_format,
+               uint64_t out_offset, uint32_t out_lpl,
+               uint32_t out_cs, uint64_t out_ci, uint64_t out_cx,
+               uint64_t out_csmax, int64_t set_value, uint64_t* lut_hist) {
+    const int32_t threads = resolve_threads();
+    if (threads > 1 && a->format == 0 && (op == 0 || (b && b->format == 0))
+        && a->lut_prefix_len > 0
+        && (op == 0 || b->lut_prefix_len > 0)) {
+        // chunk-parallel path (KMC-format inputs carry the LUTs the
+        // planner and prefix clamps need; KFF inputs stay serial)
+        uint32_t plan_lpl = a->lut_prefix_len;
+        if (op != 0) plan_lpl = std::min(plan_lpl, b->lut_prefix_len);
+        if (plan_lpl > 8) plan_lpl = 8;
+        const InputSpec* ins[2] = {a, b};
+        auto bounds = plan_chunk_bounds(ins, op == 0 ? 1 : 2, plan_lpl,
+                                        threads);
+        FILE* f;
+        if (out_format) {
+            f = fopen(out_path, "r+b");
+            if (!f) return -1;
+            if (fseeko(f, (off_t)out_offset, SEEK_SET) != 0) {
+                fclose(f);
+                return -1;
+            }
+        } else {
+            f = fopen(out_path, "wb");
+            if (!f) return -1;
+            if (fwrite("KMCS", 1, 4, f) != 4) {
+                fclose(f);
+                return -1;
+            }
+        }
+        OpWorker proto;
+        proto.a = a;
+        proto.b = op == 0 ? nullptr : b;
+        proto.op = op;
+        proto.mode = mode;
+        proto.set_value = set_value;
+        proto.plan_lpl = plan_lpl;
+        proto.out_lpl = out_lpl;
+        proto.out_cs = out_cs;
+        proto.out_fmt = out_format;
+        proto.out_ci = out_ci;
+        proto.out_cx = out_cx;
+        proto.out_csmax = out_csmax;
+        int64_t n = run_chunked(bounds, threads, f, lut_hist, proto);
+        bool ok = n >= 0;
+        if (out_format == 0 && ok && fwrite("KMCS", 1, 4, f) != 4)
+            ok = false;
+        if (fclose(f) != 0) ok = false;
+        return ok ? n : -1;
+    }
+    Reader ra;
+    if (!ra.open(a)) { ra.close(); return -1; }
+    Writer w;
+    if (!w.open(out_path, out_format, out_offset, a->kmer_len, out_lpl,
+                out_cs, out_ci, out_cx, out_csmax, set_value, lut_hist)) {
+        ra.close();
+        return -1;
+    }
+    if (op == 0) {
+        op_loop(ra, nullptr, op, mode, set_value, w);
+    } else {
+        Reader rb;
+        if (!b || !rb.open(b)) {
+            ra.close();
+            rb.close();
+            w.close();
+            return -1;
+        }
+        op_loop(ra, &rb, op, mode, set_value, w);
+        bool rb_ok = rb.ok;
+        rb.close();
+        if (!rb_ok) { ra.close(); w.close(); return -1; }
+    }
+    bool read_ok = ra.ok;
+    ra.close();
+    if (!w.close() || !read_ok) return -1;
+    return (int64_t)w.n;
+}
+
+// Text dump: "ACGT...\tCOUNT\n" per record (dump_writer.h:241).
+// sorted_order != 0: globally sorted merge (chunk-parallel under -t);
+// 0: file (listing) order (inherently serial: bin-major order).
+int64_t kst_dump(const InputSpec* a, const char* out_path,
+                 int32_t sorted_order) {
+    const int32_t threads = resolve_threads();
+    if (threads > 1 && sorted_order != 0 && a->format == 0
+        && a->lut_prefix_len > 0) {
+        uint32_t plan_lpl = std::min<uint32_t>(a->lut_prefix_len, 8);
+        const InputSpec* ins[1] = {a};
+        auto bounds = plan_chunk_bounds(ins, 1, plan_lpl, threads);
+        FILE* f = fopen(out_path, "wb");
+        if (!f) return -1;
+        DumpWorker proto;
+        proto.a = a;
+        proto.plan_lpl = plan_lpl;
+        int64_t n = run_chunked(bounds, threads, f, nullptr, proto);
+        if (fclose(f) != 0) n = -1;
+        return n;
+    }
+    Reader r;
+    r.sequential = sorted_order == 0;
+    if (!r.open(a)) { r.close(); return -1; }
+    FILE* f = fopen(out_path, "wb");
+    if (!f) { r.close(); return -1; }
+    std::vector<uint8_t> buf(OUT_BUF_BYTES);
+    size_t pos = 0;
+    TextFmt fmt;
+    fmt.init(r.k, r.kw, r.kb, r.pad);
+    int64_t n = 0;
+    bool ok = true;
+    while (r.has) {
+        if (pos + fmt.k + 32 > buf.size()) {
+            if (fwrite(buf.data(), 1, pos, f) != pos) { ok = false; break; }
+            pos = 0;
+        }
+        pos += fmt.emit(r.key(), r.cnt(), buf.data() + pos);
         ++n;
         r.pop();
     }
@@ -1168,113 +1760,64 @@ int64_t kst_counters_for_seq_wide(const uint8_t* seq, int64_t seq_len,
 // prog: n_nodes * 4 int32s [kind, a, b, mode]; kind 0 = leaf (a = input
 // index), kind 1..4 = union/intersect/kmers_subtract/counters_subtract
 // over child NODE ids a and b (topological order, root last).
-namespace {
-
-struct ENode {
-    int32_t op = 0, mode = 0;
-    ENode* l = nullptr;
-    ENode* r = nullptr;
-    Reader* rd = nullptr;
-    bool has = false;
-    Key key;
-    uint64_t cnt = 0;
-
-    void adv(uint32_t kw) {
-        if (rd) {
-            if (rd->has) {
-                key = rd->key();
-                cnt = rd->cnt();
-                rd->pop();
-                has = true;
-            } else {
-                has = false;
-            }
-            return;
-        }
-        step(kw);
-    }
-
-    void init(uint32_t kw) {
-        if (rd) {
-            adv(kw);
-            return;
-        }
-        l->init(kw);
-        r->init(kw);
-        step(kw);
-    }
-
-    void step(uint32_t kw) {
-        for (;;) {
-            const bool lh = l->has, rh = r->has;
-            if (lh && rh) {
-                int c = key_cmp(l->key, r->key, kw);
-                if (c < 0) {
-                    if (op == 1 || op == 3 || op == 4) {
-                        key = l->key;
-                        cnt = l->cnt;
-                        has = true;
-                        l->adv(kw);
-                        return;
-                    }
-                    l->adv(kw);
-                    continue;
-                }
-                if (c > 0) {
-                    if (op == 1) {
-                        key = r->key;
-                        cnt = r->cnt;
-                        has = true;
-                        r->adv(kw);
-                        return;
-                    }
-                    r->adv(kw);
-                    continue;
-                }
-                uint64_t cc = combine(l->cnt, r->cnt, mode);
-                Key kk = l->key;
-                l->adv(kw);
-                r->adv(kw);
-                if (op != 3 && cc > 0) {
-                    key = kk;
-                    cnt = cc;
-                    has = true;
-                    return;
-                }
-                continue;
-            }
-            if (lh) {
-                if (op == 1 || op == 3 || op == 4) {
-                    key = l->key;
-                    cnt = l->cnt;
-                    has = true;
-                    l->adv(kw);
-                    return;
-                }
-                has = false;
-                return;
-            }
-            if (rh && op == 1) {
-                key = r->key;
-                cnt = r->cnt;
-                has = true;
-                r->adv(kw);
-                return;
-            }
-            has = false;
-            return;
-        }
-    }
-};
-
-}  // namespace
-
 extern "C"
 int64_t kst_expr(const InputSpec* inputs, const int32_t* prog,
                  int32_t n_nodes, const char* out_path, uint32_t out_format,
                  uint64_t out_offset, uint32_t out_lpl, uint32_t out_cs,
                  uint64_t out_ci, uint64_t out_cx, uint64_t out_csmax,
                  uint64_t* lut_hist) {
+    const int32_t threads = resolve_threads();
+    if (threads > 1 && n_nodes > 0) {
+        // chunk-parallel when every leaf is KMC-format (carries a LUT)
+        uint32_t plan_lpl = 0xFF;
+        bool eligible = true;
+        std::vector<const InputSpec*> leaves;
+        for (int32_t i = 0; i < n_nodes; ++i) {
+            if (prog[4 * i] != 0) continue;
+            const InputSpec* in = &inputs[prog[4 * i + 1]];
+            leaves.push_back(in);
+            if (in->format != 0 || in->lut_prefix_len == 0) eligible = false;
+            else plan_lpl = std::min(plan_lpl, in->lut_prefix_len);
+        }
+        if (eligible && !leaves.empty()) {
+            if (plan_lpl > 8) plan_lpl = 8;
+            auto bounds = plan_chunk_bounds(leaves.data(), leaves.size(),
+                                            plan_lpl, threads);
+            FILE* f;
+            if (out_format) {
+                f = fopen(out_path, "r+b");
+                if (!f) return -1;
+                if (fseeko(f, (off_t)out_offset, SEEK_SET) != 0) {
+                    fclose(f);
+                    return -1;
+                }
+            } else {
+                f = fopen(out_path, "wb");
+                if (!f) return -1;
+                if (fwrite("KMCS", 1, 4, f) != 4) {
+                    fclose(f);
+                    return -1;
+                }
+            }
+            ExprWorker proto;
+            proto.inputs = inputs;
+            proto.prog = prog;
+            proto.n_nodes = n_nodes;
+            proto.plan_lpl = plan_lpl;
+            proto.out_lpl = out_lpl;
+            proto.out_cs = out_cs;
+            proto.out_fmt = out_format;
+            proto.out_ci = out_ci;
+            proto.out_cx = out_cx;
+            proto.out_csmax = out_csmax;
+            int64_t n = run_chunked(bounds, threads, f, lut_hist, proto);
+            bool ok = n >= 0;
+            if (out_format == 0 && ok && fwrite("KMCS", 1, 4, f) != 4)
+                ok = false;
+            if (fclose(f) != 0) ok = false;
+            return ok ? n : -1;
+        }
+    }
     std::vector<ENode> nodes(n_nodes);
     std::vector<Reader*> readers;  // one per LEAF occurrence
     bool open_ok = true;

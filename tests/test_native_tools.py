@@ -255,6 +255,62 @@ def test_counters_for_read_native_equivalence(tmp_path, monkeypatch):
             assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_chunk_parallel_threads_identical(tmp_path):
+    """The chunk-parallel native drivers (kst_op/kst_dump/kst_expr under
+    kst_set_threads > 1) must produce BYTE-identical outputs to the serial
+    path at every thread count — VERDICT r3 next #2 (reference analogue:
+    the -t-threaded KMC2 merge, kmc_tools/kmc2_db_reader.h:400-560)."""
+    from kmc_tpu.tools import db_ops, native_tools
+    from kmc_tpu.tools.complex_ops import run_complex_file
+
+    if native_tools.get_lib() is None:
+        import pytest
+
+        pytest.skip("native tools unavailable")
+    rng = np.random.default_rng(31)
+    for k, lpl, n_bins in ((25, 5, 64), (75, 3, 8)):
+        kmers, counts = _random_records(rng, k, 20000)
+        a = tmp_path / f"ta{k}"
+        b = tmp_path / f"tb{k}"
+        m = rng.random(len(kmers)) < 0.6
+        _write_kmc2(a, k, kmers[m], counts[m], lpl, n_bins, rng)
+        m2 = rng.random(len(kmers)) < 0.5
+        _write_kmc2(b, k, kmers[m2], (counts[m2] % 9 + 1).astype(np.uint32),
+                    lpl, n_bins, rng)
+
+        def run_all(tag):
+            outs = []
+            o = tmp_path / f"s_{k}_{tag}"
+            db_ops.transform_sort(str(a), str(o))
+            outs += [str(o) + s for s in (".kmc_pre", ".kmc_suf")]
+            o = tmp_path / f"u_{k}_{tag}"
+            db_ops.run_simple_op("union", str(a), str(b), str(o))
+            outs += [str(o) + s for s in (".kmc_pre", ".kmc_suf")]
+            o = tmp_path / f"d_{k}_{tag}.txt"
+            db_ops.transform_dump(str(a), str(o), sorted_output=True)
+            outs.append(str(o))
+            o = tmp_path / f"x_{k}_{tag}"
+            d = tmp_path / f"x_{k}_{tag}.def"
+            d.write_text("INPUT:\n"
+                         f"ia={a} -ci2\nib={b}\n"
+                         "OUTPUT:\n"
+                         f"{o}=(ia *max ib) + (ia - ib)\n")
+            run_complex_file(str(d))
+            outs += [str(o) + s for s in (".kmc_pre", ".kmc_suf")]
+            return outs
+
+        try:
+            native_tools.set_threads(1)
+            base = run_all("t1")
+            for t in (2, 4, 8):
+                native_tools.set_threads(t)
+                got = run_all(f"t{t}")
+                for x, y in zip(base, got):
+                    assert filecmp.cmp(x, y, shallow=False), (k, t, x)
+        finally:
+            native_tools.set_threads(1)
+
+
 def test_counters_for_read_native_wide(tmp_path, monkeypatch):
     """The wide-key (k>32) native RA lookup (kst_counters_for_seq_wide:
     multi-word rolling canonical window + memcmp binary search + first-two-

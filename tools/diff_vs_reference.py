@@ -120,10 +120,11 @@ def tpu_dump(inp, k, ci, cs, fmt, workdir) -> str:
 
 
 def sweep_main():
-    """--sweep: byte-compare dumps for a wide k matrix (k=1..256 sampled at
-    every lane-width boundary) on the CPU backend — fast compiles, identical
-    XLA semantics; the reference's own self-hosted CI runs k=1..256
-    (prepare_small_fastq_tests.py:66-67)."""
+    """--sweep: byte-compare dumps for a wide k matrix on the CPU backend —
+    fast compiles, identical XLA semantics.  Default: every lane-width
+    boundary; --sweep-full: EVERY k from 1 to 256, exactly the reference's
+    own self-hosted CI matrix (prepare_small_fastq_tests.py:66-67,
+    self-hosted.yml:27-36)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -135,11 +136,21 @@ def sweep_main():
     fq = workdir / "reads.fastq"
     make_input(fq, fmt="fastq", seed=4, n_reads=600, read_len=300)
 
-    ks = sorted(set(
-        list(range(1, 18)) + [24, 25, 31, 32, 33, 47, 48, 49, 63, 64, 65,
-                              95, 96, 97, 127, 128, 129, 160, 191, 192, 193,
-                              224, 255, 256]
-    ))
+    if "--sweep-full" in sys.argv:
+        # one process per k-range batch: 256 jit-compiled k variants in one
+        # process exhaust the XLA CPU executable arena (measured OOM at
+        # ~k=123); the runner script shards into subprocesses
+        lo, hi = 1, 256
+        for a in sys.argv:
+            if a.startswith("--k-range="):
+                lo, hi = (int(x) for x in a.split("=")[1].split(":"))
+        ks = list(range(lo, hi + 1))
+    else:
+        ks = sorted(set(
+            list(range(1, 18)) + [24, 25, 31, 32, 33, 47, 48, 49, 63, 64,
+                                  65, 95, 96, 97, 127, 128, 129, 160, 191,
+                                  192, 193, 224, 255, 256]
+        ))
     failures = 0
     for k in ks:
         want = ref_dump(kmc, kmc_tools, fq, k, 1, 255, "fastq", workdir)
@@ -383,6 +394,6 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--sweep" in sys.argv:
+    if "--sweep" in sys.argv or "--sweep-full" in sys.argv:
         sweep_main()
     main()
