@@ -436,6 +436,8 @@ class ShardedKmerStore:
         # barrier(); used by tools/tpu_sharded_run.py for the TPU-measured
         # device splits of the sharded pipeline
         self.timings: dict[str, float] = {}
+        self.n_compactions = 0
+        self.n_spills = 0
 
     # -- multi-host plumbing --
 
@@ -618,6 +620,7 @@ class ShardedKmerStore:
         self.cols, self.counts, n_groups = jitted(self.cols, counts_in,
                                                   self.n_used)
         self.has_counts = True
+        self.n_compactions += 1
         n_groups = self._host(n_groups)
         self._base_rows = int(n_groups.max())
         self._rows_per_device = self._base_rows
@@ -636,6 +639,7 @@ class ShardedKmerStore:
         runs are re-merged identically everywhere at finalize)."""
         bins_np, words_np, counts_np = self._pull_rows()
         self.spilled.append((bins_np, words_np, counts_np))
+        self.n_spills += 1
         self._reset_rows()
         self.has_counts = True
         self._rows_per_device = 0
@@ -1367,6 +1371,8 @@ def distributed_count(
         "consumed_bytes_local": state.consumed_bytes,
         "n_devices": D,
         "n_processes": jax.process_count(),
+        "n_compactions": store.n_compactions,
+        "n_spills": store.n_spills,
         "timings": timings,
     }
     if estimated_histogram is not None:

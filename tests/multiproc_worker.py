@@ -36,8 +36,12 @@ def main():
     mesh = make_mesh()
     cap = int(os.environ.get("MP_CAPACITY", 1 << 12))
     stats = distributed_count(
-        [reads], out, k=25, mesh=mesh, batch_positions=1 << 10,
-        cutoff_min=1, capacity_rows_per_device=cap,
+        [reads], out,
+        k=int(os.environ.get("MP_K", 25)),
+        mesh=mesh,
+        batch_positions=int(os.environ.get("MP_BATCH", 1 << 10)),
+        cutoff_min=int(os.environ.get("MP_CI", 1)),
+        capacity_rows_per_device=cap,
         shard_input=os.environ.get("MP_SHARD_INPUT", "1") != "0",
         min_shard_bytes=int(os.environ.get("MP_MIN_SHARD", 32 << 20)),
     )
