@@ -799,6 +799,7 @@ class ShardedKmerStore:
             parts_b.append(sb)
             parts_w.append(sw)
             parts_c.append(sc)
+        self.timings["reassembly_slice_s"] = _time.perf_counter() - _t0
         bins = np.concatenate(parts_b) if parts_b else np.zeros(0, np.int64)
         words = (np.concatenate(parts_w) if parts_w
                  else np.zeros((0, self.W), np.uint32))

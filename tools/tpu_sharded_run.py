@@ -202,9 +202,18 @@ def main():
     fq = str(bench.prepare_input())
     doc = {"host": "1-device TPU mesh (real chip)",
            "jax": jax.__version__}
+    # headline: same per-device capacity as the single-chip store (no
+    # mid-run compaction on this workload — apples-to-apples)
     doc["e2e"] = run_e2e(fq, workdir, batch_positions=1 << 23,
-                         capacity_rows_per_device=1 << 27,
+                         capacity_rows_per_device=1 << 28,
                          device_store_rows=1 << 28, repeats=2)
+    # compaction-exercising variant: halved store forces 2 mid-run
+    # compactions (each a full-store sort) — the strict-memory shape
+    if "--with-compaction" in sys.argv:
+        doc["e2e_compacting"] = run_e2e(
+            fq, workdir, batch_positions=1 << 23,
+            capacity_rows_per_device=1 << 27,
+            device_store_rows=1 << 28, repeats=2)
     doc["exchange_finalize"] = [run_exchange_finalize(lg) for lg in (26, 27)]
     OUT_JSON.write_text(json.dumps(doc, indent=2) + "\n")
     print(f"wrote {OUT_JSON}")
