@@ -303,13 +303,17 @@ class KMCFile:
     """
 
     def __init__(self):
-        self._db: KmcDb | None = None
+        self._db_obj: KmcDb | None = None
+        self._db_path: str | None = None
         self._info = None
-        self._kmers = None  # (N, KB) sorted (RA mode)
+        self._kmers_arr = None  # (N, KB) sorted (RA mode); lazy for KMC2
+        self._counts_arr = None
         self._kmers_keys = None  # cached _rows_search_keys(self._kmers)
         self._keys_idx16 = None  # cached top-16-bit range table (native RA)
         self._rows_idx16_cache = None  # wide-key (k>32) jump table
-        self._counts = None
+        self._rows_keys0_cache = None  # wide-key first-8-byte u64 keys
+        self._binned_src = None  # converted (luts, sig_map, records, aux)
+        self._ra_maps = None  # memmap RA structures (KMC2, below threshold)
         self._pos = 0
         self._min_count = 1
         self._max_count = (1 << 32) - 1
@@ -326,6 +330,40 @@ class KMCFile:
         self._filter_ver = 0
 
     # -- opening ----------------------------------------------------------
+    @property
+    def _db(self):
+        """Materialized KmcDb (records copy) — LAZY: the binned native
+        lookup serves reads from memmaps, so the filter never loads it."""
+        if self._db_obj is None and self._db_path is not None:
+            self._db_obj = read_db(self._db_path)
+        return self._db_obj
+
+    @_db.setter
+    def _db(self, v):
+        self._db_obj = v
+        if v is None:
+            self._db_path = None
+
+    @property
+    def _kmers(self):
+        if self._kmers_arr is None and self._db is not None:
+            self._kmers_arr, self._counts_arr = sorted_records(self._db)
+        return self._kmers_arr
+
+    @_kmers.setter
+    def _kmers(self, v):
+        self._kmers_arr = v
+
+    @property
+    def _counts(self):
+        if self._counts_arr is None and self._db is not None:
+            self._kmers_arr, self._counts_arr = sorted_records(self._db)
+        return self._counts_arr
+
+    @_counts.setter
+    def _counts(self, v):
+        self._counts_arr = v
+
     def OpenForRA(self, path: str) -> bool:
         return self._open(path, ra=True)
 
@@ -333,6 +371,8 @@ class KMCFile:
         return self._open(path, ra=False)
 
     def _open(self, path: str, ra: bool = True) -> bool:
+        self._binned_src = None
+        self._ra_maps = None
         if ra and str(path).endswith(".kff"):
             # KFF random access: materialize into the same sorted RA
             # structure the reference builds (CKffAndKMCRandomAccess
@@ -400,11 +440,18 @@ class KMCFile:
                 self._max_count = self._info.cutoff_max
                 return True
             try:
-                self._db = read_db(path)
+                # memmap-backed structures only; the record-copying
+                # read_db load happens lazily on first row access
+                self._ra_maps = _FileRA(path, meta=meta)
             except (OSError, ValueError):
                 return False
-            self._info = self._db.info
-            self._kmers, self._counts = sorted_records(self._db)
+            self._db_obj = None
+            self._db_path = path
+            self._info = self._ra_maps.info
+            # row materialization (reconstruct + global sort) is LAZY:
+            # the binned native lookup serves reads straight off the raw
+            # layout, so the filter never pays for it
+            self._kmers = self._counts = None
             self._kmers_keys = None
             self._keys_idx16 = None
             self._pos = 0
@@ -458,12 +505,15 @@ class KMCFile:
                 return False
 
     def Close(self) -> bool:
-        ok = (self._db is not None or self._reader is not None
+        ok = (self._db_obj is not None or self._db_path is not None
+              or self._reader is not None
               or self._file_ra is not None)
         self._db = None
         self._file_ra = None
         self._kmers = self._counts = self._kmers_keys = None
         self._keys_idx16 = None
+        self._binned_src = None
+        self._ra_maps = None
         if self._reader is not None:
             self._reader.close()
             self._reader = None
@@ -623,6 +673,16 @@ class KMCFile:
             self._rows_idx16_cache = build_row_index16(self._kmers)
         return getattr(self, "_rows_idx16_cache", None)
 
+    def _rows_keys0(self):
+        """Per-row first-8-byte u64 keys for the wide native lookup
+        (binary search on u64 compares, tail memcmp only on u64 ties)."""
+        if getattr(self, "_rows_keys0_cache", None) is None \
+                and self._kmers is not None and len(self._kmers):
+            from .tools.native_tools import build_row_keys0
+
+            self._rows_keys0_cache = build_row_keys0(self._kmers)
+        return getattr(self, "_rows_keys0_cache", None)
+
     def IsKmer(self, kmer) -> bool:
         return self.CheckKmer(kmer)[0]
 
@@ -635,14 +695,48 @@ class KMCFile:
     def counters_for_read_array(self, read: str) -> tuple[bool, np.ndarray]:
         """GetCountersForRead returning the raw uint32 array (no Python
         list round-trip) — the filter's bulk entry point."""
-        # native in-RAM windowed lookup (rolling canonical k-mer + binary
-        # search in C), default encoding: u64 keys for k<=32, raw byte
-        # rows + memcmp for k in (32, 256] (the reference serves every k
-        # through the same C++ path, kmc_file.cpp:1193 / kmer_api.h:28-35)
+        from .tools import native_tools
+
+        # native binned lookup over the RAW KMC2 layout for any k — the
+        # reference's own query shape (signature -> bin -> prefix range ->
+        # tiny suffix binary search, kmc_file.cpp:1193/1321); no row
+        # materialization, no global sort
+        src = getattr(self, "_binned_src", None)
+        if src is None and self._sym_map is None:
+            fr = getattr(self, "_ra_maps", None) or self._file_ra
+            if (fr is not None and self._info.version == 0x200
+                    and fr.records is not None):
+                src = (fr.luts, fr.sig_map, fr.records)
+            if src is not None:
+                # contiguity/dtype conversions + the fine-grained aux LUT
+                # hoisted out of the per-read call (a per-call sig_map copy
+                # alone costs more than the lookup)
+                luts_c = np.ascontiguousarray(src[0], np.uint64)
+                aux, aux_bits = (
+                    native_tools.build_aux_luts(luts_c, src[2])
+                    if self._info.suffix_bytes >= 1 else (None, 8))
+                src = (luts_c,
+                       np.ascontiguousarray(src[1], np.int32),
+                       src[2], aux, aux_bits)
+                self._binned_src = src
+        if src is not None and self._info.kmer_len >= self._info.signature_len:
+            luts, sig_map, records, aux, aux_bits = src
+            counters = native_tools.counters_for_seq_binned(
+                read.encode("ascii", errors="replace"),
+                self._info.kmer_len, self._info.both_strands,
+                sig_len=self._info.signature_len, sig_map=sig_map,
+                luts=luts, lut_prefix_len=self._info.lut_prefix_len,
+                records=records, counter_size=self._info.counter_size,
+                aux_luts=aux, aux_bits=aux_bits)
+            if counters is not None:
+                counters = np.where(
+                    (counters >= self._min_count)
+                    & (counters <= self._max_count), counters, 0)
+                return True, counters
+        # in-RAM sorted-array lookup (KMC1/KFF-materialized databases):
+        # u64 keys for k<=32, byte rows + u64-first memcmp for k>32
         if (self._file_ra is None and self._kmers is not None
                 and self._sym_map is None):
-            from .tools import native_tools
-
             counters = None
             if self._info.kmer_len <= 32:
                 keys = self._hay_keys()
@@ -655,7 +749,8 @@ class KMCFile:
                 counters = native_tools.counters_for_seq_wide(
                     read.encode("ascii", errors="replace"),
                     self._info.kmer_len, self._info.both_strands,
-                    self._kmers, self._counts, idx16=self._rows_idx16())
+                    self._kmers, self._counts, idx16=self._rows_idx16(),
+                    keys0=self._rows_keys0())
             if counters is not None:
                 counters = np.where(
                     (counters >= self._min_count)

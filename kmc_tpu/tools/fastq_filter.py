@@ -103,6 +103,46 @@ def filter_fastq(
             # are a contiguous slice of the joined read's counter vector
             _, joined = db.counters_for_read_array(
                 "N".join(seq for _, seq, _ in recs))
+            if not trim and not hard_mask:
+                # remove mode, vectorized across the whole batch: per-read
+                # present-k-mer counts via one cumsum over the joined
+                # counter vector (the per-read python loop costs more than
+                # the lookups at reference-parity speeds)
+                lens = np.fromiter((len(s_) for _, s_, _ in recs),
+                                   np.int64, len(recs))
+                nk = lens - k + 1
+                if (nk > 0).all():
+                    starts = np.zeros(len(recs), np.int64)
+                    np.cumsum(lens[:-1] + 1, out=starts[1:])
+                    csum = np.concatenate(
+                        [[0], np.cumsum(joined > 0, dtype=np.int64)])
+                    n_present = csum[starts + nk] - csum[starts]
+                    lo_v = ((min_kmers * nk).astype(np.int64)
+                            if isinstance(min_kmers, float)
+                            else np.full(len(recs), min_kmers, np.int64))
+                    hi_v = ((max_kmers * nk).astype(np.int64)
+                            if isinstance(max_kmers, float)
+                            else np.full(len(recs), max_kmers, np.int64))
+                    keep = (lo_v <= n_present) & (n_present <= hi_v)
+                    write_fasta = is_fasta if out_fasta is None else out_fasta
+                    if write_fasta and not is_fasta:
+                        parts = [f">{recs[i][0].rstrip().lstrip('@')}\n"
+                                 f"{recs[i][1]}\n"
+                                 for i in np.flatnonzero(keep)]
+                    elif write_fasta:
+                        parts = [f"{recs[i][0].rstrip()}\n{recs[i][1]}\n"
+                                 for i in np.flatnonzero(keep)]
+                    else:
+                        if is_fasta:
+                            raise ValueError(
+                                "FASTA input has no qualities; cannot "
+                                "write FASTQ output")
+                        parts = [f"{recs[i][0].rstrip()}\n{recs[i][1]}\n+\n"
+                                 f"{recs[i][2]}\n"
+                                 for i in np.flatnonzero(keep)]
+                    fout.write("".join(parts))
+                    n_kept += int(keep.sum())
+                    continue
             off = 0
             for header, seq, qual in recs:
                 nk = len(seq) - k + 1

@@ -151,7 +151,13 @@ def get_lib():
         lib.kst_counters_for_seq_wide.restype = ctypes.c_int64
         lib.kst_counters_for_seq_wide.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_uint32, ctypes.c_int32,
-            u8p, ctypes.c_uint32, u32p, ctypes.c_uint64, u64p, u32p]
+            u8p, ctypes.c_uint32, u32p, ctypes.c_uint64, u64p, u64p, u32p]
+        lib.kst_counters_for_seq_binned.restype = ctypes.c_int64
+        lib.kst_counters_for_seq_binned.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_uint32, ctypes.c_int32,
+            u32p, ctypes.c_uint32, ctypes.POINTER(ctypes.c_int32), u64p,
+            ctypes.c_uint32, u8p, ctypes.c_uint64, ctypes.c_uint32,
+            u64p, ctypes.c_uint32, u32p]
         lib.kst_set_threads.restype = None
         lib.kst_set_threads.argtypes = [ctypes.c_int32]
         if _threads_pending is not None:
@@ -484,9 +490,17 @@ def build_row_index16(rows: np.ndarray) -> np.ndarray:
     return idx
 
 
+def build_row_keys0(rows: np.ndarray) -> np.ndarray:
+    """Big-endian u64 of each row's first 8 bytes (native byte order for
+    C) — lets the wide lookup binary-search on u64 compares."""
+    return (np.ascontiguousarray(rows[:, :8]).view(">u8").ravel()
+            .astype(np.uint64))
+
+
 def counters_for_seq_wide(seq_bytes: bytes, k: int, both_strands: bool,
                           rows: np.ndarray, counts: np.ndarray,
-                          idx16: np.ndarray | None = None):
+                          idx16: np.ndarray | None = None,
+                          keys0: np.ndarray | None = None):
     """Counters for every k-mer window of `seq_bytes` at k in (32, 256]
     against the in-RAM RA index (sorted (N, KB) big-endian byte rows of
     the API packing + u32 counts); None when the native path is
@@ -517,6 +531,85 @@ def counters_for_seq_wide(seq_bytes: bytes, k: int, both_strands: bool,
         len(rows),
         np.ascontiguousarray(idx16).ctypes.data_as(u64p)
         if idx16 is not None else None,
+        np.ascontiguousarray(keys0).ctypes.data_as(u64p)
+        if keys0 is not None else None,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    if got != n:
+        return None
+    return out
+
+
+def build_aux_luts(luts: np.ndarray, records: np.ndarray):
+    """(aux, aux_bits): cumulative record boundaries extended by the top
+    aux_bits of suffix byte 0 — up to 256x finer than the stored LUT,
+    narrowing the binned lookup's search range to ~1 record.  aux_bits
+    adapts so the table stays <= 2^24 entries (the probe pass and the
+    table itself stay cheap at any lut_prefix_len).  One vectorized
+    pass: the (lut_idx, top bits of suffix byte 0) key is globally
+    monotone because records are (bin, prefix)-major and suffix-sorted
+    within each range."""
+    n = len(records)
+    n_entries = len(luts) - 1
+    aux_bits = 8
+    while aux_bits > 1 and (n_entries << aux_bits) > (1 << 24):
+        aux_bits -= 1
+    luts_np = np.asarray(luts)
+    counts = np.diff(luts_np).astype(np.int64)
+    # u32 keys: n_entries << aux_bits is capped at 2^24, so the combined
+    # key fits comfortably and the build moves half the bytes
+    lut_idx = np.repeat(np.arange(n_entries, dtype=np.uint32), counts)
+    lut_idx <<= np.uint32(aux_bits)
+    lut_idx |= (records[:, 0] >> np.uint8(8 - aux_bits))
+    aux = np.searchsorted(
+        lut_idx,
+        np.arange((n_entries << aux_bits) + 1,
+                  dtype=np.uint32)).astype(np.uint64)
+    return aux, aux_bits
+
+
+def counters_for_seq_binned(seq_bytes: bytes, k: int, both_strands: bool,
+                            *, sig_len: int, sig_map: np.ndarray,
+                            luts: np.ndarray, lut_prefix_len: int,
+                            records: np.ndarray, counter_size: int,
+                            aux_luts: np.ndarray | None = None,
+                            aux_bits: int = 8):
+    """Counters for every k-mer window against the RAW KMC2 layout
+    (sig_map + cumulative prefix LUTs + bin-major suffix records) — the
+    reference's GetCountersForRead query shape (kmc_file.cpp:1193/1321):
+    per-window signature via a sliding min of canonical m-mer norms
+    (table from signatures.norm_table, identical by construction), then
+    one tiny per-(bin, prefix)-range binary search.  None on fallback."""
+    if not _enabled() or k < sig_len or k < 2 or k > 256:
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(seq_bytes) - k + 1
+    if n <= 0:
+        return np.zeros(0, np.uint32)
+    from ..signatures import norm_table
+
+    norms = norm_table(sig_len)  # cached u32[4^m]
+    sig_map = np.ascontiguousarray(sig_map, np.int32)
+    luts = np.ascontiguousarray(luts, np.uint64)
+    if records.dtype != np.uint8 or records.ndim != 2:
+        return None
+    rb = records.shape[1]
+    if rb != (k - lut_prefix_len) // 4 + counter_size:
+        return None
+    records = np.ascontiguousarray(records)
+    seq = np.frombuffer(seq_bytes, np.uint8)
+    out = np.empty(n, np.uint32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    got = lib.kst_counters_for_seq_binned(
+        seq.ctypes.data_as(u8p), len(seq), k, 1 if both_strands else 0,
+        norms.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), sig_len,
+        sig_map.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        luts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        lut_prefix_len, records.ctypes.data_as(u8p), len(records),
+        counter_size,
+        aux_luts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+        if aux_luts is not None else None, aux_bits,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
     if got != n:
         return None

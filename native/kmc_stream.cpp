@@ -1675,11 +1675,16 @@ int64_t kst_counters_for_seq(const uint8_t* seq, int64_t seq_len,
 // most significant; the canonical needle is serialized big-endian and
 // binary-searched with memcmp, narrowed by the idx16 jump on the first
 // two needle bytes (same table shape as the k<=32 path).
+// keys0 (optional, else null): per-row big-endian u64 of the first 8 row
+// bytes — the binary search runs on u64 compares (the same inner loop as
+// the k<=32 path) and only the rare equal-keys0 run falls back to tail
+// memcmp.  Measured 4x over the all-memcmp search at k=55.
 int64_t kst_counters_for_seq_wide(const uint8_t* seq, int64_t seq_len,
                                   uint32_t k, int32_t both_strands,
                                   const uint8_t* key_rows, uint32_t kb,
                                   const uint32_t* counts, uint64_t n_keys,
-                                  const uint64_t* idx16, uint32_t* out) {
+                                  const uint64_t* idx16,
+                                  const uint64_t* keys0, uint32_t* out) {
     if (k < 33 || k > 256 || seq_len < (int64_t)k) return 0;
     if (kb != (k + 3) / 4) return -1;
     static uint8_t code[256];
@@ -1740,6 +1745,25 @@ int64_t kst_counters_for_seq_wide(const uint8_t* seq, int64_t seq_len,
             lo = idx16[t];
             len = idx16[t + 1] - lo;
         }
+        if (keys0) {
+            const uint64_t nk0 = load_be64(need);  // kb >= 9 for k >= 33
+            while (len > 1) {
+                uint64_t half = len / 2;
+                lo += (keys0[lo + half - 1] < nk0) ? half : 0;
+                len -= half;
+            }
+            uint32_t c_out = 0;
+            if (len && keys0[lo] == nk0) {
+                while (lo < n_keys && keys0[lo] == nk0) {
+                    int c = memcmp(key_rows + lo * kb + 8, need + 8, kb - 8);
+                    if (c == 0) { c_out = counts[lo]; break; }
+                    if (c > 0) break;
+                    ++lo;
+                }
+            }
+            out[wpos] = c_out;
+            continue;
+        }
         while (len > 1) {
             uint64_t half = len / 2;
             lo += (memcmp(key_rows + (lo + half - 1) * kb, need, kb) < 0)
@@ -1748,6 +1772,212 @@ int64_t kst_counters_for_seq_wide(const uint8_t* seq, int64_t seq_len,
         }
         out[wpos] = (len && !memcmp(key_rows + lo * kb, need, kb))
                         ? counts[lo] : 0;
+    }
+    return n;
+}
+
+// Binned windowed lookup over the RAW KMC2 on-disk layout — the exact
+// query shape of the reference's CKMCFile::GetCountersForRead
+// (kmc_file.cpp:1193 -> per-k-mer CheckKmer, :1321): per-window
+// signature (sliding min of canonical m-mer norms) -> sig_map bin ->
+// prefix LUT range -> binary search over the suffix bytes of a few
+// records.  No global sort, no row materialization: `records` is the
+// .kmc_suf body as stored (suffix+counter rows, bin-major), `luts` the
+// cumulative per-(bin, prefix) boundaries, `norms` the 4^m canonical
+// norm table (built by kmc_tpu/signatures.py::norm_table — identical
+// semantics guaranteed by construction).  Serves ANY k (multi-word
+// rolling window).  Windows broken by non-ACGT get counter 0.
+// aux_luts (optional, else null): cumulative boundaries extended by the
+// first aux_bits (1..8) bits of suffix byte 0 — up to 256x finer than
+// the on-disk LUT, so the typical search range is 0-2 records (one
+// memcmp) instead of the ~4^(9-lpl) a coarse lpl leaves.  Built by
+// native_tools.build_aux_luts in one vectorized pass at open.
+int64_t kst_counters_for_seq_binned(
+        const uint8_t* seq, int64_t seq_len, uint32_t k,
+        int32_t both_strands, const uint32_t* norms, uint32_t sig_len,
+        const int32_t* sig_map, const uu64* luts,
+        uint32_t lut_prefix_len, const uint8_t* records,
+        uint64_t n_records, uint32_t counter_size,
+        const uint64_t* aux_luts, uint32_t aux_bits, uint32_t* out) {
+    if (k < sig_len || k < 2 || k > 256 || seq_len < (int64_t)k) return 0;
+    static uint8_t code[256];
+    static bool init = false;
+    if (!init) {
+        memset(code, 4, sizeof(code));
+        code['A'] = code['a'] = 0;
+        code['C'] = code['c'] = 1;
+        code['G'] = code['g'] = 2;
+        code['T'] = code['t'] = 3;
+        init = true;
+    }
+    const uint32_t m = sig_len;
+    const uint32_t kb = (k + 3) / 4;
+    const uint32_t sb = (k - lut_prefix_len) / 4;  // suffix bytes
+    const uint32_t pb = kb - sb;                   // prefix bytes
+    const uint32_t rec_bytes = sb + counter_size;
+    const uint32_t W = (k + 31) / 32;
+    const uint32_t top_bits = 2 * k - 64 * (W - 1);
+    const uint64_t top_mask =
+        (top_bits >= 64) ? ~0ull : ((1ull << top_bits) - 1);
+    const uint32_t ins_word = W - 1 - (2 * k - 2) / 64;
+    const uint32_t ins_bit = (2 * k - 2) % 64;
+    const uint32_t mmask = (1u << (2 * m)) - 1;
+    const int64_t n = seq_len - k + 1;
+    const int64_t win = (int64_t)(k - m + 1);  // m-mers per k-window
+
+    uint64_t fwd[8] = {0}, rc[8] = {0};
+    uint8_t need[64];
+    uint32_t mm = 0;  // rolling 2m-bit m-mer
+    // pipelined-path staging buffers (aux mode): per-window aux index
+    // (~0 = broken/absent window, counter stays 0) + suffix needle
+    std::vector<uint64_t> idx2_buf, lo_buf, hi_buf;
+    std::vector<uint8_t> need_buf;
+    if (aux_luts) {
+        idx2_buf.assign(n, ~0ull);
+        lo_buf.resize(n);
+        hi_buf.resize(n);
+        need_buf.resize((size_t)n * sb);
+        memset(out, 0, (size_t)n * 4);
+    }
+    // monotonic deque of (m-mer position, norm): front = window min
+    std::vector<int64_t> dq_pos(win + 1);
+    std::vector<uint32_t> dq_val(win + 1);
+    size_t dq_h = 0, dq_t = 0;
+    int64_t last_bad = -1;
+    for (int64_t i = 0; i < seq_len; ++i) {
+        uint64_t c = code[seq[i]];
+        bool bad = c >= 4;
+        if (bad) {
+            last_bad = i;
+            c = 0;
+        }
+        for (uint32_t w = 0; w + 1 < W; ++w)
+            fwd[w] = (fwd[w] << 2) | (fwd[w + 1] >> 62);
+        fwd[W - 1] = (fwd[W - 1] << 2) | c;
+        fwd[0] &= top_mask;
+        for (uint32_t w = W - 1; w > 0; --w)
+            rc[w] = (rc[w] >> 2) | (rc[w - 1] << 62);
+        rc[0] >>= 2;
+        rc[ins_word] |= (3 - c) << ins_bit;
+        mm = ((mm << 2) | (uint32_t)c) & mmask;
+        int64_t mpos = i - (int64_t)m + 1;  // m-mer ending at i
+        if (mpos >= 0) {
+            // norm of this m-mer (bad m-mers only ever reach bad windows)
+            uint32_t v = bad ? ~0u : norms[mm];
+            while (dq_t > dq_h && dq_val[dq_t - 1] >= v) --dq_t;
+            if (dq_t == dq_pos.size()) {  // compact (bounded by win+1 live)
+                size_t n_live = dq_t - dq_h;
+                memmove(dq_pos.data(), dq_pos.data() + dq_h,
+                        n_live * sizeof(int64_t));
+                memmove(dq_val.data(), dq_val.data() + dq_h,
+                        n_live * sizeof(uint32_t));
+                dq_h = 0;
+                dq_t = n_live;
+            }
+            dq_pos[dq_t] = mpos;
+            dq_val[dq_t] = v;
+            ++dq_t;
+        }
+        int64_t wpos = i - (int64_t)k + 1;  // k-window ending at i
+        if (wpos < 0) continue;
+        while (dq_h < dq_t && dq_pos[dq_h] < wpos) ++dq_h;  // expire front
+        if (last_bad >= wpos) {
+            out[wpos] = 0;
+            continue;
+        }
+        const uint32_t sig = dq_val[dq_h];  // window min norm (<= special)
+        const int32_t bin = sig_map[sig];
+        if (bin < 0) {
+            out[wpos] = 0;
+            continue;
+        }
+        const uint64_t* v = fwd;
+        if (both_strands) {
+            for (uint32_t w = 0; w < W; ++w) {
+                if (rc[w] < fwd[w]) { v = rc; break; }
+                if (rc[w] > fwd[w]) break;
+            }
+        }
+        for (uint32_t j = 0; j < kb; ++j) {
+            uint32_t ob = 8 * W - kb + j;
+            need[j] = (uint8_t)(v[ob / 8] >> (56 - 8 * (ob % 8)));
+        }
+        uint64_t prefix = 0;
+        for (uint32_t j = 0; j < pb; ++j)
+            prefix = (prefix << 8) | need[j];
+        const uint64_t idx =
+            ((uint64_t)bin << (2 * lut_prefix_len)) | prefix;
+        if (aux_luts) {
+            // pipelined path: stage the aux index + needle; lookups run
+            // in later prefetch-ahead passes (the two dependent DRAM
+            // misses per window overlap ACROSS windows instead of
+            // serializing within one)
+            idx2_buf[wpos] =
+                (idx << aux_bits) | (need[pb] >> (8 - aux_bits));
+            memcpy(need_buf.data() + (size_t)wpos * sb, need + pb, sb);
+            continue;
+        }
+        uint64_t lo = luts[idx], hi = luts[idx + 1];
+        if (hi > n_records) hi = n_records;
+        uint32_t c_out = 0;
+        const uint8_t* sfx = need + pb;
+        while (lo < hi) {
+            uint64_t mid = (lo + hi) / 2;
+            int cmp = memcmp(records + mid * rec_bytes, sfx, sb);
+            if (cmp < 0) lo = mid + 1;
+            else if (cmp > 0) hi = mid;
+            else {
+                // byte-wise LE decode: an 8-byte load would overrun the
+                // records buffer at the final record (no slack bytes)
+                uint32_t cc = counter_size ? 0 : 1;
+                for (int32_t j = (int32_t)counter_size - 1; j >= 0; --j)
+                    cc = (cc << 8)
+                         | records[mid * rec_bytes + sb + (uint32_t)j];
+                c_out = cc;
+                break;
+            }
+        }
+        out[wpos] = c_out;
+    }
+    if (aux_luts) {
+        constexpr int64_t PF = 24;
+        const uint64_t SKIP = ~0ull;
+        // pass B1: aux ranges, prefetched ahead; prefetch each range's
+        // first record row as its bounds arrive
+        for (int64_t j = 0; j < n; ++j) {
+            if (j + PF < n && idx2_buf[j + PF] != SKIP)
+                __builtin_prefetch(&aux_luts[idx2_buf[j + PF]]);
+            const uint64_t x = idx2_buf[j];
+            if (x == SKIP) continue;
+            uint64_t lo = aux_luts[x], hi = aux_luts[x + 1];
+            if (hi > n_records) hi = n_records;
+            lo_buf[j] = lo;
+            hi_buf[j] = hi;
+            if (lo < hi)
+                __builtin_prefetch(records + lo * rec_bytes);
+        }
+        // pass B2: resolve (ranges are ~1 record; rows usually cached)
+        for (int64_t j = 0; j < n; ++j) {
+            if (idx2_buf[j] == SKIP) continue;
+            uint64_t lo = lo_buf[j], hi = hi_buf[j];
+            const uint8_t* sfx = need_buf.data() + (size_t)j * sb;
+            uint32_t c_out = 0;
+            while (lo < hi) {
+                uint64_t mid = (lo + hi) / 2;
+                int cmp = memcmp(records + mid * rec_bytes, sfx, sb);
+                if (cmp < 0) lo = mid + 1;
+                else if (cmp > 0) hi = mid;
+                else {
+                    uint32_t cc = counter_size ? 0 : 1;
+                    for (int32_t t = (int32_t)counter_size - 1; t >= 0; --t)
+                        cc = (cc << 8)
+                             | records[mid * rec_bytes + sb + (uint32_t)t];
+                    c_out = cc;
+                    break;
+                }
+            }
+            out[j] = c_out;
+        }
     }
     return n;
 }

@@ -417,6 +417,104 @@ def test_filter_native_equivalence(tmp_path, monkeypatch):
         assert outs[0] == outs[1], mode_args
 
 
+def test_counters_for_read_binned_kmc2(tmp_path, monkeypatch):
+    """The binned native lookup (raw KMC2 layout: signature -> bin ->
+    prefix range -> suffix search) against the NumPy windowed path, on
+    REAL pipeline-produced KMC2 databases at narrow/wide k and -b."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from kmc_tpu.api import KMCFile
+    from kmc_tpu.runner import count
+
+    rng = np.random.default_rng(41)
+    fq = tmp_path / "r.fq"
+    g = rng.integers(0, 4, 30000)
+    with open(fq, "w") as f:
+        for i in range(300):
+            st = int(rng.integers(0, len(g) - 140))
+            seq = "".join("ACGT"[c] for c in g[st:st + 140])
+            if i % 25 == 3:
+                seq = seq[:70] + "N" + seq[71:]
+            f.write(f"@r{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+    alpha = "ACGTNacgt"
+    queries = ["".join("ACGT"[c] for c in g[200:200 + 150])] + [
+        "".join(alpha[j] for j in rng.integers(0, len(alpha),
+                                               int(rng.integers(1, 200))))
+        for _ in range(30)
+    ]
+    for k, bs in ((27, True), (55, True), (27, False), (75, True)):
+        db = str(tmp_path / f"db{k}_{bs}")
+        count([str(fq)], db, k=k, cutoff_min=1, canonical_kmers=bs,
+              batch_positions=1 << 12)
+        f = KMCFile()
+        assert f.OpenForRA(db)
+        assert f._info.version == 0x200
+        n_hits = 0
+        for q in queries:
+            _, a = f.counters_for_read_array(q)
+            _, b = f._counters_for_read_numpy(q)
+            assert np.array_equal(np.asarray(a), np.asarray(b)), (k, bs, q)
+            n_hits += int((np.asarray(a) > 0).sum())
+        assert n_hits > 0, (k, bs)  # the genome query really hit
+        f.SetMinCount(2)
+        for q in queries[:8]:
+            _, a = f.counters_for_read_array(q)
+            _, b = f._counters_for_read_numpy(q)
+            assert np.array_equal(np.asarray(a), np.asarray(b)), (k, bs)
+
+
+def test_filter_native_equivalence_wide_k(tmp_path, monkeypatch):
+    """End-to-end filter with the WIDE (k>32) native RA lookup on vs off
+    — the filter path of VERDICT r3 next #3 (reference serves every k
+    through the same C++ lookup, kmc_file.cpp:1193)."""
+    from kmc_tpu.oracle import count_kmers
+    from kmc_tpu.tools.fastq_filter import filter_fastq
+
+    k = 55
+    rng = np.random.default_rng(29)
+    acgt = "ACGT"
+    genome = "".join(acgt[i] for i in rng.integers(0, 4, 5000))
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i in range(200):
+            if i % 2:  # genome read (hits) or random read (misses)
+                st = int(rng.integers(0, len(genome) - 80))
+                seq = genome[st:st + 80]
+            else:
+                seq = "".join(acgt[j] for j in rng.integers(0, 4, 80))
+            f.write(f"@r{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+    # DB holds only the genome's k-mers, so the random reads genuinely miss
+    cnt = count_kmers([genome], k, True, False)
+    ks = sorted(cnt)
+    CODE = {"A": 0, "C": 1, "G": 2, "T": 3}
+    kb = (k + 3) // 4
+    rows = np.zeros((len(ks), kb), np.uint8)
+    for i, km in enumerate(ks):
+        v = 0
+        for ch in km:
+            v = (v << 2) | CODE[ch]
+        for j in range(kb - 1, -1, -1):
+            rows[i, j] = v & 0xFF
+            v >>= 2 * 4
+    db = tmp_path / "wfdb"
+    _write_kmc1(db, k, rows,
+                np.array([cnt[km] for km in ks], np.uint32), 7)
+    n_filtered = []
+    for mode_args in ({"min_kmers": 0.5}, {"trim": True, "min_kmers": 2},
+                      {"hard_mask": True, "min_kmers": 2}):
+        outs = []
+        for env in ("1", "0"):
+            monkeypatch.setenv("KMC_TPU_NATIVE_TOOLS", env)
+            o = tmp_path / f"wout{env}.fq"
+            filter_fastq(str(db), str(fq), str(o), **mode_args)
+            outs.append(o.read_bytes())
+        assert outs[0] == outs[1], mode_args
+        n_filtered.append(outs[0].count(b"@r"))
+    # the 0.5-fraction filter must genuinely separate reads (hits exist)
+    assert 0 < n_filtered[0] < 200
+
+
 def test_native_union_bounded_address_space(tmp_path):
     """The native core preads through fixed buffers (no mmap): a union of
     databases far bigger than an RLIMIT_AS cap must succeed, byte-identical

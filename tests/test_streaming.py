@@ -276,10 +276,13 @@ while seen < 50000:
     seen += 1
 assert not f.Eof()
 f.Close()
-# the cap must be binding: RA materialization must NOT fit...
+# the cap must be binding: RA row materialization must NOT fit.  Open
+# itself is lazy (memmap-backed) since round 4; the in-memory arrays
+# build on first ROW access, so that is where the MemoryError surfaces
 g = KMCFile()
 try:
     g.OpenForRA({p!r})
+    g.CheckKmer("A" * 25)
 except MemoryError:
     pass
 else:

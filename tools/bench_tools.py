@@ -172,9 +172,9 @@ def main():
             # native path, k=55/127 the wide multi-word path (VERDICT r3
             # next #3; reference kmc_file.cpp:1193)
             kk = {"filter": 27, "filter55": 55, "filter127": 127}[op]
-            import bench
+            import bench as bench_mod
 
-            fq = bench.prepare_input()
+            fq = bench_mod.prepare_input()
             q = work / "filter_query.fastq"
             if not q.exists():
                 with open(fq, "rb") as f:
