@@ -704,14 +704,23 @@ class KMCFile:
         src = getattr(self, "_binned_src", None)
         if src is None and self._sym_map is None:
             fr = getattr(self, "_ra_maps", None) or self._file_ra
-            if (fr is not None and self._info.version == 0x200
-                    and fr.records is not None):
-                src = (fr.luts, fr.sig_map, fr.records)
+            if fr is not None and fr.records is not None:
+                # KMC2: signature->bin routing; KMC1 (version 0): the LUT
+                # is prefix-only — sig_len 0 disables the signature chain
+                src = (fr.luts, fr.sig_map
+                       if self._info.version == 0x200 else np.zeros(1),
+                       fr.records)
             if src is not None:
                 # contiguity/dtype conversions + the fine-grained aux LUT
                 # hoisted out of the per-read call (a per-call sig_map copy
                 # alone costs more than the lookup)
                 luts_c = np.ascontiguousarray(src[0], np.uint64)
+                if len(luts_c) == (1 << (2 * self._info.lut_prefix_len)):
+                    # KMC1 mmap LUTs carry no trailing record-count
+                    # sentinel (read_pre_meta skips it to avoid
+                    # materializing) — append it so luts[idx+1] and the
+                    # aux-LUT diff are valid at the last prefix
+                    luts_c = np.append(luts_c, np.uint64(fr.n_records))
                 aux, aux_bits = (
                     native_tools.build_aux_luts(luts_c, src[2])
                     if self._info.suffix_bytes >= 1 else (None, 8))
@@ -719,12 +728,15 @@ class KMCFile:
                        np.ascontiguousarray(src[1], np.int32),
                        src[2], aux, aux_bits)
                 self._binned_src = src
-        if src is not None and self._info.kmer_len >= self._info.signature_len:
+        eff_sig_len = (self._info.signature_len
+                       if self._info.version == 0x200 else 0)
+        if src is not None and (eff_sig_len == 0
+                                or self._info.kmer_len >= eff_sig_len):
             luts, sig_map, records, aux, aux_bits = src
             counters = native_tools.counters_for_seq_binned(
                 read.encode("ascii", errors="replace"),
                 self._info.kmer_len, self._info.both_strands,
-                sig_len=self._info.signature_len, sig_map=sig_map,
+                sig_len=eff_sig_len, sig_map=sig_map,
                 luts=luts, lut_prefix_len=self._info.lut_prefix_len,
                 records=records, counter_size=self._info.counter_size,
                 aux_luts=aux, aux_bits=aux_bits)

@@ -800,13 +800,14 @@ class ShardedKmerStore:
             parts_w.append(sw)
             parts_c.append(sc)
         self.timings["reassembly_slice_s"] = _time.perf_counter() - _t0
-        bins = np.concatenate(parts_b) if parts_b else np.zeros(0, np.int64)
-        words = (np.concatenate(parts_w) if parts_w
-                 else np.zeros((0, self.W), np.uint32))
-        counts = (np.concatenate(parts_c) if parts_c
-                  else np.zeros(0, np.uint32))
         if self.spilled:
             # spilled rows may duplicate exchanged rows: re-reduce on host
+            bins = (np.concatenate(parts_b) if parts_b
+                    else np.zeros(0, np.int64))
+            words = (np.concatenate(parts_w) if parts_w
+                     else np.zeros((0, self.W), np.uint32))
+            counts = (np.concatenate(parts_c) if parts_c
+                      else np.zeros(0, np.uint32))
             order = np.lexsort(
                 tuple(words[:, t] for t in range(self.W - 1, -1, -1))
                 + (bins,))
@@ -824,9 +825,33 @@ class ShardedKmerStore:
                 words = words[newg]
                 counts = np.minimum(tot, 0xFFFFFFFF).astype(np.uint32)
             self.spilled = []
+        elif len(parts_b) > 1:
+            # owners hold DISJOINT bin sets and each part is already
+            # (bin, k-mer)-sorted, so global order is a per-bin
+            # concatenation in bin-id order — O(n) slicing, ONE pass over
+            # the row payload, no row sort (the stable argsort this
+            # replaces measured 6.3 s at 8.4 M rows on the TPU host)
+            bounds = [np.searchsorted(pb, np.arange(self.n_used_bins + 2))
+                      for pb in parts_b]
+            sel_b, sel_w, sel_c = [], [], []
+            for b in range(self.n_used_bins + 1):
+                for pi in range(len(parts_b)):
+                    lo, hi = bounds[pi][b], bounds[pi][b + 1]
+                    if lo < hi:
+                        sel_b.append(parts_b[pi][lo:hi])
+                        sel_w.append(parts_w[pi][lo:hi])
+                        sel_c.append(parts_c[pi][lo:hi])
+            bins = (np.concatenate(sel_b) if sel_b
+                    else np.zeros(0, np.int64))
+            words = (np.concatenate(sel_w) if sel_w
+                     else np.zeros((0, self.W), np.uint32))
+            counts = (np.concatenate(sel_c) if sel_c
+                      else np.zeros(0, np.uint32))
         else:
-            order = np.argsort(bins, kind="stable")
-            bins, words, counts = bins[order], words[order], counts[order]
+            bins = (parts_b[0] if parts_b else np.zeros(0, np.int64))
+            words = (parts_w[0] if parts_w
+                     else np.zeros((0, self.W), np.uint32))
+            counts = (parts_c[0] if parts_c else np.zeros(0, np.uint32))
         self.timings["host_reassembly_s"] = _time.perf_counter() - _t0
         n_unique = int(len(bins))
         n_below = int((counts < cutoff_min).sum())

@@ -579,7 +579,7 @@ def counters_for_seq_binned(seq_bytes: bytes, k: int, both_strands: bool,
     per-window signature via a sliding min of canonical m-mer norms
     (table from signatures.norm_table, identical by construction), then
     one tiny per-(bin, prefix)-range binary search.  None on fallback."""
-    if not _enabled() or k < sig_len or k < 2 or k > 256:
+    if not _enabled() or (sig_len and k < sig_len) or k < 2 or k > 256:
         return None
     lib = get_lib()
     if lib is None:
@@ -587,9 +587,12 @@ def counters_for_seq_binned(seq_bytes: bytes, k: int, both_strands: bool,
     n = len(seq_bytes) - k + 1
     if n <= 0:
         return np.zeros(0, np.uint32)
-    from ..signatures import norm_table
+    if sig_len:
+        from ..signatures import norm_table
 
-    norms = norm_table(sig_len)  # cached u32[4^m]
+        norms = norm_table(sig_len)  # cached u32[4^m]
+    else:  # KMC1: prefix-only LUT, no signature routing
+        norms = np.zeros(1, np.uint32)
     sig_map = np.ascontiguousarray(sig_map, np.int32)
     luts = np.ascontiguousarray(luts, np.uint64)
     if records.dtype != np.uint8 or records.ndim != 2:

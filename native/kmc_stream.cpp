@@ -1799,7 +1799,10 @@ int64_t kst_counters_for_seq_binned(
         uint32_t lut_prefix_len, const uint8_t* records,
         uint64_t n_records, uint32_t counter_size,
         const uint64_t* aux_luts, uint32_t aux_bits, uint32_t* out) {
-    if (k < sig_len || k < 2 || k > 256 || seq_len < (int64_t)k) return 0;
+    // sig_len == 0: KMC1 layout — no signature routing, the LUT is
+    // prefix-only (bin 0); otherwise the KMC2 signature->bin chain
+    if (sig_len && k < sig_len) return 0;
+    if (k < 2 || k > 256 || seq_len < (int64_t)k) return 0;
     static uint8_t code[256];
     static bool init = false;
     if (!init) {
@@ -1821,9 +1824,9 @@ int64_t kst_counters_for_seq_binned(
         (top_bits >= 64) ? ~0ull : ((1ull << top_bits) - 1);
     const uint32_t ins_word = W - 1 - (2 * k - 2) / 64;
     const uint32_t ins_bit = (2 * k - 2) % 64;
-    const uint32_t mmask = (1u << (2 * m)) - 1;
+    const uint32_t mmask = m ? (1u << (2 * m)) - 1 : 0;
     const int64_t n = seq_len - k + 1;
-    const int64_t win = (int64_t)(k - m + 1);  // m-mers per k-window
+    const int64_t win = m ? (int64_t)(k - m + 1) : 1;  // m-mers per window
 
     uint64_t fwd[8] = {0}, rc[8] = {0};
     uint8_t need[64];
@@ -1861,7 +1864,7 @@ int64_t kst_counters_for_seq_binned(
         rc[ins_word] |= (3 - c) << ins_bit;
         mm = ((mm << 2) | (uint32_t)c) & mmask;
         int64_t mpos = i - (int64_t)m + 1;  // m-mer ending at i
-        if (mpos >= 0) {
+        if (m && mpos >= 0) {
             // norm of this m-mer (bad m-mers only ever reach bad windows)
             uint32_t v = bad ? ~0u : norms[mm];
             while (dq_t > dq_h && dq_val[dq_t - 1] >= v) --dq_t;
@@ -1885,11 +1888,14 @@ int64_t kst_counters_for_seq_binned(
             out[wpos] = 0;
             continue;
         }
-        const uint32_t sig = dq_val[dq_h];  // window min norm (<= special)
-        const int32_t bin = sig_map[sig];
-        if (bin < 0) {
-            out[wpos] = 0;
-            continue;
+        int32_t bin = 0;
+        if (m) {
+            const uint32_t sig = dq_val[dq_h];  // window min norm
+            bin = sig_map[sig];
+            if (bin < 0) {
+                out[wpos] = 0;
+                continue;
+            }
         }
         const uint64_t* v = fwd;
         if (both_strands) {
