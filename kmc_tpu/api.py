@@ -721,9 +721,16 @@ class KMCFile:
                     # materializing) — append it so luts[idx+1] and the
                     # aux-LUT diff are valid at the last prefix
                     luts_c = np.append(luts_c, np.uint64(fr.n_records))
+                # the aux LUT build touches every record once (O(n) RAM
+                # + a full pass over the suffix memmap) — fine below the
+                # RA threshold, but the on-disk _file_ra mode promises
+                # bounded memory at ANY database size, so it queries the
+                # raw (bin, prefix) ranges directly instead
                 aux, aux_bits = (
                     native_tools.build_aux_luts(luts_c, src[2])
-                    if self._info.suffix_bytes >= 1 else (None, 8))
+                    if self._info.suffix_bytes >= 1
+                    and getattr(self, "_ra_maps", None) is not None
+                    else (None, 8))
                 src = (luts_c,
                        np.ascontiguousarray(src[1], np.int32),
                        src[2], aux, aux_bits)
