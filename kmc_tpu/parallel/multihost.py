@@ -343,6 +343,63 @@ def _finalize_shard_b(keys_s, before, src_t, offs, n_groups, *, out, k,
     return out_bins[None], out_words[None], out_counts[None]
 
 
+def _pack_records_shard(bins, words, counts, *, k, n_bins, counter_size,
+                        counter_max, cutoff_min, cutoff_max):
+    """Finalize phase C per owner: pack the merged (bins, words, counts)
+    rows into their on-disk byte form ON DEVICE — kb big-endian k-mer
+    bytes + counter_size little-endian counter bytes per row — plus a
+    keep bitmask, per-bin kept-row counts, and (n_valid, n_below,
+    n_above) scalars.  Halves the device->host payload vs shipping raw
+    (bins i32 + W u32 lanes + u32 counts): e.g. 16 -> 8 bytes/row at
+    k=27/cs=1 (the reference's completer writes these same bytes from
+    its sorters, kb_completer.cpp:59-223; here the wire format IS the
+    disk format so the tunnel/PCIe moves no byte twice)."""
+    b = bins[0]            # (out,) int32, -1 on invalid rows
+    w = words[0]           # (out, W) uint32 MSW-first lanes
+    c = counts[0]          # (out,) uint32 merged totals
+    out = b.shape[0]
+    W = w.shape[1]
+    kb = (k + 3) // 4
+    valid = b >= 0
+    # totals are u32 (ingest clamps at 0xFFFFFFFF), so u32-clamped
+    # cutoffs/counter_max compare identically to the host raw path
+    ci = min(int(cutoff_min), 0xFFFFFFFF)
+    cx = min(int(cutoff_max), 0xFFFFFFFF)
+    counter_max = min(int(counter_max), 0xFFFFFFFF)
+    below = valid & (c < jnp.uint32(ci))
+    above = valid & (c > jnp.uint32(cx))
+    keep = valid & ~below & ~above
+    cols = []
+    for j in range(kb):  # right-aligned big-endian bytes (words_to_kmer_bytes)
+        g = 4 * W - kb + j
+        sh = (3 - g % 4) * 8
+        cols.append(((w[:, g // 4] >> jnp.uint32(sh))
+                     & jnp.uint32(0xFF)).astype(jnp.uint8))
+    cc = jnp.minimum(c, jnp.uint32(counter_max))
+    for j in range(counter_size):  # little-endian counter
+        cols.append(((cc >> jnp.uint32(8 * j))
+                     & jnp.uint32(0xFF)).astype(jnp.uint8))
+    rec = jnp.stack(cols, axis=1)
+    out8 = -(-out // 8) * 8
+    kp = keep
+    if out8 != out:
+        kp = jnp.pad(kp, (0, out8 - out))
+    bitw = jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8)
+    kbits = (kp.reshape(-1, 8).astype(jnp.uint8)
+             * bitw[None, :]).sum(axis=1).astype(jnp.uint8)
+    # kept rows per bin: valid rows are bin-ascending, so per-bin ranges
+    # come from one searchsorted and kept counts from a cumsum difference
+    b_eff = jnp.where(valid, b, jnp.int32(n_bins))
+    bound = jnp.searchsorted(b_eff, jnp.arange(n_bins + 1, dtype=jnp.int32))
+    kc = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                          jnp.cumsum(keep.astype(jnp.int32))])
+    hist = kc[bound[1:]] - kc[bound[:-1]]
+    stats = jnp.stack([valid.sum(dtype=jnp.int32),
+                       below.sum(dtype=jnp.int32),
+                       above.sum(dtype=jnp.int32)])
+    return rec[None], kbits[None], hist[None], stats[None]
+
+
 def _round_pow2(x: int, lo: int = 64) -> int:
     n = lo
     while n < x:
@@ -692,12 +749,12 @@ class ShardedKmerStore:
         hist = self._host(jitted(self.cols, counts_in, self.n_used))
         return _round_pow2(int(hist.max()))
 
-    def finalize(self, sig_map=None, *, cutoff_min, cutoff_max, counter_max,
-                 capacity_per_owner: int | None = None):
-        """Exchange + group-reduce; returns host arrays (bins, words, counts)
-        in global (bin, k-mer) order plus stats, reassembled across owners
-        and spilled runs.  Cutoffs apply to the MERGED totals (spilled rows
-        included), exactly like the single-chip host merge."""
+    def _finalize_device(self, capacity_per_owner: int | None = None):
+        """Device side of finalize: owner-capacity measure + exchange +
+        group-reduce.  Returns (bins_d, words_d, counts_d, n_groups) —
+        per-owner device arrays where valid rows are a bin-ascending
+        prefix and invalid rows (beyond n_groups, merged-away, dead-bin)
+        carry bin == -1 / count == 0."""
         import time as _time
 
         D = self.D
@@ -778,6 +835,19 @@ class ShardedKmerStore:
                 # capacity_per_owner override can get here
                 raise MemoryError("all_to_all capacity exceeded; raise "
                                   "capacity_per_owner or leave it automatic")
+        return bins_d, words_d, counts_d, n_groups
+
+    def finalize(self, sig_map=None, *, cutoff_min, cutoff_max, counter_max,
+                 capacity_per_owner: int | None = None):
+        """Exchange + group-reduce; returns host arrays (bins, words, counts)
+        in global (bin, k-mer) order plus stats, reassembled across owners
+        and spilled runs.  Cutoffs apply to the MERGED totals (spilled rows
+        included), exactly like the single-chip host merge."""
+        import time as _time
+
+        D = self.D
+        bins_d, words_d, counts_d, n_groups = self._finalize_device(
+            capacity_per_owner)
         _t0 = _time.perf_counter()
         bins_h = self._host(bins_d)
         words_h = self._host(words_d)
@@ -865,6 +935,91 @@ class ShardedKmerStore:
             self._total64(self.occ_host()),
             self._total64(self._host(self.skm)),
         )
+
+    def finalize_packed(self, *, cutoff_min, cutoff_max, counter_max,
+                        counter_size: int,
+                        capacity_per_owner: int | None = None):
+        """Like finalize(), but the device packs each kept row into its
+        on-disk byte form (kb big-endian k-mer bytes + counter_size LE
+        counter bytes) before the transfer — half the device->host bytes
+        of the raw path.  Returns (rec u8[n, kb+cs] in global (bin,
+        k-mer) order, kept-rows-per-bin hist, (n_unique, n_below,
+        n_above), n_total, n_super_kmers).  Requires no spilled runs
+        (spill merging needs the raw totals; callers fall back to
+        finalize())."""
+        import time as _time
+
+        if self.spilled:
+            raise RuntimeError("finalize_packed cannot merge spilled runs;"
+                               " use finalize()")
+        D = self.D
+        bins_d, words_d, counts_d, n_groups = self._finalize_device(
+            capacity_per_owner)
+        n_bins = self.n_used_bins
+        key = ("packC", bins_d.shape, counter_size, int(cutoff_min),
+               int(cutoff_max), int(counter_max))
+        jitted = self._jit_cache.get(key)
+        if jitted is None:
+            body = functools.partial(
+                _pack_records_shard, k=self.k, n_bins=n_bins,
+                counter_size=counter_size, counter_max=counter_max,
+                cutoff_min=cutoff_min, cutoff_max=cutoff_max)
+            sharded = jax.shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P(self.axis, None), P(self.axis, None, None),
+                          P(self.axis, None)),
+                out_specs=(P(self.axis, None, None), P(self.axis, None),
+                           P(self.axis, None), P(self.axis, None)),
+            )
+            jitted = self._jit_cache[key] = jax.jit(
+                sharded, donate_argnums=(0, 1, 2))
+        _t0 = _time.perf_counter()
+        rec_d, kbits_d, hist_d, stats_d = jitted(bins_d, words_d, counts_d)
+        jax.block_until_ready(rec_d)
+        self.timings["finalize_exec_s"] = (
+            self.timings.get("finalize_exec_s", 0.0)
+            + _time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
+        for a in (rec_d, kbits_d, hist_d, stats_d):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        rec_h = self._host(rec_d)
+        kbits_h = self._host(kbits_d)
+        hist_h = self._host(hist_d).astype(np.int64)
+        stats_h = self._host(stats_d).astype(np.int64)
+        self.timings["finalize_d2h_s"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+        out = rec_h.shape[1]
+        parts = []
+        for d in range(D):
+            mask = np.unpackbits(kbits_h[d],
+                                 bitorder="little")[:out].astype(bool)
+            parts.append(rec_h[d][mask])
+        # owners hold disjoint bins; per-bin interleave in bin-id order
+        # (same O(n) recipe as finalize()'s raw reassembly)
+        if D > 1:
+            starts = np.zeros((D, n_bins + 1), np.int64)
+            np.cumsum(hist_h, axis=1, out=starts[:, 1:])
+            sel = []
+            for b in range(n_bins):
+                for d in range(D):
+                    lo, hi = starts[d, b], starts[d, b + 1]
+                    if lo < hi:
+                        sel.append(parts[d][lo:hi])
+            rec = (np.concatenate(sel) if sel
+                   else np.zeros((0, rec_h.shape[2]), np.uint8))
+        else:
+            rec = parts[0]
+        self.timings["host_reassembly_s"] = _time.perf_counter() - _t0
+        hist = hist_h.sum(axis=0)
+        n_unique = int(stats_h[:, 0].sum())
+        n_below = int(stats_h[:, 1].sum())
+        n_above = int(stats_h[:, 2].sum())
+        return (rec, hist, (n_unique, n_below, n_above),
+                self._total64(self.occ_host()),
+                self._total64(self._host(self.skm)))
 
     def barrier(self):
         """Block until all dispatched device work (ingest/compact) has
@@ -1216,8 +1371,12 @@ def distributed_count(
     count grows.  shard_input=False keeps the legacy duplicated-parse path
     (every process parses everything, uploads local slices).  Process 0
     writes the database; output bytes are identical either way."""
+    import os as _os
+
     from ..defs import calc_counter_size
-    from ..formats.kmc_db import DbInfo, Kmc2DbWriter, pick_lut_prefix_len
+    from ..formats.kmc_db import (DbInfo, Kmc2DbWriter,
+                                  kmer_bytes_to_prefix_ids,
+                                  pick_lut_prefix_len)
     from ..io.readers import BatchStream, ParseState, file_code_stream
     from ..runner import words_to_kmer_bytes
 
@@ -1320,16 +1479,30 @@ def distributed_count(
     _t_finalize0 = _time.perf_counter()
     sig_map = store.host_sig_map()
     n_used_bins = store.n_used_bins
-    bins, words, counts, (n_unique, n_below, n_above), n_total, n_skm = (
-        store.finalize(cutoff_min=cutoff_min, cutoff_max=cutoff_max,
-                       counter_max=counter_max)
-    )
+    counter_size = calc_counter_size(cutoff_max, counter_max)
+    # packed finalize: the device emits on-disk record bytes (half the
+    # raw triple's device->host payload); spill merging needs the raw
+    # totals, so spilled runs take the classic path
+    use_packed = (_os.environ.get("KMC_TPU_SHARDED_PACKED", "1") != "0"
+                  and not store.spilled)
+    if use_packed:
+        rec, bin_hist, (n_unique, n_below, n_above), n_total, n_skm = (
+            store.finalize_packed(
+                cutoff_min=cutoff_min, cutoff_max=cutoff_max,
+                counter_max=counter_max, counter_size=counter_size)
+        )
+        n_kept = len(rec)
+    else:
+        bins, words, counts, (n_unique, n_below, n_above), n_total, n_skm = (
+            store.finalize(cutoff_min=cutoff_min, cutoff_max=cutoff_max,
+                           counter_max=counter_max)
+        )
+        n_kept = len(bins)
     _t_finalize1 = _time.perf_counter()
     timings = dict(store.timings)
     timings["ingest_wall_s"] = _t_finalize0 - _t_ingest0
     timings["finalize_wall_s"] = _t_finalize1 - _t_finalize0
 
-    counter_size = calc_counter_size(cutoff_max, counter_max)
     if est is not None:
         # --opt-out-size: the estimated unique count within cutoffs picks
         # the LUT width (reference kmc.h:1436-1447)
@@ -1342,7 +1515,7 @@ def distributed_count(
         estimated_histogram = hist
     else:
         lut_prefix_len = pick_lut_prefix_len(k, n_used_bins,
-                                             max(len(bins), 1))
+                                             max(n_kept, 1))
         estimated_histogram = None
     info = DbInfo(
         kmer_len=k,
@@ -1355,13 +1528,28 @@ def distributed_count(
         n_bins=n_used_bins,
     )
     if jax.process_index() == 0:
+        kb = (k + 3) // 4
         if output_type == "kff":
             # One raw section per non-empty bin, like the single-chip
             # _write_kff (reference: kb_completer.cpp:172-177).
             from ..formats.kff import KffWriter
 
-            kmer_bytes = words_to_kmer_bytes(words, k)
-            bounds = np.searchsorted(bins, np.arange(n_used_bins + 1))
+            if use_packed:
+                kmer_bytes = rec[:, :kb]
+                if counter_size:
+                    c32 = np.zeros(len(rec), np.uint32)
+                    for j in range(counter_size):  # LE counter tail
+                        c32 |= (rec[:, kb + j].astype(np.uint32)
+                                << np.uint32(8 * j))
+                    counts_out = c32
+                else:
+                    counts_out = np.ones(len(rec), np.uint32)
+                bounds = np.zeros(n_used_bins + 1, np.int64)
+                np.cumsum(bin_hist, out=bounds[1:])
+            else:
+                kmer_bytes = words_to_kmer_bytes(words, k)
+                counts_out = counts
+                bounds = np.searchsorted(bins, np.arange(n_used_bins + 1))
             w = KffWriter(
                 output_file_name + ".kff",
                 canonical=both_strands,
@@ -1373,7 +1561,7 @@ def distributed_count(
             for b in range(n_used_bins):
                 lo, hi = bounds[b], bounds[b + 1]
                 if lo < hi:
-                    w.store_section(kmer_bytes[lo:hi], counts[lo:hi])
+                    w.store_section(kmer_bytes[lo:hi], counts_out[lo:hi])
             w.close()
         else:
             writer = Kmc2DbWriter(output_file_name, info, sig_map)
@@ -1381,7 +1569,22 @@ def distributed_count(
             writer.n_below_min = n_below
             writer.n_above_max = n_above
             writer.n_total = n_total
-            writer.write_all(bins, words_to_kmer_bytes(words, k), counts)
+            if use_packed:
+                # rows already carry suffix+counter record bytes; build
+                # the (bin, prefix) LUT exactly like write_all does
+                lpl2 = 2 * info.lut_prefix_len
+                prefix_ids = kmer_bytes_to_prefix_ids(
+                    rec[:, :kb], k, info.lut_prefix_len)
+                bins_rep = np.repeat(
+                    np.arange(n_used_bins, dtype=np.int64), bin_hist)
+                keys = (bins_rep << lpl2) | prefix_ids.astype(np.int64)
+                lut_counts = np.bincount(
+                    keys, minlength=info.n_bins << lpl2).astype(np.uint64)
+                writer.write_all_records(
+                    np.ascontiguousarray(rec[:, kb - info.suffix_bytes:]),
+                    lut_counts)
+            else:
+                writer.write_all(bins, words_to_kmer_bytes(words, k), counts)
             writer.close()
     out = {
         "n_unique": n_unique,

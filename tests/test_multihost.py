@@ -293,3 +293,60 @@ def test_distributed_fkmc_input(reads_file, tmp_path):
     count([src], sc, k=25, cutoff_min=1, batch_positions=1 << 12,
           input_file_type=InputFileType.KMC)
     assert dump_db_file(out) == dump_db_file(sc)
+
+
+def test_packed_finalize_byte_identity(reads_file, tmp_path, monkeypatch):
+    """The packed finalize (device-emitted on-disk record bytes, half the
+    D2H payload) must produce byte-identical databases and stats to the
+    raw (bins, words, counts) path — KMC2 and KFF outputs, cutoffs
+    dropping interior rows, multi-byte counters, wide k."""
+    for k, kwargs in ((25, dict(cutoff_min=2)),
+                      (55, dict(cutoff_min=1, counter_max=2 ** 20)),
+                      (21, dict(cutoff_min=2, cutoff_max=50))):
+        outs = {}
+        stats = {}
+        for env in ("1", "0"):
+            monkeypatch.setenv("KMC_TPU_SHARDED_PACKED", env)
+            out = str(tmp_path / f"db{k}_{env}")
+            st = distributed_count(
+                [reads_file], out, k=k, mesh=make_mesh(4),
+                batch_positions=1 << 12, capacity_rows_per_device=1 << 17,
+                **kwargs)
+            with open(out + ".kmc_pre", "rb") as f:
+                pre = f.read()
+            with open(out + ".kmc_suf", "rb") as f:
+                suf = f.read()
+            outs[env] = (pre, suf)
+            stats[env] = {q: st[q] for q in
+                          ("n_unique", "n_below", "n_above", "n_total")}
+        assert outs["1"] == outs["0"], k
+        assert stats["1"] == stats["0"], k
+    # KFF output type
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("KMC_TPU_SHARDED_PACKED", env)
+        out = str(tmp_path / f"kff_{env}")
+        distributed_count(
+            [reads_file], out, k=25, mesh=make_mesh(4),
+            batch_positions=1 << 12, capacity_rows_per_device=1 << 17,
+            cutoff_min=2, output_type="kff")
+        with open(out + ".kff", "rb") as f:
+            outs[env] = f.read()
+    assert outs["1"] == outs["0"]
+
+
+def test_packed_finalize_spill_fallback(reads_file, tmp_path, monkeypatch):
+    """Spilled runs cannot take the packed path (merging needs raw
+    totals); distributed_count must fall back and still match the
+    oracle with KMC_TPU_SHARDED_PACKED=1."""
+    monkeypatch.setenv("KMC_TPU_SHARDED_PACKED", "1")
+    out = str(tmp_path / "db_spill_packed")
+    stats = distributed_count(
+        [reads_file], out, k=25, mesh=make_mesh(4),
+        batch_positions=1 << 9, cutoff_min=2,
+        capacity_rows_per_device=1 << 10)
+    assert stats["n_spills"] > 0  # the fallback really engaged
+    records, ostats = oracle.oracle_count_file(reads_file, 25, "fastq",
+                                               cutoff_min=2)
+    assert dump_db_file(out) == oracle.dump_text(records)
+    assert stats["n_unique"] == ostats["n_unique"]

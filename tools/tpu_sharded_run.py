@@ -104,11 +104,14 @@ def run_e2e(fq: str, workdir: Path, *, batch_positions: int,
     return rec
 
 
-def run_exchange_finalize(log2_rows: int, n_iter: int = 2) -> dict:
+def run_exchange_finalize(log2_rows: int, n_iter: int = 2,
+                          packed: bool = False) -> dict:
     """shard_map'd exchange + tiled finalize at 2^log2_rows rows/device,
     executed on the TPU chip over a synthetic pre-filled store.  Runs
     n_iter passes (finalize consumes the store, so each pass refills);
-    the last pass's timings (warm compile cache) are reported."""
+    the last pass's timings (warm compile cache) are reported.  With
+    packed=True the device emits on-disk record bytes (finalize_packed —
+    half the D2H payload of the raw triple)."""
     from kmc_tpu.parallel.distributed import make_mesh
     from kmc_tpu.parallel.multihost import ShardedKmerStore
 
@@ -145,16 +148,26 @@ def run_exchange_finalize(log2_rows: int, n_iter: int = 2) -> dict:
         jax.block_until_ready(store.cols)
 
         t0 = time.perf_counter()
-        bins, words, counts, (n_unique, _, _), _n_total, _ = store.finalize(
-            cutoff_min=1, cutoff_max=10**9, counter_max=2**31)
-        wall = time.perf_counter() - t0
-        # _n_total tracks ingest-time occurrence accumulators, which a
-        # synthetic fill bypasses — conservation is checked on the merged
-        # counts instead: every filled row weighs 1
-        total_weight = int(np.asarray(counts).sum(dtype=np.uint64))
+        if packed:
+            recb, hist, (n_unique, _, _), _n_total, _ = (
+                store.finalize_packed(cutoff_min=1, cutoff_max=10**9,
+                                      counter_max=255, counter_size=1))
+            wall = time.perf_counter() - t0
+            # counter byte is the record tail (all-unique fill: weight 1)
+            total_weight = int(recb[:, -1].sum(dtype=np.uint64))
+        else:
+            bins, words, counts, (n_unique, _, _), _n_total, _ = (
+                store.finalize(cutoff_min=1, cutoff_max=10**9,
+                               counter_max=2**31))
+            wall = time.perf_counter() - t0
+            # _n_total tracks ingest-time occurrence accumulators, which a
+            # synthetic fill bypasses — conservation is checked on the
+            # merged counts instead: every filled row weighs 1
+            total_weight = int(np.asarray(counts).sum(dtype=np.uint64))
         rec = {
             "rows_per_device": n,
             "log2_rows": log2_rows,
+            "packed": packed,
             "wall_s": round(wall, 3),
             "n_unique": n_unique,
             "total_weight": total_weight,
@@ -194,7 +207,7 @@ def main():
     if "--exchange-only" in args:
         logs = [int(a) for a in args if a.isdigit()] or [26, 27]
         for lg in logs:
-            run_exchange_finalize(lg)
+            run_exchange_finalize(lg, packed="--packed" in args)
         return
 
     import bench
@@ -215,6 +228,8 @@ def main():
             capacity_rows_per_device=1 << 27,
             device_store_rows=1 << 28, repeats=2)
     doc["exchange_finalize"] = [run_exchange_finalize(lg) for lg in (26, 27)]
+    doc["exchange_finalize_packed"] = [
+        run_exchange_finalize(lg, packed=True) for lg in (26, 27)]
     OUT_JSON.write_text(json.dumps(doc, indent=2) + "\n")
     print(f"wrote {OUT_JSON}")
 
