@@ -729,6 +729,11 @@ class ShardedKmerStore:
     def _owner_capacity(self) -> int:
         """Exact per-(sender, owner) segment size for the exchange, rounded
         to a power of two to bound recompiles."""
+        if self.D == 1:
+            # single owner receives exactly its own live rows — the O(n)
+            # per-owner histogram pass is pure overhead (2.4 s at 2^27.6
+            # rows on the TPU e2e); capacity is the live row count
+            return _round_pow2(int(self._host(self.n_used).max()))
         nc = self.n_cols
         col_specs = tuple(P(self.axis, None) for _ in range(nc))
         has = self.has_counts

@@ -204,6 +204,21 @@ def main():
                 device_store_rows=1 << 18)
         return
 
+    if "--e2e-only" in args:
+        import bench
+
+        fq = str(bench.prepare_input())
+        rec = run_e2e(fq, workdir, batch_positions=1 << 23,
+                      capacity_rows_per_device=1 << 28,
+                      device_store_rows=1 << 28, repeats=2)
+        if OUT_JSON.exists():  # refresh the e2e entry in place
+            doc = json.loads(OUT_JSON.read_text())
+            doc["e2e"] = rec
+            doc["jax"] = jax.__version__
+            OUT_JSON.write_text(json.dumps(doc, indent=2) + "\n")
+            print(f"updated e2e in {OUT_JSON}")
+        return
+
     if "--exchange-only" in args:
         logs = [int(a) for a in args if a.isdigit()] or [26, 27]
         for lg in logs:
