@@ -692,10 +692,16 @@ class KMCFile:
         ok, counters = self.counters_for_read_array(read)
         return ok, [int(c) for c in counters]
 
-    def counters_for_read_array(self, read: str) -> tuple[bool, np.ndarray]:
+    def counters_for_read_array(self, read) -> tuple[bool, np.ndarray]:
         """GetCountersForRead returning the raw uint32 array (no Python
-        list round-trip) — the filter's bulk entry point."""
+        list round-trip) — the filter's bulk entry point.  Accepts str or
+        ascii bytes (the filter's chunked reader passes bytes verbatim)."""
         from .tools import native_tools
+
+        if isinstance(read, str):
+            read_b = read.encode("ascii", errors="replace")
+        else:
+            read_b, read = bytes(read), None
 
         # native binned lookup over the RAW KMC2 layout for any k — the
         # reference's own query shape (signature -> bin -> prefix range ->
@@ -741,7 +747,7 @@ class KMCFile:
                                 or self._info.kmer_len >= eff_sig_len):
             luts, sig_map, records, aux, aux_bits = src
             counters = native_tools.counters_for_seq_binned(
-                read.encode("ascii", errors="replace"),
+                read_b,
                 self._info.kmer_len, self._info.both_strands,
                 sig_len=eff_sig_len, sig_map=sig_map,
                 luts=luts, lut_prefix_len=self._info.lut_prefix_len,
@@ -761,12 +767,12 @@ class KMCFile:
                 keys = self._hay_keys()
                 if keys is not None and keys.dtype == np.uint64:
                     counters = native_tools.counters_for_seq(
-                        read.encode("ascii", errors="replace"),
+                        read_b,
                         self._info.kmer_len, self._info.both_strands,
                         keys, self._counts, idx16=self._hay_idx16())
             else:
                 counters = native_tools.counters_for_seq_wide(
-                    read.encode("ascii", errors="replace"),
+                    read_b,
                     self._info.kmer_len, self._info.both_strands,
                     self._kmers, self._counts, idx16=self._rows_idx16(),
                     keys0=self._rows_keys0())
@@ -775,6 +781,8 @@ class KMCFile:
                     (counters >= self._min_count)
                     & (counters <= self._max_count), counters, 0)
                 return True, counters
+        if read is None:  # bytes caller hitting the numpy fallback
+            read = read_b.decode("ascii", errors="replace")
         return self._counters_for_read_numpy(read)
 
     def _counters_for_read_numpy(self, read: str) -> tuple[bool, np.ndarray]:

@@ -25,6 +25,10 @@ import numpy as np
 from ..api import KMCFile
 
 
+_CHUNK = 8 << 20  # bytes per fast-path read; tests shrink it to force
+                  # record/CR splits across chunk boundaries
+
+
 def _open(path, mode):
     if str(path).endswith(".gz"):
         return gzip.open(path, mode)
@@ -192,8 +196,148 @@ def filter_fastq(
                             "FASTQ output")
                     fout.write(f"{header.rstrip()}\n{seq}\n+\n{qual}\n")
 
-    with _open(output_path, "wt") as fout:
+    def _process_bytes(fin, fout):
+        """Remove-mode fast path: chunked binary reads, vectorized record
+        bookkeeping, and — when records are already in normalized form —
+        verbatim byte-span output with consecutive kept records coalesced
+        (the reference re-emits records unchanged, fastq_filter.cpp:176).
+        Falls back to _process semantics byte-for-byte when a chunk holds
+        trailing whitespace or a non-bare '+' line."""
+        nonlocal n_kept, n_total, is_fasta
+        import io
+
+        carry = b""
+        rl = None  # lines per record: 4 fastq, 2 fasta
+        while True:
+            blob = fin.read(_CHUNK)
+            at_eof = not blob
+            data = carry + blob
+            if not data:
+                return
+            # universal-newline translation, matching the legacy "rt"
+            # reader; a trailing '\r' may pair with '\n' in the next chunk
+            pend_cr = b""
+            if not at_eof and data[-1:] == b"\r":
+                pend_cr, data = b"\r", data[:-1]
+            if b"\r" in data:
+                data = data.replace(b"\r\n", b"\n").replace(b"\r", b"\n")
+            if rl is None:
+                if is_fasta is None:
+                    is_fasta = data[:1] == b">"
+                rl = 2 if is_fasta else 4
+            if at_eof and not data.endswith(b"\n"):
+                data += b"\n"
+            arr = np.frombuffer(data, np.uint8)
+            nl = np.flatnonzero(arr == 10)
+            full = (len(nl) // rl) * rl
+            if full == 0:
+                if at_eof:
+                    carry = data
+                    break  # partial record tail: legacy readline semantics
+                carry = data + pend_cr
+                continue
+            end = int(nl[full - 1]) + 1
+            carry = data[end:] + pend_cr
+            nl = nl[:full]
+            n_rec = full // rl
+            line_s = np.empty(full, np.int64)
+            line_s[0] = 0
+            line_s[1:] = nl[:-1] + 1
+            line_e = nl.astype(np.int64)
+            seq_s, seq_e = line_s[1::rl], line_e[1::rl]
+            lens = seq_e - seq_s
+            n_total += n_rec
+            # joined query: seqs separated by 'N' (windows crossing a
+            # separator are invalid by construction); plain byte-slice
+            # join — O(n_rec) slices beat any per-byte index arithmetic
+            offs = np.zeros(n_rec, np.int64)
+            np.cumsum(lens[:-1] + 1, out=offs[1:])
+            total = int(lens.sum()) + n_rec - 1
+            if total > 0:
+                joined = b"N".join(
+                    data[s:e] for s, e in zip(seq_s.tolist(),
+                                              seq_e.tolist()))
+                _, cnt = db.counters_for_read_array(joined)
+            else:
+                cnt = np.zeros(0, np.uint32)
+            nk = lens - k + 1
+            nkc = np.maximum(nk, 0)
+            # cast first, then a same-dtype cumsum (a casting cumsum is
+            # ~20x slower in numpy)
+            present = (np.asarray(cnt) > 0).astype(np.int64)
+            csum = np.empty(len(present) + 1, np.int64)
+            csum[0] = 0
+            np.cumsum(present, out=csum[1:])
+            n_present = csum[np.minimum(offs + nkc, len(csum) - 1)] - \
+                csum[np.minimum(offs, len(csum) - 1)]
+            lo_v = (np.floor(min_kmers * nk).astype(np.int64)
+                    if isinstance(min_kmers, float)
+                    else np.full(n_rec, min_kmers, np.int64))
+            hi_v = (np.floor(max_kmers * nk).astype(np.int64)
+                    if isinstance(max_kmers, float)
+                    else np.full(n_rec, max_kmers, np.int64))
+            keep = (nk > 0) & (lo_v <= n_present) & (n_present <= hi_v)
+            n_kept += int(keep.sum())
+            kidx = np.flatnonzero(keep)
+            if not len(kidx):
+                if at_eof:
+                    break
+                continue
+            # normalized = every line free of trailing whitespace and (for
+            # FASTQ) a bare '+' separator -> records re-emit verbatim
+            lastb = arr[np.maximum(line_e - 1, 0)]
+            nonempty = line_e > line_s
+            norm = not bool((nonempty & ((lastb == 32) | (lastb == 9)
+                                         | (lastb == 13))).any())
+            if norm and rl == 4:
+                norm = bool(((line_e[2::4] - line_s[2::4] == 1)
+                             & (arr[line_s[2::4]] == ord("+"))).all())
+            write_fasta = is_fasta if out_fasta is None else out_fasta
+            if norm and write_fasta == is_fasta:
+                rec_start = line_s[0::rl]
+                rec_end = line_e[rl - 1::rl] + 1
+                brk = np.flatnonzero(np.diff(kidx) != 1)
+                run_a = np.concatenate([[0], brk + 1])
+                run_b = np.concatenate([brk, [len(kidx) - 1]])
+                fout.write(b"".join(
+                    data[rec_start[kidx[a]]:rec_end[kidx[b]]]
+                    for a, b in zip(run_a, run_b)))
+            else:
+                if not write_fasta and is_fasta:
+                    raise ValueError("FASTA input has no qualities; "
+                                     "cannot write FASTQ output")
+                parts = []
+                for i in kidx:
+                    hdr = data[line_s[rl * i]:line_e[rl * i]].rstrip()
+                    seq = data[seq_s[i]:seq_e[i]]
+                    if write_fasta and not is_fasta:
+                        parts.append(b">" + hdr.lstrip(b"@") + b"\n"
+                                     + seq + b"\n")
+                    elif write_fasta:
+                        parts.append(hdr + b"\n" + seq + b"\n")
+                    else:
+                        qual = data[line_s[rl * i + 3]:line_e[rl * i + 3]]
+                        parts.append(hdr + b"\n" + seq + b"\n+\n"
+                                     + qual + b"\n")
+                fout.write(b"".join(parts))
+            if at_eof:
+                break
+        if carry:
+            # trailing partial record: legacy readline-based semantics
+            carry = carry.replace(b"\r\n", b"\n").replace(b"\r", b"\n")
+            tin = io.StringIO(carry.decode("ascii", errors="replace"))
+            tw = io.TextIOWrapper(fout, encoding="ascii", newline="")
+            try:
+                _process(tin, tw)
+                tw.flush()
+            finally:
+                tw.detach()
+
+    import os as _os
+    fast = (not trim and not hard_mask
+            and _os.environ.get("KMC_TPU_FILTER_BYTES", "1") != "0")
+    with _open(output_path, "wb" if fast else "wt") as fout:
         for one_input in inputs:
-            with _open(one_input, "rt") as fin:
-                _process(fin, fout)
+            with _open(one_input, "rb" if fast else "rt") as fin:
+                (_process_bytes if fast else _process)(fin, fout)
     return n_kept, n_total

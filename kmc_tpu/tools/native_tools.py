@@ -560,11 +560,14 @@ def build_aux_luts(luts: np.ndarray, records: np.ndarray):
     lut_idx = np.repeat(np.arange(n_entries, dtype=np.uint32), counts)
     lut_idx <<= np.uint32(aux_bits)
     lut_idx |= (records[:, 0] >> np.uint8(8 - aux_bits))
-    aux = np.searchsorted(
-        lut_idx,
-        np.arange((n_entries << aux_bits) + 1,
-                  dtype=np.uint32)).astype(np.uint64)
-    return aux, aux_bits
+    # cumulative histogram of the keys == searchsorted(lut_idx, arange);
+    # cumsum stays in int64 (a casting cumsum-into-uint64 is ~20x slower)
+    # and reinterprets — counts are nonnegative so the bits agree
+    counts_fine = np.bincount(lut_idx, minlength=n_entries << aux_bits)
+    aux = np.empty((n_entries << aux_bits) + 1, np.int64)
+    aux[0] = 0
+    np.cumsum(counts_fine, out=aux[1:])
+    return aux.view(np.uint64), aux_bits
 
 
 def counters_for_seq_binned(seq_bytes: bytes, k: int, both_strands: bool,

@@ -1397,6 +1397,140 @@ struct ExprWorker {
     }
 };
 
+// W-specialized scan loop of kst_counters_for_seq_binned (below): W as
+// a template constant fully unrolls the multi-word rolling-window
+// updates (a runtime-W inner loop carries ~3x the per-byte cost at
+// k>32), and the canonical needle serializes via per-word byte swaps
+// instead of a per-byte shift loop.
+template <uint32_t W>
+static void binned_scan(
+        const uint8_t* seq, int64_t seq_len, uint32_t k,
+        int32_t both_strands, const uint32_t* norms, uint32_t m,
+        const int32_t* sig_map, const uu64* luts,
+        uint32_t lut_prefix_len, const uint8_t* records,
+        uint64_t n_records, uint32_t counter_size,
+        const uint64_t* aux_luts, uint32_t aux_bits, uint32_t* out,
+        const uint8_t* code, uint64_t* idx2_buf, uint8_t* need_buf) {
+    const uint32_t kb = (k + 3) / 4;
+    const uint32_t sb = (k - lut_prefix_len) / 4;  // suffix bytes
+    const uint32_t pb = kb - sb;                   // prefix bytes
+    const uint32_t rec_bytes = sb + counter_size;
+    const uint32_t top_bits = 2 * k - 64 * (W - 1);
+    const uint64_t top_mask =
+        (top_bits >= 64) ? ~0ull : ((1ull << top_bits) - 1);
+    const uint32_t ins_word = W - 1 - (2 * k - 2) / 64;
+    const uint32_t ins_bit = (2 * k - 2) % 64;
+    const uint32_t mmask = m ? (1u << (2 * m)) - 1 : 0;
+    const int64_t win = m ? (int64_t)(k - m + 1) : 1;  // m-mers per window
+
+    uint64_t fwd[W] = {0}, rc[W] = {0};
+    uint32_t mm = 0;  // rolling 2m-bit m-mer
+    // monotonic deque of (m-mer position, norm): front = window min
+    std::vector<int64_t> dq_pos(win + 1);
+    std::vector<uint32_t> dq_val(win + 1);
+    size_t dq_h = 0, dq_t = 0;
+    int64_t last_bad = -1;
+    for (int64_t i = 0; i < seq_len; ++i) {
+        uint64_t c = code[seq[i]];
+        bool bad = c >= 4;
+        if (bad) {
+            last_bad = i;
+            c = 0;
+        }
+        for (uint32_t w = 0; w + 1 < W; ++w)
+            fwd[w] = (fwd[w] << 2) | (fwd[w + 1] >> 62);
+        fwd[W - 1] = (fwd[W - 1] << 2) | c;
+        fwd[0] &= top_mask;
+        for (uint32_t w = W - 1; w > 0; --w)
+            rc[w] = (rc[w] >> 2) | (rc[w - 1] << 62);
+        rc[0] >>= 2;
+        rc[ins_word] |= (3 - c) << ins_bit;
+        mm = ((mm << 2) | (uint32_t)c) & mmask;
+        int64_t mpos = i - (int64_t)m + 1;  // m-mer ending at i
+        if (m && mpos >= 0) {
+            // norm of this m-mer (bad m-mers only ever reach bad windows)
+            uint32_t v = bad ? ~0u : norms[mm];
+            while (dq_t > dq_h && dq_val[dq_t - 1] >= v) --dq_t;
+            if (dq_t == dq_pos.size()) {  // compact (bounded by win+1 live)
+                size_t n_live = dq_t - dq_h;
+                memmove(dq_pos.data(), dq_pos.data() + dq_h,
+                        n_live * sizeof(int64_t));
+                memmove(dq_val.data(), dq_val.data() + dq_h,
+                        n_live * sizeof(uint32_t));
+                dq_h = 0;
+                dq_t = n_live;
+            }
+            dq_pos[dq_t] = mpos;
+            dq_val[dq_t] = v;
+            ++dq_t;
+        }
+        int64_t wpos = i - (int64_t)k + 1;  // k-window ending at i
+        if (wpos < 0) continue;
+        while (dq_h < dq_t && dq_pos[dq_h] < wpos) ++dq_h;  // expire front
+        if (last_bad >= wpos) {
+            out[wpos] = 0;
+            continue;
+        }
+        int32_t bin = 0;
+        if (m) {
+            const uint32_t sig = dq_val[dq_h];  // window min norm
+            bin = sig_map[sig];
+            if (bin < 0) {
+                out[wpos] = 0;
+                continue;
+            }
+        }
+        const uint64_t* v = fwd;
+        if (both_strands) {
+            for (uint32_t w = 0; w < W; ++w) {
+                if (rc[w] < fwd[w]) { v = rc; break; }
+                if (rc[w] > fwd[w]) break;
+            }
+        }
+        // big-endian needle: per-word byte swap, then the last kb bytes
+        uint64_t bew[W];
+        for (uint32_t w = 0; w < W; ++w)
+            bew[w] = __builtin_bswap64(v[w]);
+        const uint8_t* need = (const uint8_t*)bew + (8 * W - kb);
+        uint64_t prefix = 0;
+        for (uint32_t j = 0; j < pb; ++j)
+            prefix = (prefix << 8) | need[j];
+        const uint64_t idx =
+            ((uint64_t)bin << (2 * lut_prefix_len)) | prefix;
+        if (aux_luts) {
+            // pipelined path: stage the aux index + needle; lookups run
+            // in later prefetch-ahead passes (the two dependent DRAM
+            // misses per window overlap ACROSS windows instead of
+            // serializing within one)
+            idx2_buf[wpos] =
+                (idx << aux_bits) | (need[pb] >> (8 - aux_bits));
+            memcpy(need_buf + (size_t)wpos * sb, need + pb, sb);
+            continue;
+        }
+        uint64_t lo = luts[idx], hi = luts[idx + 1];
+        if (hi > n_records) hi = n_records;
+        uint32_t c_out = 0;
+        const uint8_t* sfx = need + pb;
+        while (lo < hi) {
+            uint64_t mid = (lo + hi) / 2;
+            int cmp = memcmp(records + mid * rec_bytes, sfx, sb);
+            if (cmp < 0) lo = mid + 1;
+            else if (cmp > 0) hi = mid;
+            else {
+                // byte-wise LE decode: an 8-byte load would overrun the
+                // records buffer at the final record (no slack bytes)
+                uint32_t cc = counter_size ? 0 : 1;
+                for (int32_t j = (int32_t)counter_size - 1; j >= 0; --j)
+                    cc = (cc << 8)
+                         | records[mid * rec_bytes + sb + (uint32_t)j];
+                c_out = cc;
+                break;
+            }
+        }
+        out[wpos] = c_out;
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -1814,144 +1948,62 @@ int64_t kst_counters_for_seq_binned(
         init = true;
     }
     const uint32_t m = sig_len;
-    const uint32_t kb = (k + 3) / 4;
     const uint32_t sb = (k - lut_prefix_len) / 4;  // suffix bytes
-    const uint32_t pb = kb - sb;                   // prefix bytes
     const uint32_t rec_bytes = sb + counter_size;
     const uint32_t W = (k + 31) / 32;
-    const uint32_t top_bits = 2 * k - 64 * (W - 1);
-    const uint64_t top_mask =
-        (top_bits >= 64) ? ~0ull : ((1ull << top_bits) - 1);
-    const uint32_t ins_word = W - 1 - (2 * k - 2) / 64;
-    const uint32_t ins_bit = (2 * k - 2) % 64;
-    const uint32_t mmask = m ? (1u << (2 * m)) - 1 : 0;
     const int64_t n = seq_len - k + 1;
-    const int64_t win = m ? (int64_t)(k - m + 1) : 1;  // m-mers per window
-
-    uint64_t fwd[8] = {0}, rc[8] = {0};
-    uint8_t need[64];
-    uint32_t mm = 0;  // rolling 2m-bit m-mer
-    // pipelined-path staging buffers (aux mode): per-window aux index
-    // (~0 = broken/absent window, counter stays 0) + suffix needle
+    // Blocked execution: the aux-mode staging buffers (idx2/lo/hi/needle
+    // per window) are allocated ONCE at block size and reused — sizing
+    // them to the whole call costs more in page faults + cold writes
+    // than the lookups themselves on multi-MB sequences.  Each block
+    // re-warms k-1 rolling bytes (negligible) and resolves its windows
+    // while the staging bytes are still cache-warm.
+    const int64_t BLOCK = 1 << 19;  // windows per block
+    const int64_t nb_max = (aux_luts && n > BLOCK) ? BLOCK : n;
+    // per-window aux index (~0 = broken/absent window, counter stays 0)
+    // + suffix needle
     std::vector<uint64_t> idx2_buf, lo_buf, hi_buf;
     std::vector<uint8_t> need_buf;
     if (aux_luts) {
-        idx2_buf.assign(n, ~0ull);
-        lo_buf.resize(n);
-        hi_buf.resize(n);
-        need_buf.resize((size_t)n * sb);
-        memset(out, 0, (size_t)n * 4);
+        idx2_buf.resize(nb_max);
+        lo_buf.resize(nb_max);
+        hi_buf.resize(nb_max);
+        need_buf.resize((size_t)nb_max * sb);
     }
-    // monotonic deque of (m-mer position, norm): front = window min
-    std::vector<int64_t> dq_pos(win + 1);
-    std::vector<uint32_t> dq_val(win + 1);
-    size_t dq_h = 0, dq_t = 0;
-    int64_t last_bad = -1;
-    for (int64_t i = 0; i < seq_len; ++i) {
-        uint64_t c = code[seq[i]];
-        bool bad = c >= 4;
-        if (bad) {
-            last_bad = i;
-            c = 0;
-        }
-        for (uint32_t w = 0; w + 1 < W; ++w)
-            fwd[w] = (fwd[w] << 2) | (fwd[w + 1] >> 62);
-        fwd[W - 1] = (fwd[W - 1] << 2) | c;
-        fwd[0] &= top_mask;
-        for (uint32_t w = W - 1; w > 0; --w)
-            rc[w] = (rc[w] >> 2) | (rc[w - 1] << 62);
-        rc[0] >>= 2;
-        rc[ins_word] |= (3 - c) << ins_bit;
-        mm = ((mm << 2) | (uint32_t)c) & mmask;
-        int64_t mpos = i - (int64_t)m + 1;  // m-mer ending at i
-        if (m && mpos >= 0) {
-            // norm of this m-mer (bad m-mers only ever reach bad windows)
-            uint32_t v = bad ? ~0u : norms[mm];
-            while (dq_t > dq_h && dq_val[dq_t - 1] >= v) --dq_t;
-            if (dq_t == dq_pos.size()) {  // compact (bounded by win+1 live)
-                size_t n_live = dq_t - dq_h;
-                memmove(dq_pos.data(), dq_pos.data() + dq_h,
-                        n_live * sizeof(int64_t));
-                memmove(dq_val.data(), dq_val.data() + dq_h,
-                        n_live * sizeof(uint32_t));
-                dq_h = 0;
-                dq_t = n_live;
-            }
-            dq_pos[dq_t] = mpos;
-            dq_val[dq_t] = v;
-            ++dq_t;
-        }
-        int64_t wpos = i - (int64_t)k + 1;  // k-window ending at i
-        if (wpos < 0) continue;
-        while (dq_h < dq_t && dq_pos[dq_h] < wpos) ++dq_h;  // expire front
-        if (last_bad >= wpos) {
-            out[wpos] = 0;
-            continue;
-        }
-        int32_t bin = 0;
-        if (m) {
-            const uint32_t sig = dq_val[dq_h];  // window min norm
-            bin = sig_map[sig];
-            if (bin < 0) {
-                out[wpos] = 0;
-                continue;
-            }
-        }
-        const uint64_t* v = fwd;
-        if (both_strands) {
-            for (uint32_t w = 0; w < W; ++w) {
-                if (rc[w] < fwd[w]) { v = rc; break; }
-                if (rc[w] > fwd[w]) break;
-            }
-        }
-        for (uint32_t j = 0; j < kb; ++j) {
-            uint32_t ob = 8 * W - kb + j;
-            need[j] = (uint8_t)(v[ob / 8] >> (56 - 8 * (ob % 8)));
-        }
-        uint64_t prefix = 0;
-        for (uint32_t j = 0; j < pb; ++j)
-            prefix = (prefix << 8) | need[j];
-        const uint64_t idx =
-            ((uint64_t)bin << (2 * lut_prefix_len)) | prefix;
+    for (int64_t s0 = 0; s0 < n; s0 += nb_max) {
+        const int64_t nb = (n - s0 < nb_max) ? n - s0 : nb_max;
         if (aux_luts) {
-            // pipelined path: stage the aux index + needle; lookups run
-            // in later prefetch-ahead passes (the two dependent DRAM
-            // misses per window overlap ACROSS windows instead of
-            // serializing within one)
-            idx2_buf[wpos] =
-                (idx << aux_bits) | (need[pb] >> (8 - aux_bits));
-            memcpy(need_buf.data() + (size_t)wpos * sb, need + pb, sb);
-            continue;
+            std::fill(idx2_buf.begin(), idx2_buf.begin() + nb, ~0ull);
+            memset(out + s0, 0, (size_t)nb * 4);
         }
-        uint64_t lo = luts[idx], hi = luts[idx + 1];
-        if (hi > n_records) hi = n_records;
-        uint32_t c_out = 0;
-        const uint8_t* sfx = need + pb;
-        while (lo < hi) {
-            uint64_t mid = (lo + hi) / 2;
-            int cmp = memcmp(records + mid * rec_bytes, sfx, sb);
-            if (cmp < 0) lo = mid + 1;
-            else if (cmp > 0) hi = mid;
-            else {
-                // byte-wise LE decode: an 8-byte load would overrun the
-                // records buffer at the final record (no slack bytes)
-                uint32_t cc = counter_size ? 0 : 1;
-                for (int32_t j = (int32_t)counter_size - 1; j >= 0; --j)
-                    cc = (cc << 8)
-                         | records[mid * rec_bytes + sb + (uint32_t)j];
-                c_out = cc;
-                break;
-            }
+#define KST_BINNED_CASE(WW)                                               \
+    case WW:                                                              \
+        binned_scan<WW>(seq + s0, nb + (int64_t)k - 1, k, both_strands,   \
+                        norms, m, sig_map, luts, lut_prefix_len, records, \
+                        n_records, counter_size, aux_luts, aux_bits,      \
+                        out + s0, code, idx2_buf.data(),                  \
+                        need_buf.data());                                 \
+        break;
+        switch (W) {
+            KST_BINNED_CASE(1)
+            KST_BINNED_CASE(2)
+            KST_BINNED_CASE(3)
+            KST_BINNED_CASE(4)
+            KST_BINNED_CASE(5)
+            KST_BINNED_CASE(6)
+            KST_BINNED_CASE(7)
+            KST_BINNED_CASE(8)
+            default: return 0;
         }
-        out[wpos] = c_out;
-    }
-    if (aux_luts) {
+#undef KST_BINNED_CASE
+        if (!aux_luts) continue;
         constexpr int64_t PF = 24;
         const uint64_t SKIP = ~0ull;
+        uint32_t* out_b = out + s0;
         // pass B1: aux ranges, prefetched ahead; prefetch each range's
         // first record row as its bounds arrive
-        for (int64_t j = 0; j < n; ++j) {
-            if (j + PF < n && idx2_buf[j + PF] != SKIP)
+        for (int64_t j = 0; j < nb; ++j) {
+            if (j + PF < nb && idx2_buf[j + PF] != SKIP)
                 __builtin_prefetch(&aux_luts[idx2_buf[j + PF]]);
             const uint64_t x = idx2_buf[j];
             if (x == SKIP) continue;
@@ -1963,7 +2015,7 @@ int64_t kst_counters_for_seq_binned(
                 __builtin_prefetch(records + lo * rec_bytes);
         }
         // pass B2: resolve (ranges are ~1 record; rows usually cached)
-        for (int64_t j = 0; j < n; ++j) {
+        for (int64_t j = 0; j < nb; ++j) {
             if (idx2_buf[j] == SKIP) continue;
             uint64_t lo = lo_buf[j], hi = hi_buf[j];
             const uint8_t* sfx = need_buf.data() + (size_t)j * sb;
@@ -1982,7 +2034,7 @@ int64_t kst_counters_for_seq_binned(
                     break;
                 }
             }
-            out[j] = c_out;
+            out_b[j] = c_out;
         }
     }
     return n;

@@ -682,6 +682,50 @@ def test_filter_db_cutoffs_and_fasta_output(two_dbs, tmp_path):
     assert fa_text.count(">") == 2
 
 
+def test_filter_bytes_fast_path_equivalence(two_dbs, tmp_path, monkeypatch):
+    """The chunked bytes fast path (remove mode) must byte-match the
+    legacy per-record text path on every input shape — incl. CRLF line
+    endings, trailing whitespace, '+'-with-id separators, short reads,
+    missing trailing newline, empty sequence lines, fractional bounds,
+    FASTQ->FASTA conversion, and partial trailing records — at chunk
+    sizes that force record and CR splits across chunk boundaries."""
+    import kmc_tpu.tools.fastq_filter as ff
+
+    db1, _, c1, _ = two_dbs
+    kms = [km for km, c in c1.items() if c >= 2][:40]
+    plain = "".join(f"@q{i}\n{km}\n+\n{'I' * len(km)}\n"
+                    for i, km in enumerate(kms))
+    cases = {
+        "plain": (plain, {}),
+        "crlf": (plain.replace("\n", "\r\n"), {}),
+        "trailws": ("".join(f"@q{i} \n{km}  \n+\n{'I' * len(km)}\n"
+                            for i, km in enumerate(kms)), {}),
+        "plusid": ("".join(f"@q{i}\n{km}\n+q{i}\n{'I' * len(km)}\n"
+                           for i, km in enumerate(kms)), {}),
+        "short": ("@s\nACGTACGT\n+\nIIIIIIII\n" + plain, {}),
+        "notrail": (plain.rstrip("\n"), {}),
+        "fasta": ("".join(f">q{i}\n{km}\n" for i, km in enumerate(kms)), {}),
+        "emptyseq": ("@e0\n\n+\n\n" + plain, {}),
+        "frac": (plain, dict(min_kmers=0.3, max_kmers=1.0)),
+        "fq2fa": (plain, dict(out_format="a")),
+        "partialtail": (plain + "@tail\nACGTACGT", {}),
+    }
+    from kmc_tpu.tools.fastq_filter import filter_fastq
+    for chunk in (8 << 20, 61):
+        monkeypatch.setattr(ff, "_CHUNK", chunk)
+        for name, (content, kw) in cases.items():
+            inp = tmp_path / f"{name}.in"
+            with open(inp, "w", newline="") as f:
+                f.write(content)
+            res = {}
+            for fast in ("1", "0"):
+                monkeypatch.setenv("KMC_TPU_FILTER_BYTES", fast)
+                out = tmp_path / f"{name}.{fast}.out"
+                counts = filter_fastq(db1, str(inp), str(out), **kw)
+                res[fast] = (counts, out.read_bytes())
+            assert res["1"] == res["0"], (name, chunk)
+
+
 def test_complex_streaming_path_equivalence(two_dbs, tmp_path, monkeypatch):
     """The bounded-memory streaming complex evaluator (native off, stream
     threshold 0) must byte-match the in-memory evaluator (regression: the
