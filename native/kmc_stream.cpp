@@ -1957,25 +1957,31 @@ int64_t kst_counters_for_seq_binned(
     // them to the whole call costs more in page faults + cold writes
     // than the lookups themselves on multi-MB sequences.  Each block
     // re-warms k-1 rolling bytes (negligible) and resolves its windows
-    // while the staging bytes are still cache-warm.
+    // while the staging bytes are still cache-warm.  Window spans are
+    // independent, so spans fan out across resolve_threads() workers
+    // (same -t plumbing as the chunk-parallel tools drivers).
     const int64_t BLOCK = 1 << 19;  // windows per block
-    const int64_t nb_max = (aux_luts && n > BLOCK) ? BLOCK : n;
-    // per-window aux index (~0 = broken/absent window, counter stays 0)
-    // + suffix needle
-    std::vector<uint64_t> idx2_buf, lo_buf, hi_buf;
-    std::vector<uint8_t> need_buf;
-    if (aux_luts) {
-        idx2_buf.resize(nb_max);
-        lo_buf.resize(nb_max);
-        hi_buf.resize(nb_max);
-        need_buf.resize((size_t)nb_max * sb);
-    }
-    for (int64_t s0 = 0; s0 < n; s0 += nb_max) {
-        const int64_t nb = (n - s0 < nb_max) ? n - s0 : nb_max;
+    std::atomic<bool> bad_w{false};  // W out of range (same for all spans)
+    auto run_span = [&](int64_t w0, int64_t w1) {
+        const int64_t span_n = w1 - w0;
+        const int64_t nb_max =
+            (aux_luts && span_n > BLOCK) ? BLOCK : span_n;
+        // per-window aux index (~0 = broken/absent window, counter
+        // stays 0) + suffix needle
+        std::vector<uint64_t> idx2_buf, lo_buf, hi_buf;
+        std::vector<uint8_t> need_buf;
         if (aux_luts) {
-            std::fill(idx2_buf.begin(), idx2_buf.begin() + nb, ~0ull);
-            memset(out + s0, 0, (size_t)nb * 4);
+            idx2_buf.resize(nb_max);
+            lo_buf.resize(nb_max);
+            hi_buf.resize(nb_max);
+            need_buf.resize((size_t)nb_max * sb);
         }
+        for (int64_t s0 = w0; s0 < w1; s0 += nb_max) {
+            const int64_t nb = (w1 - s0 < nb_max) ? w1 - s0 : nb_max;
+            if (aux_luts) {
+                std::fill(idx2_buf.begin(), idx2_buf.begin() + nb, ~0ull);
+                memset(out + s0, 0, (size_t)nb * 4);
+            }
 #define KST_BINNED_CASE(WW)                                               \
     case WW:                                                              \
         binned_scan<WW>(seq + s0, nb + (int64_t)k - 1, k, both_strands,   \
@@ -1984,60 +1990,78 @@ int64_t kst_counters_for_seq_binned(
                         out + s0, code, idx2_buf.data(),                  \
                         need_buf.data());                                 \
         break;
-        switch (W) {
-            KST_BINNED_CASE(1)
-            KST_BINNED_CASE(2)
-            KST_BINNED_CASE(3)
-            KST_BINNED_CASE(4)
-            KST_BINNED_CASE(5)
-            KST_BINNED_CASE(6)
-            KST_BINNED_CASE(7)
-            KST_BINNED_CASE(8)
-            default: return 0;
-        }
-#undef KST_BINNED_CASE
-        if (!aux_luts) continue;
-        constexpr int64_t PF = 24;
-        const uint64_t SKIP = ~0ull;
-        uint32_t* out_b = out + s0;
-        // pass B1: aux ranges, prefetched ahead; prefetch each range's
-        // first record row as its bounds arrive
-        for (int64_t j = 0; j < nb; ++j) {
-            if (j + PF < nb && idx2_buf[j + PF] != SKIP)
-                __builtin_prefetch(&aux_luts[idx2_buf[j + PF]]);
-            const uint64_t x = idx2_buf[j];
-            if (x == SKIP) continue;
-            uint64_t lo = aux_luts[x], hi = aux_luts[x + 1];
-            if (hi > n_records) hi = n_records;
-            lo_buf[j] = lo;
-            hi_buf[j] = hi;
-            if (lo < hi)
-                __builtin_prefetch(records + lo * rec_bytes);
-        }
-        // pass B2: resolve (ranges are ~1 record; rows usually cached)
-        for (int64_t j = 0; j < nb; ++j) {
-            if (idx2_buf[j] == SKIP) continue;
-            uint64_t lo = lo_buf[j], hi = hi_buf[j];
-            const uint8_t* sfx = need_buf.data() + (size_t)j * sb;
-            uint32_t c_out = 0;
-            while (lo < hi) {
-                uint64_t mid = (lo + hi) / 2;
-                int cmp = memcmp(records + mid * rec_bytes, sfx, sb);
-                if (cmp < 0) lo = mid + 1;
-                else if (cmp > 0) hi = mid;
-                else {
-                    uint32_t cc = counter_size ? 0 : 1;
-                    for (int32_t t = (int32_t)counter_size - 1; t >= 0; --t)
-                        cc = (cc << 8)
-                             | records[mid * rec_bytes + sb + (uint32_t)t];
-                    c_out = cc;
-                    break;
-                }
+            switch (W) {
+                KST_BINNED_CASE(1)
+                KST_BINNED_CASE(2)
+                KST_BINNED_CASE(3)
+                KST_BINNED_CASE(4)
+                KST_BINNED_CASE(5)
+                KST_BINNED_CASE(6)
+                KST_BINNED_CASE(7)
+                KST_BINNED_CASE(8)
+                default: bad_w = true; return;
             }
-            out_b[j] = c_out;
+#undef KST_BINNED_CASE
+            if (!aux_luts) continue;
+            constexpr int64_t PF = 24;
+            const uint64_t SKIP = ~0ull;
+            uint32_t* out_b = out + s0;
+            // pass B1: aux ranges, prefetched ahead; prefetch each
+            // range's first record row as its bounds arrive
+            for (int64_t j = 0; j < nb; ++j) {
+                if (j + PF < nb && idx2_buf[j + PF] != SKIP)
+                    __builtin_prefetch(&aux_luts[idx2_buf[j + PF]]);
+                const uint64_t x = idx2_buf[j];
+                if (x == SKIP) continue;
+                uint64_t lo = aux_luts[x], hi = aux_luts[x + 1];
+                if (hi > n_records) hi = n_records;
+                lo_buf[j] = lo;
+                hi_buf[j] = hi;
+                if (lo < hi)
+                    __builtin_prefetch(records + lo * rec_bytes);
+            }
+            // pass B2: resolve (ranges ~1 record; rows usually cached)
+            for (int64_t j = 0; j < nb; ++j) {
+                if (idx2_buf[j] == SKIP) continue;
+                uint64_t lo = lo_buf[j], hi = hi_buf[j];
+                const uint8_t* sfx = need_buf.data() + (size_t)j * sb;
+                uint32_t c_out = 0;
+                while (lo < hi) {
+                    uint64_t mid = (lo + hi) / 2;
+                    int cmp = memcmp(records + mid * rec_bytes, sfx, sb);
+                    if (cmp < 0) lo = mid + 1;
+                    else if (cmp > 0) hi = mid;
+                    else {
+                        uint32_t cc = counter_size ? 0 : 1;
+                        for (int32_t t = (int32_t)counter_size - 1;
+                             t >= 0; --t)
+                            cc = (cc << 8)
+                                 | records[mid * rec_bytes + sb
+                                           + (uint32_t)t];
+                        c_out = cc;
+                        break;
+                    }
+                }
+                out_b[j] = c_out;
+            }
         }
+    };
+    const int32_t threads = resolve_threads();
+    int64_t n_spans =
+        threads > 1 ? std::min<int64_t>(threads, n / BLOCK) : 1;
+    if (n_spans > 1) {
+        const int64_t per = (n + n_spans - 1) / n_spans;
+        std::vector<std::thread> pool;
+        for (int64_t t = 0; t < n_spans; ++t) {
+            int64_t w0 = t * per, w1 = std::min(n, w0 + per);
+            if (w0 >= w1) break;
+            pool.emplace_back(run_span, w0, w1);
+        }
+        for (auto& th : pool) th.join();
+    } else {
+        run_span(0, n);
     }
-    return n;
+    return bad_w ? 0 : n;
 }
 
 // Single-pass complex-expression evaluation: the parenthesized set

@@ -362,6 +362,39 @@ def test_counters_for_read_native_wide(tmp_path, monkeypatch):
             assert np.array_equal(np.asarray(a), np.asarray(b)), k
 
 
+def test_counters_binned_threaded_identical(tmp_path):
+    """The binned RA lookup fans window spans across resolve_threads()
+    workers (spans are independent); output must be byte-identical at
+    any -t, with and without the aux LUT."""
+    from kmc_tpu.api import KMCFile
+    from kmc_tpu.tools import native_tools
+
+    if native_tools.get_lib() is None:
+        import pytest
+
+        pytest.skip("native tools unavailable")
+    rng = np.random.default_rng(31)
+    for k, lpl in ((25, 5), (75, 3)):  # (k - lpl) % 4 == 0 (KMC1 layout)
+        kmers, counts = _random_records(rng, k, 3000)
+        db = tmp_path / f"tb{k}"
+        _write_kmc1(db, k, kmers, counts, lpl)
+        f = KMCFile()
+        assert f.OpenForRA(str(db))
+        alpha = "ACGTN"
+        seq = "".join(alpha[i] for i in rng.integers(0, 5, 3_000_000))
+        try:
+            native_tools.set_threads(1)
+            _, base = f.counters_for_read_array(seq)
+            assert f._binned_src is not None  # really the binned path
+            for t in (2, 4, 8):
+                native_tools.set_threads(t)
+                _, got = f.counters_for_read_array(seq)
+                assert np.array_equal(np.asarray(base),
+                                      np.asarray(got)), (k, t)
+        finally:
+            native_tools.set_threads(1)
+
+
 def _row_codes(row: np.ndarray, k: int) -> np.ndarray:
     kb = len(row)
     codes = np.empty(kb * 4, dtype=np.uint8)
