@@ -1397,6 +1397,90 @@ struct ExprWorker {
     }
 };
 
+// W-specialized scan loop of kst_counters_for_seq_wide (below) — the
+// sorted-row fallback (KFF RA / in-memory rows); same W-unrolling and
+// byte-swap serialization rationale as binned_scan.
+template <uint32_t W>
+static void wide_scan(const uint8_t* seq, int64_t seq_len, uint32_t k,
+                      int32_t both_strands, const uint8_t* key_rows,
+                      uint32_t kb, const uint32_t* counts, uint64_t n_keys,
+                      const uint64_t* idx16, const uint64_t* keys0,
+                      uint32_t* out, const uint8_t* code) {
+    const uint32_t top_bits = 2 * k - 64 * (W - 1);  // bits used in word 0
+    const uint64_t top_mask =
+        (top_bits >= 64) ? ~0ull : ((1ull << top_bits) - 1);
+    const uint32_t ins_word = W - 1 - (2 * k - 2) / 64;  // rc insert slot
+    const uint32_t ins_bit = (2 * k - 2) % 64;
+    uint64_t fwd[W] = {0}, rc[W] = {0};
+    int64_t last_bad = -1;
+    for (int64_t i = 0; i < seq_len; ++i) {
+        uint64_t c = code[seq[i]];
+        if (c >= 4) {
+            last_bad = i;
+            c = 0;
+        }
+        for (uint32_t w = 0; w + 1 < W; ++w)
+            fwd[w] = (fwd[w] << 2) | (fwd[w + 1] >> 62);
+        fwd[W - 1] = (fwd[W - 1] << 2) | c;
+        fwd[0] &= top_mask;
+        for (uint32_t w = W - 1; w > 0; --w)
+            rc[w] = (rc[w] >> 2) | (rc[w - 1] << 62);
+        rc[0] >>= 2;
+        rc[ins_word] |= (3 - c) << ins_bit;
+        int64_t wpos = i - (int64_t)k + 1;
+        if (wpos < 0) continue;
+        if (last_bad >= wpos) {
+            out[wpos] = 0;
+            continue;
+        }
+        const uint64_t* v = fwd;
+        if (both_strands) {
+            for (uint32_t w = 0; w < W; ++w) {
+                if (rc[w] < fwd[w]) { v = rc; break; }
+                if (rc[w] > fwd[w]) break;
+            }
+        }
+        // big-endian needle: per-word byte swap, then the last kb bytes
+        uint64_t bew[W];
+        for (uint32_t w = 0; w < W; ++w)
+            bew[w] = __builtin_bswap64(v[w]);
+        const uint8_t* need = (const uint8_t*)bew + (8 * W - kb);
+        uint64_t lo = 0, len = n_keys;
+        if (idx16) {
+            uint64_t t = ((uint64_t)need[0] << 8) | need[1];
+            lo = idx16[t];
+            len = idx16[t + 1] - lo;
+        }
+        if (keys0) {
+            const uint64_t nk0 = load_be64(need);  // kb >= 9 for k >= 33
+            while (len > 1) {
+                uint64_t half = len / 2;
+                lo += (keys0[lo + half - 1] < nk0) ? half : 0;
+                len -= half;
+            }
+            uint32_t c_out = 0;
+            if (len && keys0[lo] == nk0) {
+                while (lo < n_keys && keys0[lo] == nk0) {
+                    int c = memcmp(key_rows + lo * kb + 8, need + 8, kb - 8);
+                    if (c == 0) { c_out = counts[lo]; break; }
+                    if (c > 0) break;
+                    ++lo;
+                }
+            }
+            out[wpos] = c_out;
+            continue;
+        }
+        while (len > 1) {
+            uint64_t half = len / 2;
+            lo += (memcmp(key_rows + (lo + half - 1) * kb, need, kb) < 0)
+                      ? half : 0;
+            len -= half;
+        }
+        out[wpos] = (len && !memcmp(key_rows + lo * kb, need, kb))
+                        ? counts[lo] : 0;
+    }
+}
+
 // W-specialized scan loop of kst_counters_for_seq_binned (below): W as
 // a template constant fully unrolls the multi-word rolling-window
 // updates (a runtime-W inner loop carries ~3x the per-byte cost at
@@ -1832,82 +1916,44 @@ int64_t kst_counters_for_seq_wide(const uint8_t* seq, int64_t seq_len,
         init = true;
     }
     const uint32_t W = (k + 31) / 32;
-    const uint32_t top_bits = 2 * k - 64 * (W - 1);  // bits used in word 0
-    const uint64_t top_mask =
-        (top_bits >= 64) ? ~0ull : ((1ull << top_bits) - 1);
-    const uint32_t ins_word = W - 1 - (2 * k - 2) / 64;  // rc insert slot
-    const uint32_t ins_bit = (2 * k - 2) % 64;
-    uint64_t fwd[8] = {0}, rc[8] = {0};
-    uint8_t need[64];
     const int64_t n = seq_len - k + 1;
-    int64_t last_bad = -1;
-    for (int64_t i = 0; i < seq_len; ++i) {
-        uint64_t c = code[seq[i]];
-        if (c >= 4) {
-            last_bad = i;
-            c = 0;
+    std::atomic<bool> bad_w{false};
+    auto run_span = [&](int64_t w0, int64_t w1) {
+#define KST_WIDE_CASE(WW)                                                 \
+    case WW:                                                              \
+        wide_scan<WW>(seq + w0, (w1 - w0) + (int64_t)k - 1, k,            \
+                      both_strands, key_rows, kb, counts, n_keys, idx16,  \
+                      keys0, out + w0, code);                             \
+        break;
+        switch (W) {
+            KST_WIDE_CASE(2)
+            KST_WIDE_CASE(3)
+            KST_WIDE_CASE(4)
+            KST_WIDE_CASE(5)
+            KST_WIDE_CASE(6)
+            KST_WIDE_CASE(7)
+            KST_WIDE_CASE(8)
+            default: bad_w = true; return;
         }
-        for (uint32_t w = 0; w + 1 < W; ++w)
-            fwd[w] = (fwd[w] << 2) | (fwd[w + 1] >> 62);
-        fwd[W - 1] = (fwd[W - 1] << 2) | c;
-        fwd[0] &= top_mask;
-        for (uint32_t w = W - 1; w > 0; --w)
-            rc[w] = (rc[w] >> 2) | (rc[w - 1] << 62);
-        rc[0] >>= 2;
-        rc[ins_word] |= (3 - c) << ins_bit;
-        int64_t wpos = i - (int64_t)k + 1;
-        if (wpos < 0) continue;
-        if (last_bad >= wpos) {
-            out[wpos] = 0;
-            continue;
+#undef KST_WIDE_CASE
+    };
+    const int32_t threads = resolve_threads();
+    const int64_t MIN_SPAN = 1 << 19;
+    int64_t n_spans =
+        threads > 1 ? std::min<int64_t>(threads, n / MIN_SPAN) : 1;
+    if (n_spans > 1) {
+        const int64_t per = (n + n_spans - 1) / n_spans;
+        std::vector<std::thread> pool;
+        for (int64_t t = 0; t < n_spans; ++t) {
+            int64_t w0 = t * per, w1 = std::min(n, w0 + per);
+            if (w0 >= w1) break;
+            pool.emplace_back(run_span, w0, w1);
         }
-        const uint64_t* v = fwd;
-        if (both_strands) {
-            for (uint32_t w = 0; w < W; ++w) {
-                if (rc[w] < fwd[w]) { v = rc; break; }
-                if (rc[w] > fwd[w]) break;
-            }
-        }
-        // serialize the canonical value big-endian, last kb bytes
-        for (uint32_t j = 0; j < kb; ++j) {
-            uint32_t ob = 8 * W - kb + j;
-            need[j] = (uint8_t)(v[ob / 8] >> (56 - 8 * (ob % 8)));
-        }
-        uint64_t lo = 0, len = n_keys;
-        if (idx16) {
-            uint64_t t = ((uint64_t)need[0] << 8) | need[1];
-            lo = idx16[t];
-            len = idx16[t + 1] - lo;
-        }
-        if (keys0) {
-            const uint64_t nk0 = load_be64(need);  // kb >= 9 for k >= 33
-            while (len > 1) {
-                uint64_t half = len / 2;
-                lo += (keys0[lo + half - 1] < nk0) ? half : 0;
-                len -= half;
-            }
-            uint32_t c_out = 0;
-            if (len && keys0[lo] == nk0) {
-                while (lo < n_keys && keys0[lo] == nk0) {
-                    int c = memcmp(key_rows + lo * kb + 8, need + 8, kb - 8);
-                    if (c == 0) { c_out = counts[lo]; break; }
-                    if (c > 0) break;
-                    ++lo;
-                }
-            }
-            out[wpos] = c_out;
-            continue;
-        }
-        while (len > 1) {
-            uint64_t half = len / 2;
-            lo += (memcmp(key_rows + (lo + half - 1) * kb, need, kb) < 0)
-                      ? half : 0;
-            len -= half;
-        }
-        out[wpos] = (len && !memcmp(key_rows + lo * kb, need, kb))
-                        ? counts[lo] : 0;
+        for (auto& th : pool) th.join();
+    } else {
+        run_span(0, n);
     }
-    return n;
+    return bad_w ? 0 : n;
 }
 
 // Binned windowed lookup over the RAW KMC2 on-disk layout — the exact

@@ -393,6 +393,27 @@ def test_counters_binned_threaded_identical(tmp_path):
                                       np.asarray(got)), (k, t)
         finally:
             native_tools.set_threads(1)
+    # KFF RA routes through the sorted-row wide path (no bin/prefix LUT)
+    # — same span-fanning; verify vs the NumPy oracle and across -t
+    k = 55
+    kmers, counts = _random_records(rng, k, 2000)
+    kp = tmp_path / "tb55.kff"
+    _write_kff(str(kp), k, kmers, counts)
+    f = KMCFile()
+    assert f.OpenForRA(str(kp))
+    seq = "".join("ACGTN"[i] for i in rng.integers(0, 5, 2_000_000))
+    try:
+        native_tools.set_threads(1)
+        _, base = f.counters_for_read_array(seq)
+        _, oracle = f._counters_for_read_numpy(seq[:5000])
+        assert np.array_equal(np.asarray(base)[:len(oracle)],
+                              np.asarray(oracle))
+        for t in (2, 8):
+            native_tools.set_threads(t)
+            _, got = f.counters_for_read_array(seq)
+            assert np.array_equal(np.asarray(base), np.asarray(got)), t
+    finally:
+        native_tools.set_threads(1)
 
 
 def _row_codes(row: np.ndarray, k: int) -> np.ndarray:
