@@ -15,6 +15,8 @@ from .io.readers import CODE_LUT
 from .signatures import kmer_signatures_numpy
 
 CODE_LUT_INV = np.frombuffer(b"ACGT", dtype=np.uint8)
+# bytes.translate table: ASCII passes through, >=0x80 becomes 'N'
+_NON_ASCII_TO_N = bytes(range(128)) + b"N" * 128
 
 
 def _canonicalize_codes(codes: np.ndarray) -> np.ndarray:
@@ -782,10 +784,29 @@ class KMCFile:
                     & (counters <= self._max_count), counters, 0)
                 return True, counters
         if read is None:  # bytes caller hitting the numpy fallback
-            read = read_b.decode("ascii", errors="replace")
+            # non-ASCII bytes become 'N' (invalid base, same semantics)
+            # — a replacement-char decode would re-encode multi-byte and
+            # shift every downstream window offset
+            read = read_b.translate(_NON_ASCII_TO_N).decode("ascii")
         return self._counters_for_read_numpy(read)
 
     def _counters_for_read_numpy(self, read: str) -> tuple[bool, np.ndarray]:
+        # bound the per-call transients: _batch_kmer_rows materializes
+        # (n, k)-shaped window arrays, so a multi-MB read (e.g. the
+        # filter's chunk-joined query falling back here) is processed in
+        # overlapping slices instead of one allocation burst
+        SLICE = 1 << 17
+        k = self._info.kmer_len
+        if len(read) > SLICE + k:
+            parts = []
+            ok_all = True
+            for s in range(0, len(read) - k + 1, SLICE):
+                ok, c = self._counters_for_read_numpy(
+                    read[s:s + SLICE + k - 1])
+                ok_all = ok_all and ok
+                parts.append(c)
+            return ok_all, (np.concatenate(parts) if parts
+                            else np.zeros(0, np.uint32))
         if self._file_ra is not None:
             # on-disk RA: all the read's bin-range binary searches advance
             # together over the memmaps (the per-query semantics of the

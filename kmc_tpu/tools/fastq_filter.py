@@ -279,20 +279,28 @@ def filter_fastq(
             keep = (nk > 0) & (lo_v <= n_present) & (n_present <= hi_v)
             n_kept += int(keep.sum())
             kidx = np.flatnonzero(keep)
+            write_fasta = is_fasta if out_fasta is None else out_fasta
+            if not write_fasta and is_fasta:
+                # raised for any chunk with records, kept or not — the
+                # legacy path errors as soon as a batch is read
+                raise ValueError("FASTA input has no qualities; "
+                                 "cannot write FASTQ output")
             if not len(kidx):
                 if at_eof:
                     break
                 continue
-            # normalized = every line free of trailing whitespace and (for
+            # normalized = every line free of trailing whitespace (the
+            # full str.rstrip ASCII set: \t\v\f\r \x1c-\x1f) and (for
             # FASTQ) a bare '+' separator -> records re-emit verbatim
             lastb = arr[np.maximum(line_e - 1, 0)]
             nonempty = line_e > line_s
-            norm = not bool((nonempty & ((lastb == 32) | (lastb == 9)
-                                         | (lastb == 13))).any())
+            norm = not bool((nonempty
+                             & ((lastb == 32)
+                                | ((lastb >= 9) & (lastb <= 13))
+                                | ((lastb >= 28) & (lastb <= 31)))).any())
             if norm and rl == 4:
                 norm = bool(((line_e[2::4] - line_s[2::4] == 1)
                              & (arr[line_s[2::4]] == ord("+"))).all())
-            write_fasta = is_fasta if out_fasta is None else out_fasta
             if norm and write_fasta == is_fasta:
                 rec_start = line_s[0::rl]
                 rec_end = line_e[rl - 1::rl] + 1
@@ -303,12 +311,10 @@ def filter_fastq(
                     data[rec_start[kidx[a]]:rec_end[kidx[b]]]
                     for a, b in zip(run_a, run_b)))
             else:
-                if not write_fasta and is_fasta:
-                    raise ValueError("FASTA input has no qualities; "
-                                     "cannot write FASTQ output")
                 parts = []
+                ws = b" \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f"  # str.rstrip ASCII set
                 for i in kidx:
-                    hdr = data[line_s[rl * i]:line_e[rl * i]].rstrip()
+                    hdr = data[line_s[rl * i]:line_e[rl * i]].rstrip(ws)
                     seq = data[seq_s[i]:seq_e[i]]
                     if write_fasta and not is_fasta:
                         parts.append(b">" + hdr.lstrip(b"@") + b"\n"
@@ -334,8 +340,13 @@ def filter_fastq(
                 tw.detach()
 
     import os as _os
+    from . import native_tools as _nt
+    # the fast path issues one joined DB query per 8 MB chunk — only
+    # sane against the native lookup; the NumPy fallback materializes
+    # per-window arrays, so it keeps the 256-read batching of _process
     fast = (not trim and not hard_mask
-            and _os.environ.get("KMC_TPU_FILTER_BYTES", "1") != "0")
+            and _os.environ.get("KMC_TPU_FILTER_BYTES", "1") != "0"
+            and _nt._enabled() and _nt.get_lib() is not None)
     with _open(output_path, "wb" if fast else "wt") as fout:
         for one_input in inputs:
             with _open(one_input, "rb" if fast else "rt") as fin:

@@ -105,6 +105,51 @@ def test_get_counters_for_read(db):
         assert got == expect, read
 
 
+def test_counters_for_read_bytes_input(db, monkeypatch):
+    """counters_for_read_array accepts ascii bytes; non-ASCII bytes act
+    as invalid bases (same as 'N') with offsets preserved — on both the
+    native path and the NumPy fallback."""
+    path, reads, counts = db
+    import numpy as np
+
+    f = KMCFile()
+    f.OpenForRA(path)
+    read = reads[0]
+    _, a = f.counters_for_read_array(read)
+    _, b = f.counters_for_read_array(read.encode("ascii"))
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    # 0xFF mid-read == 'N' mid-read, same counter vector length
+    raw = read.encode("ascii")
+    bad = raw[:10] + b"\xff" + raw[11:]
+    subbed = read[:10] + "N" + read[11:]
+    _, c = f.counters_for_read_array(bad)
+    _, d = f.counters_for_read_array(subbed)
+    assert np.array_equal(np.asarray(c), np.asarray(d))
+    # same equivalences with the native lookup disabled
+    monkeypatch.setenv("KMC_TPU_NATIVE_TOOLS", "0")
+    _, a2 = f.counters_for_read_array(raw)
+    _, c2 = f.counters_for_read_array(bad)
+    assert np.array_equal(np.asarray(a), np.asarray(a2))
+    assert np.array_equal(np.asarray(c), np.asarray(c2))
+
+
+def test_counters_for_read_numpy_sliced_long_read(db):
+    """The NumPy fallback slices reads beyond its SLICE bound (bounded
+    transients for chunk-joined queries); the stitched counter vector
+    must equal the native lookup's over several slice boundaries."""
+    path, reads, counts = db
+    import numpy as np
+
+    f = KMCFile()
+    f.OpenForRA(path)
+    base = "N".join(reads)
+    long_read = "N".join([base] * (((1 << 18) // len(base)) + 2))
+    assert len(long_read) > (1 << 18)  # > 2 slices
+    _, nat = f.counters_for_read_array(long_read)
+    _, sliced = f._counters_for_read_numpy(long_read)
+    assert np.array_equal(np.asarray(nat), np.asarray(sliced))
+
+
 def test_kmer_api_roundtrip():
     kmer = KmerAPI()
     assert kmer.from_string("ACGTACGTAC")
