@@ -51,7 +51,7 @@ def main():
     ap.add_argument("--ops", default="dump,histogram,sort,union,intersect,"
                     "kmers_subtract,counters_subtract,compact,reduce,"
                     "kff_dump,kff_union,okff_sort,complex,"
-                    "filter,filter55,filter127")
+                    "filter,filter55,filter127,filter_trim,filter_hm")
     ap.add_argument("--stream", action="store_true",
                     help="force the kmc_tpu streaming path (KMC_TPU_STREAM_THRESHOLD=0)")
     args = ap.parse_args()
@@ -194,6 +194,27 @@ def main():
                   [str(ref_tools), "-t1", "filter", fdb, str(q), "-ci0.5",
                    str(a)],
                   ["filter", fdb, str(q), "-ci0.5", str(b)],
+                  [(a, b)])
+        elif op in ("filter_trim", "filter_hm"):
+            # the trim (-t) and hard-mask (-hm) modes, k=27 over the same
+            # query set (fastq_filter.cpp:134-174); both transform kept
+            # records, so they exercise the legacy per-record path
+            import bench as bench_mod
+
+            fq = bench_mod.prepare_input()
+            q = work / "filter_query.fastq"
+            if not q.exists():
+                with open(fq, "rb") as f:
+                    blob = f.read(48 << 20)
+                cut = blob.rfind(b"\n@r")
+                q.write_bytes(blob[: cut + 1])
+            flag = "-t" if op == "filter_trim" else "-hm"
+            a = work / f"ref_{op}.fq"
+            b = work / f"our_{op}.fq"
+            bench(f"filter {flag} k=27",
+                  [str(ref_tools), "-t1", "filter", flag, db, "-ci2",
+                   str(q), "-ci2", str(a)],
+                  ["filter", flag, db, "-ci2", str(q), "-ci2", str(b)],
                   [(a, b)])
         elif op == "okff_sort":
             a, b = work / "ref_okff", work / "our_okff"
