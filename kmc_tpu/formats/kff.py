@@ -34,26 +34,40 @@ class KffWriter:
         self.min_count = min_count
         self.max_count = max_count
         self._f = open(path, "wb")
-        self._index = []
+        self._index = []  # (section type byte, offset) pairs
         self._pos = 0
+        self._cur_max = 1  # 'max' variable of the current scope
         self._write(b"KFF")
         self._write(bytes([VER_MAJOR, VER_MINOR, encoding, 1, 1 if canonical else 0]))
         self._write(struct.pack(">I", 0))  # free_size (u32, like the reference)
         # variables section
-        self._index.append(self._pos)
-        self._write(b"v")
-        pairs = [(b"k", k), (b"max", 1), (b"data_size", counter_size), (b"ordered", 1)]
-        self._write(_be(len(pairs)))
-        for name, value in pairs:
-            self._write(name + b"\x00" + _be(value))
+        self._write_vars([(b"k", k), (b"max", 1),
+                          (b"data_size", counter_size), (b"ordered", 1)])
 
     def _write(self, data: bytes):
         self._f.write(data)
         self._pos += len(data)
 
+    def _write_vars(self, pairs):
+        self._index.append((b"v", self._pos))
+        self._write(b"v")
+        self._write(_be(len(pairs)))
+        for name, value in pairs:
+            self._write(name + b"\x00" + _be(value))
+
+    def _scope_max(self, mx: int):
+        """Declare a new variable scope when the 'max' in force differs —
+        every KFF data section reads its variables from the latest 'v'."""
+        if mx != self._cur_max:
+            self._write_vars([(b"k", self.k), (b"max", mx),
+                              (b"data_size", self.counter_size),
+                              (b"ordered", 1 if mx == 1 else 0)])
+            self._cur_max = mx
+
     def store_section(self, kmers: np.ndarray, counts: np.ndarray):
         """kmers: (N, (k+3)//4) uint8 right-aligned big-endian; counts uint32."""
-        self._index.append(self._pos)
+        self._scope_max(1)
+        self._index.append((b"r", self._pos))
         self._write(b"r")
         n = len(kmers)
         self._write(_be(n))
@@ -67,13 +81,57 @@ class KffWriter:
             data = rec.tobytes()
             self._write(data)
 
+    def store_block_section(self, blocks):
+        """A max>1 'r' section of k-mer BLOCKS (KFF v1 §raw blocks) —
+        the compact super-k-mer representation the reference can neither
+        write nor read (its own TODO, kmc_tools/kff_db_reader.h:16).
+
+        `blocks`: iterable of (codes, counts) with codes a (s,) uint8
+        array of 2-bit symbols in the FILE's encoding (s = k + n - 1)
+        and counts (n,) the per-k-mer counters in sequence order.  Block
+        layout: n on the minimal number of bytes that can represent the
+        scope's `max` (big-endian), then ceil(s/4) sequence bytes
+        (right-aligned, the same packing rule as a single k-mer record),
+        then n*data_size counter bytes."""
+        blocks = list(blocks)
+        mx = max((len(c) for _, c in blocks), default=1)
+        self._scope_max(max(int(mx), 2))  # a max=1 scope has no n field
+        n_bytes = max(1, (int(self._cur_max).bit_length() + 7) // 8)
+        self._index.append((b"r", self._pos))
+        self._write(b"r")
+        self._write(_be(len(blocks)))
+        out = bytearray()
+        for codes, counts in blocks:
+            codes = np.asarray(codes, np.uint8)
+            counts = np.asarray(counts, np.uint64)
+            n = len(counts)
+            s = len(codes)
+            if s != self.k + n - 1 or n < 1:
+                raise ValueError("block sequence length must be k + n - 1")
+            out += int(n).to_bytes(n_bytes, "big")
+            sb = (s + 3) // 4
+            padded = np.zeros(sb * 4, np.uint8)
+            padded[sb * 4 - s:] = codes
+            out += ((padded[0::4] << 6) | (padded[1::4] << 4)
+                    | (padded[2::4] << 2) | padded[3::4]).astype(
+                        np.uint8).tobytes()
+            if self.counter_size:
+                data = np.empty((n, self.counter_size), np.uint8)
+                for j in range(self.counter_size):
+                    shift = np.uint64(8 * (self.counter_size - 1 - j))
+                    data[:, j] = ((counts >> shift)
+                                  & np.uint64(0xFF)).astype(np.uint8)
+                out += data.tobytes()
+        self._write(bytes(out))
+
     def begin_streamed_section(self) -> int:
         """Start an 'r' section whose record payload an EXTERNAL writer
         (the native tools core) will append directly to the file; returns
         the byte offset where records begin.  The caller must invoke
         end_streamed_section(n_recs, rec_bytes) once the external append
         is complete (and its file handle closed) before close()."""
-        self._index.append(self._pos)
+        self._scope_max(1)
+        self._index.append((b"r", self._pos))
         self._write(b"r")
         self._nb_off = self._pos
         self._write(_be(0))  # nb_recs placeholder, patched later
@@ -93,9 +151,8 @@ class KffWriter:
         index_end = self._pos + index_size
         self._write(b"i")
         self._write(_be(nb_sections))
-        self._write(b"v" + struct.pack(">q", self._index[0] - index_end))
-        for off in self._index[1:]:
-            self._write(b"r" + struct.pack(">q", off - index_end))
+        for sec_type, off in self._index:
+            self._write(sec_type + struct.pack(">q", off - index_end))
         self._write(b"v" + struct.pack(">q", 0))  # footer
         self._write(struct.pack(">q", 0))  # next_index
         footer = [
@@ -236,11 +293,21 @@ def read_kff_meta(path: str) -> KffMeta:
             (nb,) = struct.unpack(">Q", _read_exact(f, 8))
             mx = variables.get("max", 1)
             if mx != 1:
-                if not indexed:
-                    # block sizes are data-dependent: an unindexed walk
-                    # cannot skip the payload
-                    raise NotImplementedError("KFF max>1 blocks")
                 max_in_block = max(max_in_block, mx)
+                if not indexed:
+                    # block sizes are data-dependent: walk them (n on
+                    # minimal-for-max bytes, then sequence + data)
+                    n_bytes = max(1, (int(mx).bit_length() + 7) // 8)
+                    k = variables["k"]
+                    ds = variables["data_size"]
+                    if scopes:
+                        scopes[-1]["sections"].append((f.tell(), nb, b""))
+                    for _ in range(nb):
+                        n = int.from_bytes(_read_exact(f, n_bytes), "big")
+                        if not 1 <= n <= mx:
+                            raise ValueError("bad KFF block size")
+                        f.seek((k + n - 1 + 3) // 4 + n * ds, 1)
+                    return nb
             else:
                 sections.append((f.tell(), nb))
             if scopes:
@@ -284,8 +351,10 @@ def read_kff_meta(path: str) -> KffMeta:
                     new_scope(svars)
                 elif sec == b"r":
                     nb = read_r(indexed=False)
-                    kb = (variables["k"] + 3) // 4
-                    f.seek(nb * (kb + variables["data_size"]), 1)
+                    if variables.get("max", 1) == 1:
+                        kb = (variables["k"] + 3) // 4
+                        f.seek(nb * (kb + variables["data_size"]), 1)
+                    # max>1: read_r walked (and consumed) the blocks
                 elif sec == b"i":
                     (nb,) = struct.unpack(">Q", _read_exact(f, 8))
                     f.seek(nb * 9 + 8, 1)
@@ -358,9 +427,80 @@ def _index_positions(f, size):
     return (positions, fvars) if positions else (None, None)
 
 
+def _walk_blocks(raw, pos, nb, k, mx, data_size):
+    """Sequential walk over a max>1 raw-block section (sizes are
+    data-dependent): per-block (seq offset, n), and the end position."""
+    n_bytes = max(1, (int(mx).bit_length() + 7) // 8)
+    offs = np.empty(nb, np.int64)
+    ns = np.empty(nb, np.int64)
+    for i in range(nb):
+        n = int.from_bytes(raw[pos:pos + n_bytes], "big")
+        if not 1 <= n <= mx:
+            raise ValueError(f"KFF block holds {n} k-mers, max is {mx}")
+        pos += n_bytes
+        offs[i] = pos
+        ns[i] = n
+        s = k + n - 1
+        pos += (s + 3) // 4 + n * data_size
+        if pos > len(raw):
+            raise ValueError("truncated KFF block section")
+    return offs, ns, pos
+
+
+def _decode_block_section(raw, pos, nb, k, mx, data_size):
+    """Expand a max>1 raw-block section into per-k-mer rows — the KFF
+    compact representation (n on minimal-for-max bytes, then the
+    right-aligned 2-bit packed k+n-1 base sequence, then n*data_size
+    counter bytes).  The reference's KFF reader refuses these files
+    (kff_db_reader.h:16); decoding them is a kmc_tpu extension.
+    Returns (end position, (N, ceil(k/4)) uint8 rows in the FILE's
+    symbol space, (N,) uint32 counts)."""
+    kb = (k + 3) // 4
+    if nb == 0:
+        return pos, np.zeros((0, kb), np.uint8), np.zeros(0, np.uint32)
+    offs, ns, end = _walk_blocks(raw, pos, nb, k, mx, data_size)
+    buf = np.frombuffer(raw, np.uint8)
+    ss = k + ns - 1             # bases per block
+    sbs = (ss + 3) // 4         # sequence bytes per block
+    pads = sbs * 4 - ss         # pad symbols at the FRONT of each block
+    # gather every sequence byte, expand to 2-bit symbols
+    byte_idx = np.repeat(offs, sbs)
+    within = np.arange(len(byte_idx), dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(sbs)[:-1]]), sbs)
+    seq_bytes = buf[byte_idx + within]
+    codes4 = np.empty((len(seq_bytes), 4), np.uint8)
+    codes4[:, 0] = seq_bytes >> 6
+    codes4[:, 1] = (seq_bytes >> 4) & 3
+    codes4[:, 2] = (seq_bytes >> 2) & 3
+    codes4[:, 3] = seq_bytes & 3
+    codes = codes4.reshape(-1)  # 4*sum(sbs) symbols incl. per-block pads
+    # per-k-mer gather: k-mer t of block i = codes[code_base[i]+pad[i]+t : +k]
+    code_base = np.concatenate([[0], np.cumsum(sbs * 4)[:-1]])
+    kmer_start = np.repeat(code_base + pads, ns)
+    t_within = np.arange(int(ns.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(ns)[:-1]]), ns)
+    starts = kmer_start + t_within
+    windows = codes[starts[:, None] + np.arange(k, dtype=np.int64)]
+    padded = np.zeros((len(starts), kb * 4), np.uint8)
+    padded[:, kb * 4 - k:] = windows
+    rows = ((padded[:, 0::4] << 6) | (padded[:, 1::4] << 4)
+            | (padded[:, 2::4] << 2) | padded[:, 3::4]).astype(np.uint8)
+    if data_size:
+        data_off = offs + sbs  # counters follow each block's sequence
+        c_start = np.repeat(data_off, ns) + t_within * data_size
+        counts = np.zeros(len(starts), np.uint64)
+        for j in range(data_size):
+            counts = (counts << np.uint64(8)) | buf[c_start + j]
+        counts = counts.astype(np.uint32)
+    else:
+        counts = np.ones(len(starts), np.uint32)
+    return end, rows, counts
+
+
 def read_kff(path: str) -> KffData:
-    """Read a KFF file with max=1 records (the shape the reference and this
-    framework produce; kmc_tools' KFF reader supports the same subset)."""
+    """Read a KFF file; max=1 records (the shape the reference and this
+    framework produce) AND max>1 block sections (which the reference's
+    own KFF reader refuses, kff_db_reader.h:16) are both decoded."""
     raw = open(path, "rb").read()
     if raw[:3] != b"KFF" or raw[-3:] != b"KFF":
         raise ValueError("bad KFF markers")
@@ -396,7 +536,11 @@ def read_kff(path: str) -> KffData:
             max_per_block = variables.get("max", 1)
             data_size = variables["data_size"]
             if max_per_block != 1:
-                raise NotImplementedError("KFF max>1 blocks not supported")
+                pos, km, ct = _decode_block_section(
+                    raw, pos, nb, k, max_per_block, data_size)
+                kmer_chunks.append(km)
+                count_chunks.append(ct)
+                continue
             kb = (k + 3) // 4
             rec = kb + data_size
             arr = np.frombuffer(raw, np.uint8, count=nb * rec, offset=pos).reshape(nb, rec)

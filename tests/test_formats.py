@@ -148,3 +148,154 @@ def test_dump_records_vectorized_matches_fstring():
         assert dump_records(km, cnts, k, chunk_rows=7) == want
     assert dump_records(np.zeros((0, 7), np.uint8),
                         np.zeros(0, np.uint64), 27) == ""
+
+
+def test_kff_block_sections_roundtrip(tmp_path):
+    """KFF max>1 raw-block sections (super-k-mer compaction): written by
+    KffWriter.store_block_section, decoded by read_kff — a kmc_tpu
+    extension (the reference's KFF reader refuses max>1 files, its own
+    TODO at kmc_tools/kff_db_reader.h:16).  Covers block expansion,
+    multi-byte counters, scope switching back to max=1 sections in the
+    same file, and the unindexed meta walk."""
+    from kmc_tpu.formats.kff import (KffWriter, read_kff, read_kff_meta)
+
+    rng = np.random.default_rng(11)
+    k, cs = 21, 2
+    kb = (k + 3) // 4
+
+    def pack(codes):
+        padded = np.zeros(kb * 4 - k, np.uint8)
+        p = np.concatenate([padded, codes])
+        return ((p[0::4] << 6) | (p[1::4] << 4) | (p[2::4] << 2)
+                | p[3::4]).astype(np.uint8)
+
+    # fabricate super-k-mer blocks + the expected expanded records
+    blocks, want_rows, want_counts = [], [], []
+    for _ in range(40):
+        n = int(rng.integers(1, 9))
+        codes = rng.integers(0, 4, k + n - 1).astype(np.uint8)
+        counts = rng.integers(1, 60000, n).astype(np.uint32)
+        blocks.append((codes, counts))
+        for t in range(n):
+            want_rows.append(pack(codes[t:t + k]))
+            want_counts.append(counts[t])
+    want_rows = np.array(want_rows)
+    want_counts = np.array(want_counts, np.uint32)
+
+    # plain trailing section after the block section (scope switch back)
+    tail_rows = np.array([pack(rng.integers(0, 4, k).astype(np.uint8))
+                          for _ in range(7)])
+    tail_counts = rng.integers(1, 100, 7).astype(np.uint32)
+
+    p = tmp_path / "blocks.kff"
+    w = KffWriter(str(p), canonical=True, k=k, counter_size=cs,
+                  min_count=1, max_count=1 << 30)
+    w.store_block_section(blocks)
+    w.store_section(tail_rows, tail_counts)
+    w.close()
+
+    kf = read_kff(str(p))
+    assert kf.k == k and kf.counter_size == cs
+    assert np.array_equal(kf.kmers, np.concatenate([want_rows, tail_rows]))
+    assert np.array_equal(kf.counts,
+                          np.concatenate([want_counts, tail_counts]))
+    meta = read_kff_meta(str(p))
+    assert meta.max_in_block >= 2
+
+    # the same records as a plain max=1 file: tools outputs must be
+    # byte-identical (block files lexsort through the in-memory path)
+    import subprocess, filecmp
+    from kmc_tpu import tools_cli
+
+    p1 = tmp_path / "plain.kff"
+    all_rows = np.concatenate([want_rows, tail_rows])
+    all_counts = np.concatenate([want_counts, tail_counts])
+    # store_section's contract is sorted records (ordered=1); the block
+    # file stays unsorted and goes through the in-memory lexsort path
+    order = np.lexsort(tuple(all_rows[:, j]
+                             for j in range(all_rows.shape[1] - 1, -1, -1)))
+    w = KffWriter(str(p1), canonical=True, k=k, counter_size=cs,
+                  min_count=1, max_count=1 << 30)
+    w.store_section(all_rows[order], all_counts[order])
+    w.close()
+    outs = {}
+    for tag, src in (("blk", p), ("plain", p1)):
+        o = tmp_path / f"s_{tag}"
+        assert tools_cli.main(["transform", str(src), "sort",
+                               str(o)]) == 0
+        d = tmp_path / f"d_{tag}.txt"
+        assert tools_cli.main(["transform", str(src), "dump", "-s",
+                               str(d)]) == 0
+        outs[tag] = (o, d)
+    for suf in (".kmc_pre", ".kmc_suf"):
+        assert filecmp.cmp(str(outs["blk"][0]) + suf,
+                           str(outs["plain"][0]) + suf, shallow=False)
+    assert filecmp.cmp(outs["blk"][1], outs["plain"][1], shallow=False)
+
+    # unindexed file: header + v + r(blocks) + KFF, no index/footer
+    import struct as st
+    body = bytearray()
+    body += b"KFF" + bytes([1, 0, 0b00011011, 1, 1]) + st.pack(">I", 0)
+    body += b"v" + st.pack(">Q", 4)
+    for name, val in ((b"k", k), (b"max", 8), (b"data_size", cs),
+                      (b"ordered", 0)):
+        body += name + b"\x00" + st.pack(">Q", val)
+    body += b"r" + st.pack(">Q", len(blocks))
+    for codes, counts in blocks:
+        n = len(counts)
+        s = len(codes)
+        body += int(n).to_bytes(1, "big")
+        sb = (s + 3) // 4
+        padded = np.zeros(sb * 4, np.uint8)
+        padded[sb * 4 - s:] = codes
+        body += ((padded[0::4] << 6) | (padded[1::4] << 4)
+                 | (padded[2::4] << 2) | padded[3::4]).astype(
+                     np.uint8).tobytes()
+        for c in counts:
+            body += int(c).to_bytes(cs, "big")
+    body += b"KFF"
+    p2 = tmp_path / "unindexed.kff"
+    p2.write_bytes(bytes(body))
+    kf2 = read_kff(str(p2))
+    assert np.array_equal(kf2.kmers, want_rows)
+    assert np.array_equal(kf2.counts, want_counts)
+    meta2 = read_kff_meta(str(p2))  # unindexed walk skips blocks
+    assert meta2.max_in_block == 8 and meta2.k == k
+
+
+def test_kff_block_file_random_access(tmp_path):
+    """OpenForRA on a max>1 block KFF equals RA on the same records as a
+    plain max=1 file (GetCountersForRead through the wide/sorted path)."""
+    from kmc_tpu.formats.kff import KffWriter, read_kff
+    from kmc_tpu.api import KMCFile
+
+    rng = np.random.default_rng(13)
+    k, cs = 33, 2
+    kb = (k + 3) // 4
+    blocks = []
+    for _ in range(30):
+        n = int(rng.integers(1, 7))
+        blocks.append((rng.integers(0, 4, k + n - 1).astype(np.uint8),
+                       rng.integers(1, 5000, n).astype(np.uint32)))
+    pb = tmp_path / "b.kff"
+    w = KffWriter(str(pb), canonical=False, k=k, counter_size=cs,
+                  min_count=1, max_count=1 << 30)
+    w.store_block_section(blocks)
+    w.close()
+    kf = read_kff(str(pb))
+    order = np.lexsort(tuple(kf.kmers[:, j]
+                             for j in range(kb - 1, -1, -1)))
+    pp = tmp_path / "p.kff"
+    w = KffWriter(str(pp), canonical=False, k=k, counter_size=cs,
+                  min_count=1, max_count=1 << 30)
+    w.store_section(kf.kmers[order], kf.counts[order])
+    w.close()
+    fb, fp = KMCFile(), KMCFile()
+    assert fb.OpenForRA(str(pb)) and fp.OpenForRA(str(pp))
+    # queries: each block's own sequence (guaranteed hits) + random
+    for codes, _ in blocks[:10]:
+        q = "".join("ACGT"[c] for c in codes)
+        _, a = fb.counters_for_read_array(q)
+        _, b = fp.counters_for_read_array(q)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        assert (np.asarray(a) > 0).all()  # every window is a member
