@@ -695,20 +695,25 @@ def test_filter_bytes_fast_path_equivalence(two_dbs, tmp_path, monkeypatch):
     kms = [km for km, c in c1.items() if c >= 2][:40]
     plain = "".join(f"@q{i}\n{km}\n+\n{'I' * len(km)}\n"
                     for i, km in enumerate(kms))
+    keep = dict(min_kmers=1)  # each read holds ONE k-mer (a db1 member):
+    # min_kmers=1 keeps them, so the verbatim byte-span path really runs
     cases = {
-        "plain": (plain, {}),
-        "crlf": (plain.replace("\n", "\r\n"), {}),
+        "plain": (plain, keep),
+        "crlf": (plain.replace("\n", "\r\n"), keep),
         "trailws": ("".join(f"@q{i} \n{km}  \n+\n{'I' * len(km)}\n"
-                            for i, km in enumerate(kms)), {}),
+                            for i, km in enumerate(kms)), keep),
         "plusid": ("".join(f"@q{i}\n{km}\n+q{i}\n{'I' * len(km)}\n"
-                           for i, km in enumerate(kms)), {}),
-        "short": ("@s\nACGTACGT\n+\nIIIIIIII\n" + plain, {}),
-        "notrail": (plain.rstrip("\n"), {}),
-        "fasta": ("".join(f">q{i}\n{km}\n" for i, km in enumerate(kms)), {}),
-        "emptyseq": ("@e0\n\n+\n\n" + plain, {}),
+                           for i, km in enumerate(kms)), keep),
+        "short": ("@s\nACGTACGT\n+\nIIIIIIII\n" + plain, keep),
+        "notrail": (plain.rstrip("\n"), keep),
+        "fasta": ("".join(f">q{i}\n{km}\n" for i, km in enumerate(kms)),
+                  keep),
+        "emptyseq": ("@e0\n\n+\n\n" + plain, keep),
+        "dropall": (plain, {}),  # default min_kmers=2 drops every read
+        "mixed": (plain, dict(min_kmers=0.5, max_kmers=1.0)),
         "frac": (plain, dict(min_kmers=0.3, max_kmers=1.0)),
-        "fq2fa": (plain, dict(out_format="a")),
-        "partialtail": (plain + "@tail\nACGTACGT", {}),
+        "fq2fa": (plain, dict(out_format="a", min_kmers=1)),
+        "partialtail": (plain + "@tail\nACGTACGT", keep),
     }
     from kmc_tpu.tools.fastq_filter import filter_fastq
     for chunk in (8 << 20, 61):
@@ -724,6 +729,24 @@ def test_filter_bytes_fast_path_equivalence(two_dbs, tmp_path, monkeypatch):
                 counts = filter_fastq(db1, str(inp), str(out), **kw)
                 res[fast] = (counts, out.read_bytes())
             assert res["1"] == res["0"], (name, chunk)
+    # gzip input + gzip output + multi-input list through both paths
+    import gzip
+
+    gz_in = tmp_path / "q.fq.gz"
+    with gzip.open(gz_in, "wt") as f:
+        f.write(plain)
+    q2 = tmp_path / "q2.fq"
+    q2.write_text(plain.replace("@q", "@r"))
+    res = {}
+    for fast in ("1", "0"):
+        monkeypatch.setenv("KMC_TPU_FILTER_BYTES", fast)
+        out = tmp_path / f"gz.{fast}.out.gz"
+        counts = filter_fastq(db1, [str(gz_in), str(q2)], str(out),
+                               min_kmers=1)
+        with gzip.open(out, "rb") as f:
+            res[fast] = (counts, f.read())
+    assert res["1"] == res["0"]
+    assert res["1"][1].startswith(b"@q") and b"@r" in res["1"][1]
 
 
 def test_complex_streaming_path_equivalence(two_dbs, tmp_path, monkeypatch):
