@@ -299,3 +299,42 @@ def test_kff_block_file_random_access(tmp_path):
         _, b = fp.counters_for_read_array(q)
         assert np.array_equal(np.asarray(a), np.asarray(b))
         assert (np.asarray(a) > 0).all()  # every window is a member
+
+
+def test_kff_block_sections_malformed(tmp_path):
+    """Malformed block sections fail with ValueError (the CLI error
+    contract), never a crash or silent truncation: n=0, n>max, and a
+    truncated payload."""
+    import struct as st
+    from kmc_tpu.formats.kff import read_kff, read_kff_meta
+
+    k, cs = 21, 1
+
+    def build(n_field, blocks_declared=1, payload=b"\x00" * 6,
+              data=b"\x05"):
+        body = bytearray()
+        body += b"KFF" + bytes([1, 0, 0b00011011, 1, 1]) + st.pack(">I", 0)
+        body += b"v" + st.pack(">Q", 4)
+        for name, val in ((b"k", k), (b"max", 8), (b"data_size", cs),
+                          (b"ordered", 0)):
+            body += name + b"\x00" + st.pack(">Q", val)
+        body += b"r" + st.pack(">Q", blocks_declared)
+        body += bytes([n_field]) + payload + data
+        body += b"KFF"
+        return body
+
+    p = tmp_path / "bad.kff"
+    # n = 0 (below 1)
+    p.write_bytes(bytes(build(0)))
+    for fn in (read_kff, read_kff_meta):
+        with pytest.raises(ValueError):
+            fn(str(p))
+    # n = 9 > max = 8
+    p.write_bytes(bytes(build(9)))
+    for fn in (read_kff, read_kff_meta):
+        with pytest.raises(ValueError):
+            fn(str(p))
+    # truncated: block claims 8 k-mers but payload is short
+    p.write_bytes(bytes(build(8)))
+    with pytest.raises(ValueError):
+        read_kff(str(p))
