@@ -197,12 +197,15 @@ def filter_fastq(
                     fout.write(f"{header.rstrip()}\n{seq}\n+\n{qual}\n")
 
     def _process_bytes(fin, fout):
-        """Remove-mode fast path: chunked binary reads, vectorized record
-        bookkeeping, and — when records are already in normalized form —
-        verbatim byte-span output with consecutive kept records coalesced
-        (the reference re-emits records unchanged, fastq_filter.cpp:176).
-        Falls back to _process semantics byte-for-byte when a chunk holds
-        trailing whitespace or a non-bare '+' line."""
+        """Fast path for ALL filter modes: chunked binary reads,
+        vectorized record bookkeeping, one joined DB query per chunk.
+        Remove mode re-emits normalized kept records as verbatim byte
+        spans with consecutive runs coalesced (the reference re-emits
+        records unchanged, fastq_filter.cpp:176); trim and hard-mask
+        compute their per-record transforms with vectorized window math
+        (reduceat first-bad-window / bincount coverage diff) and emit
+        rebuilt records.  Falls back to _process semantics byte-for-byte
+        for denormalized records and partial trailing records."""
         nonlocal n_kept, n_total, is_fasta
         import io
 
@@ -262,6 +265,97 @@ def filter_fastq(
                 cnt = np.zeros(0, np.uint32)
             nk = lens - k + 1
             nkc = np.maximum(nk, 0)
+            write_fasta = is_fasta if out_fasta is None else out_fasta
+            if not write_fasta and is_fasta:
+                # raised for any chunk with records, kept or not — the
+                # legacy path errors as soon as a batch is read
+                raise ValueError("FASTA input has no qualities; "
+                                 "cannot write FASTQ output")
+            if trim or hard_mask:
+                # vectorized per-record transforms over the VALID windows
+                # of the joined counter vector (window t of record i sits
+                # at offs[i]+t; windows crossing the 'N' separators never
+                # enter these arrays, matching per-read semantics)
+                cw_all = np.asarray(cnt)
+                total_v = int(nkc.sum())
+                v_base = np.zeros(n_rec, np.int64)
+                np.cumsum(nkc[:-1], out=v_base[1:])
+                rec_of_v = np.repeat(np.arange(n_rec, dtype=np.int64), nkc)
+                t_within = (np.arange(total_v, dtype=np.int64)
+                            - np.repeat(v_base, nkc))
+                w_idx = np.repeat(offs, nkc) + t_within
+                badw = (cw_all[w_idx] < thr if total_v
+                        else np.zeros(0, bool))
+                newlen = None
+                if trim:
+                    # first bad window per record (FilterReadTrim,
+                    # fastq_filter.cpp:134-152): drop on run 0, else keep
+                    # run + k - 1 bases
+                    BIG = np.int64(1) << 60
+                    if total_v:
+                        idxv = np.where(badw, t_within, BIG)
+                        seg = np.minimum(v_base, total_v - 1)
+                        fb = np.minimum.reduceat(idxv, seg)
+                        fb = np.where(nkc > 0, fb, 0)
+                        run = np.where(fb >= BIG, nkc, fb)
+                    else:
+                        run = np.zeros(n_rec, np.int64)
+                    keep = (nkc > 0) & (run > 0)
+                    newlen = run + k - 1
+                else:
+                    # hard mask (FilterReadHardMask, :153-174): bases
+                    # covered by a below-threshold window become 'N';
+                    # spans clip at each record's end (mask[i:i+k] on a
+                    # len(seq) mask)
+                    keep = nkc > 0
+                    cover = None
+                    if total_v:
+                        bad_pos = w_idx[badw]
+                        rec_end = offs + lens
+                        ends = np.minimum(bad_pos + np.int64(k),
+                                          rec_end[rec_of_v[badw]])
+                        d = np.bincount(bad_pos, minlength=total + 1)
+                        d -= np.bincount(ends, minlength=total + 1)
+                        cover = np.cumsum(d[:total]) > 0
+                n_kept += int(keep.sum())
+                kidx = np.flatnonzero(keep)
+                if len(kidx):
+                    if not trim:
+                        if cover is not None and cover.any():
+                            jarr = np.frombuffer(joined, np.uint8).copy()
+                            jarr[cover] = 0x4E  # 'N'
+                            jb = jarr.tobytes()
+                        else:
+                            jb = joined
+                    parts = []
+                    ws = b" \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f"
+                    off_l = offs.tolist()
+                    lens_l = lens.tolist()
+                    nl_l = newlen.tolist() if trim else None
+                    for i in kidx.tolist():
+                        hdr = data[line_s[rl * i]:line_e[rl * i]].rstrip(ws)
+                        if trim:
+                            L = nl_l[i]
+                            seqb = data[seq_s[i]:seq_s[i] + L]
+                        else:
+                            o = off_l[i]
+                            seqb = jb[o:o + lens_l[i]]
+                        if write_fasta and not is_fasta:
+                            parts.append(b">" + hdr.lstrip(b"@") + b"\n"
+                                         + seqb + b"\n")
+                        elif write_fasta:
+                            parts.append(hdr + b"\n" + seqb + b"\n")
+                        else:
+                            qs = line_s[rl * i + 3]
+                            qe = line_e[rl * i + 3]
+                            if trim:
+                                qe = min(qe, qs + L)
+                            parts.append(hdr + b"\n" + seqb + b"\n+\n"
+                                         + data[qs:qe] + b"\n")
+                    fout.write(b"".join(parts))
+                if at_eof:
+                    break
+                continue
             # cast first, then a same-dtype cumsum (a casting cumsum is
             # ~20x slower in numpy)
             present = (np.asarray(cnt) > 0).astype(np.int64)
@@ -279,12 +373,6 @@ def filter_fastq(
             keep = (nk > 0) & (lo_v <= n_present) & (n_present <= hi_v)
             n_kept += int(keep.sum())
             kidx = np.flatnonzero(keep)
-            write_fasta = is_fasta if out_fasta is None else out_fasta
-            if not write_fasta and is_fasta:
-                # raised for any chunk with records, kept or not — the
-                # legacy path errors as soon as a batch is read
-                raise ValueError("FASTA input has no qualities; "
-                                 "cannot write FASTQ output")
             if not len(kidx):
                 if at_eof:
                     break
@@ -344,8 +432,7 @@ def filter_fastq(
     # the fast path issues one joined DB query per 8 MB chunk — only
     # sane against the native lookup; the NumPy fallback materializes
     # per-window arrays, so it keeps the 256-read batching of _process
-    fast = (not trim and not hard_mask
-            and _os.environ.get("KMC_TPU_FILTER_BYTES", "1") != "0"
+    fast = (_os.environ.get("KMC_TPU_FILTER_BYTES", "1") != "0"
             and _nt._enabled() and _nt.get_lib() is not None)
     with _open(output_path, "wb" if fast else "wt") as fout:
         for one_input in inputs:

@@ -714,6 +714,27 @@ def test_filter_bytes_fast_path_equivalence(two_dbs, tmp_path, monkeypatch):
         "frac": (plain, dict(min_kmers=0.3, max_kmers=1.0)),
         "fq2fa": (plain, dict(out_format="a", min_kmers=1)),
         "partialtail": (plain + "@tail\nACGTACGT", keep),
+        "trim": (plain, dict(min_kmers=2, trim=True)),
+        "trim_crlf": (plain.replace("\n", "\r\n"),
+                      dict(min_kmers=2, trim=True)),
+        "hm": (plain, dict(min_kmers=2, hard_mask=True)),
+        "hm_short": ("@s\nACGTACGT\n+\nIIIIIIII\n" + plain,
+                     dict(min_kmers=2, hard_mask=True)),
+        "trim2fa": (plain, dict(min_kmers=2, trim=True, out_format="a")),
+        "hm_fasta": ("".join(f">q{i}\n{km}\n"
+                             for i, km in enumerate(kms)),
+                     dict(min_kmers=2, hard_mask=True)),
+        # member prefix + foreign tail: later windows miss the DB, so
+        # trim really truncates and hard-mask really masks mid-read
+        "trim_cut": ("".join(f"@c{i}\n{km}TTTTTTTTAA\n+\n{'I' * 41}\n"
+                             for i, km in enumerate(kms)),
+                     dict(min_kmers=2, trim=True)),
+        "hm_cut": ("".join(f"@c{i}\n{km}TTTTTTTTAA\n+\n{'I' * 41}\n"
+                           for i, km in enumerate(kms)),
+                   dict(min_kmers=2, hard_mask=True)),
+        "hm_mid": ("".join(f"@m{i}\nGG{km}CC\n+\n{'I' * 25}\n"
+                           for i, km in enumerate(kms)),
+                   dict(min_kmers=2, hard_mask=True)),
     }
     from kmc_tpu.tools.fastq_filter import filter_fastq
     for chunk in (8 << 20, 61):
