@@ -735,6 +735,13 @@ def test_filter_bytes_fast_path_equivalence(two_dbs, tmp_path, monkeypatch):
         "hm_mid": ("".join(f"@m{i}\nGG{km}CC\n+\n{'I' * 25}\n"
                            for i, km in enumerate(kms)),
                    dict(min_kmers=2, hard_mask=True)),
+        # malformed: qual shorter than seq — trim's qual[:L] must clip
+        "trim_shortqual": ("".join(
+            f"@s{i}\n{km}TTTTTTTTAA\n+\n{'I' * 10}\n"
+            for i, km in enumerate(kms)), dict(min_kmers=2, trim=True)),
+        "hm2fa": ("".join(f"@c{i}\n{km}TTTTTTTTAA\n+\n{'I' * 41}\n"
+                          for i, km in enumerate(kms)),
+                  dict(min_kmers=2, hard_mask=True, out_format="a")),
     }
     from kmc_tpu.tools.fastq_filter import filter_fastq
     for chunk in (8 << 20, 61):
