@@ -70,6 +70,20 @@ def main():
     b = fabricate(tmp, "b", k, lpl, n_bins, int(n * 1.2), rng, 0.85)
     print(f"host cores: {os.cpu_count()}")
 
+    # threaded RA lookup case: the span-fanned binned lookup behind
+    # GetCountersForRead / the read filter (kst_counters_for_seq_binned)
+    from kmc_tpu.api import KMCFile
+
+    ra = KMCFile()
+    assert ra.OpenForRA(a)
+    q_seq = "".join("ACGTN"[i] for i in rng.integers(0, 5, 24_000_000))
+
+    def ra_lookup(o):
+        ok, c = ra.counters_for_read_array(q_seq)
+        assert ok
+        with open(o + ".txt", "wb") as f:
+            f.write(np.asarray(c).tobytes())
+
     cases = [
         ("sort", lambda o: db_ops.transform_sort(a, o),
          (".kmc_pre", ".kmc_suf")),
@@ -78,6 +92,7 @@ def main():
         ("dump -s", lambda o: db_ops.transform_dump(a, o + ".txt",
                                                     sorted_output=True),
          (".txt",)),
+        ("ra_lookup", ra_lookup, (".txt",)),
     ]
     base_hash = {}
     rows = []
