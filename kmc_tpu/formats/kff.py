@@ -26,6 +26,12 @@ def _be(x: int) -> bytes:
     return struct.pack(">Q", x & 0xFFFFFFFFFFFFFFFF)
 
 
+def _block_n_bytes(mx: int) -> int:
+    """Bytes of the per-block k-mer count: the minimal number that can
+    represent the scope's `max` variable (KFF v1 raw-block rule)."""
+    return max(1, (int(mx).bit_length() + 7) // 8)
+
+
 class KffWriter:
     def __init__(self, path: str, canonical: bool, k: int, counter_size: int,
                  min_count: int, max_count: int, encoding: int = DEFAULT_ENCODING):
@@ -96,7 +102,7 @@ class KffWriter:
         blocks = list(blocks)
         mx = max((len(c) for _, c in blocks), default=1)
         self._scope_max(max(int(mx), 2))  # a max=1 scope has no n field
-        n_bytes = max(1, (int(self._cur_max).bit_length() + 7) // 8)
+        n_bytes = _block_n_bytes(self._cur_max)
         self._index.append((b"r", self._pos))
         self._write(b"r")
         self._write(_be(len(blocks)))
@@ -297,7 +303,7 @@ def read_kff_meta(path: str) -> KffMeta:
                 if not indexed:
                     # block sizes are data-dependent: walk them (n on
                     # minimal-for-max bytes, then sequence + data)
-                    n_bytes = max(1, (int(mx).bit_length() + 7) // 8)
+                    n_bytes = _block_n_bytes(mx)
                     k = variables["k"]
                     ds = variables["data_size"]
                     if scopes:
@@ -430,7 +436,7 @@ def _index_positions(f, size):
 def _walk_blocks(raw, pos, nb, k, mx, data_size):
     """Sequential walk over a max>1 raw-block section (sizes are
     data-dependent): per-block (seq offset, n), and the end position."""
-    n_bytes = max(1, (int(mx).bit_length() + 7) // 8)
+    n_bytes = _block_n_bytes(mx)
     offs = np.empty(nb, np.int64)
     ns = np.empty(nb, np.int64)
     for i in range(nb):

@@ -27,6 +27,7 @@ from ..api import KMCFile
 
 _CHUNK = 8 << 20  # bytes per fast-path read; tests shrink it to force
                   # record/CR splits across chunk boundaries
+_WS = b" \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f"  # str.rstrip's ASCII set
 
 
 def _open(path, mode):
@@ -280,12 +281,10 @@ def filter_fastq(
                 total_v = int(nkc.sum())
                 v_base = np.zeros(n_rec, np.int64)
                 np.cumsum(nkc[:-1], out=v_base[1:])
-                rec_of_v = np.repeat(np.arange(n_rec, dtype=np.int64), nkc)
                 t_within = (np.arange(total_v, dtype=np.int64)
                             - np.repeat(v_base, nkc))
                 w_idx = np.repeat(offs, nkc) + t_within
-                badw = (cw_all[w_idx] < thr if total_v
-                        else np.zeros(0, bool))
+                badw = cw_all[w_idx] < thr
                 newlen = None
                 if trim:
                     # first bad window per record (FilterReadTrim,
@@ -310,6 +309,8 @@ def filter_fastq(
                     keep = nkc > 0
                     cover = None
                     if total_v:
+                        rec_of_v = np.repeat(
+                            np.arange(n_rec, dtype=np.int64), nkc)
                         bad_pos = w_idx[badw]
                         rec_end = offs + lens
                         ends = np.minimum(bad_pos + np.int64(k),
@@ -328,12 +329,11 @@ def filter_fastq(
                         else:
                             jb = joined
                     parts = []
-                    ws = b" \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f"
                     off_l = offs.tolist()
                     lens_l = lens.tolist()
                     nl_l = newlen.tolist() if trim else None
                     for i in kidx.tolist():
-                        hdr = data[line_s[rl * i]:line_e[rl * i]].rstrip(ws)
+                        hdr = data[line_s[rl * i]:line_e[rl * i]].rstrip(_WS)
                         if trim:
                             L = nl_l[i]
                             seqb = data[seq_s[i]:seq_s[i] + L]
@@ -400,9 +400,8 @@ def filter_fastq(
                     for a, b in zip(run_a, run_b)))
             else:
                 parts = []
-                ws = b" \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f"  # str.rstrip ASCII set
                 for i in kidx:
-                    hdr = data[line_s[rl * i]:line_e[rl * i]].rstrip(ws)
+                    hdr = data[line_s[rl * i]:line_e[rl * i]].rstrip(_WS)
                     seq = data[seq_s[i]:seq_e[i]]
                     if write_fasta and not is_fasta:
                         parts.append(b">" + hdr.lstrip(b"@") + b"\n"
@@ -433,7 +432,7 @@ def filter_fastq(
     # sane against the native lookup; the NumPy fallback materializes
     # per-window arrays, so it keeps the 256-read batching of _process
     fast = (_os.environ.get("KMC_TPU_FILTER_BYTES", "1") != "0"
-            and _nt._enabled() and _nt.get_lib() is not None)
+            and _nt.available())
     with _open(output_path, "wb" if fast else "wt") as fout:
         for one_input in inputs:
             with _open(one_input, "rb" if fast else "rt") as fin:

@@ -79,6 +79,12 @@ def _enabled() -> bool:
     return os.environ.get("KMC_TPU_NATIVE_TOOLS", "1") != "0"
 
 
+def available() -> bool:
+    """True when the native core is enabled AND its library loaded —
+    the gate callers use before shaping work for the native fast paths."""
+    return _enabled() and get_lib() is not None
+
+
 def _cache_dir() -> Path:
     d = os.environ.get("KMC_TPU_NATIVE_CACHE")
     if d:
