@@ -802,3 +802,56 @@ def test_complex_streaming_path_equivalence(two_dbs, tmp_path, monkeypatch):
         with open(str(outs["mem"]) + suf, "rb") as fa, \
                 open(str(outs["stream"]) + suf, "rb") as fb:
             assert fa.read() == fb.read(), suf
+
+
+def test_filter_bytes_fast_path_fuzz(two_dbs, tmp_path, monkeypatch):
+    """Randomized differential: random record shapes (lengths, line
+    endings, whitespace, N runs, short/empty reads) x random modes
+    through the fast and legacy paths must agree byte-for-byte."""
+    import random
+    import kmc_tpu.tools.fastq_filter as ff
+    from kmc_tpu.tools.fastq_filter import filter_fastq
+
+    db1, _, c1, _ = two_dbs
+    kms = [km for km, c in c1.items() if c >= 2]
+    rng = random.Random(99)
+    for trial in range(12):
+        recs = []
+        for i in range(rng.randrange(1, 30)):
+            r = rng.random()
+            if r < 0.5:
+                seq = rng.choice(kms)
+            elif r < 0.7:
+                seq = "".join(rng.choice("ACGTN")
+                              for _ in range(rng.randrange(0, 70)))
+            else:
+                seq = rng.choice(kms) + "".join(
+                    rng.choice("ACGT") for _ in range(rng.randrange(0, 30)))
+            ws = " " * rng.randrange(0, 2)
+            recs.append(f"@r{i}{ws}\n{seq}\n+\n{'I' * len(seq)}\n")
+        content = "".join(recs)
+        if rng.random() < 0.3:
+            content = content.replace("\n", "\r\n")
+        if rng.random() < 0.3:
+            content = content.rstrip("\n")
+        mode = rng.choice(["remove", "trim", "hm"])
+        kw = {"remove": dict(min_kmers=rng.choice([1, 2, 0.5]),
+                             max_kmers=rng.choice([3, 10**9, 1.0])),
+              "trim": dict(min_kmers=rng.choice([1, 2]), trim=True),
+              "hm": dict(min_kmers=rng.choice([1, 2]), hard_mask=True),
+              }[mode]
+        if isinstance(kw.get("min_kmers"), float) or \
+                isinstance(kw.get("max_kmers"), float):
+            kw.pop("trim", None), kw.pop("hard_mask", None)
+        inp = tmp_path / f"fz{trial}.fq"
+        with open(inp, "w", newline="") as f:
+            f.write(content)
+        monkeypatch.setattr(ff, "_CHUNK",
+                            rng.choice([8 << 20, 256, 61]))
+        res = {}
+        for fast in ("1", "0"):
+            monkeypatch.setenv("KMC_TPU_FILTER_BYTES", fast)
+            out = tmp_path / f"fz{trial}.{fast}.out"
+            counts = filter_fastq(db1, str(inp), str(out), **kw)
+            res[fast] = (counts, out.read_bytes())
+        assert res["1"] == res["0"], (trial, mode)
