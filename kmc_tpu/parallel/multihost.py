@@ -187,6 +187,24 @@ def _exchange_shard(cols, counts, n_used, *, k, fuse, n_devices, capacity,
     if has_counts:
         cnts = jnp.where(live, counts[0], 0)
         live = live & (cnts > 0)
+    if D == 1:
+        # single owner = self: the owner sort, segment slicing and
+        # all_to_all are all identities — mask dead rows and fit to the
+        # capacity shape (capacity >= n_used covers every live row, which
+        # all sit below n_used).  Saves the full-width owner sort on the
+        # 1-device mesh (measured inside exchange_groupsort_s).
+        def fit(col, fill):
+            if col.shape[0] >= capacity:
+                return col[:capacity]
+            pad = jnp.full((capacity - col.shape[0],), fill, col.dtype)
+            return jnp.concatenate([col, pad])
+
+        rc_keys = [fit(jnp.where(live, c, U32MAX), U32MAX)
+                   for c in key_cols]
+        w = cnts if has_counts else live.astype(jnp.uint32)
+        weights = fit(jnp.where(live, w, jnp.uint32(0)), jnp.uint32(0))
+        return rc_keys, weights, jnp.zeros((), jnp.int32)
+
     if fuse:
         bins = key_cols[0] >> (2 * r0)
     else:
