@@ -375,6 +375,10 @@ class KMCFile:
     def _open(self, path: str, ra: bool = True) -> bool:
         self._binned_src = None
         self._ra_maps = None
+        self._rows_idx16_cache = None
+        self._rows_keys0_cache = None
+        self._sym_map = None  # else a prior non-default KFF re-encodes
+        # queries against the next database
         if ra and str(path).endswith(".kff"):
             # KFF random access: materialize into the same sorted RA
             # structure the reference builds (CKffAndKMCRandomAccess
@@ -509,13 +513,17 @@ class KMCFile:
     def Close(self) -> bool:
         ok = (self._db_obj is not None or self._db_path is not None
               or self._reader is not None
-              or self._file_ra is not None)
+              or self._file_ra is not None
+              or self._kmers_arr is not None)  # KFF-RA materialized mode
         self._db = None
         self._file_ra = None
         self._kmers = self._counts = self._kmers_keys = None
         self._keys_idx16 = None
+        self._rows_idx16_cache = None
+        self._rows_keys0_cache = None
         self._binned_src = None
         self._ra_maps = None
+        self._sym_map = None
         if self._reader is not None:
             self._reader.close()
             self._reader = None

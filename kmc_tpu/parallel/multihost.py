@@ -203,7 +203,12 @@ def _exchange_shard(cols, counts, n_used, *, k, fuse, n_devices, capacity,
                    for c in key_cols]
         w = cnts if has_counts else live.astype(jnp.uint32)
         weights = fit(jnp.where(live, w, jnp.uint32(0)), jnp.uint32(0))
-        return rc_keys, weights, jnp.zeros((), jnp.int32)
+        # an explicitly undersized capacity truncates live rows here just
+        # like the multi-device segment slicing would — report them so the
+        # caller's capacity-exceeded check fires instead of silently
+        # losing k-mers
+        n_dropped = jnp.sum((live & (idx >= capacity)).astype(jnp.int32))
+        return rc_keys, weights, n_dropped
 
     if fuse:
         bins = key_cols[0] >> (2 * r0)

@@ -292,9 +292,14 @@ def filter_fastq(
                     # run + k - 1 bases
                     BIG = np.int64(1) << 60
                     if total_v:
-                        idxv = np.where(badw, t_within, BIG)
-                        seg = np.minimum(v_base, total_v - 1)
-                        fb = np.minimum.reduceat(idxv, seg)
+                        # BIG sentinel keeps every v_base a valid reduceat
+                        # index (records with nkc==0 at the tail have
+                        # v_base == total_v); clipping to total_v-1 would
+                        # split the previous record's segment and lose its
+                        # last window from the min
+                        idxv = np.concatenate(
+                            [np.where(badw, t_within, BIG), [BIG]])
+                        fb = np.minimum.reduceat(idxv, v_base)
                         fb = np.where(nkc > 0, fb, 0)
                         run = np.where(fb >= BIG, nkc, fb)
                     else:

@@ -1818,6 +1818,25 @@ int64_t kst_histogram(const InputSpec* a, uint64_t* hist, uint64_t hist_len) {
     return n;
 }
 
+// ACGT->2-bit code table shared by the seq-counter entry points.  These
+// are called GIL-released from multiple Python threads, so the table is
+// built under C++11 magic-statics (thread-safe one-time init) instead of
+// an unsynchronized `static bool init` flag.
+static const uint8_t* kst_code_table() {
+    struct Tbl {
+        uint8_t code[256];
+        Tbl() {
+            memset(code, 4, sizeof(code));
+            code['A'] = code['a'] = 0;
+            code['C'] = code['c'] = 1;
+            code['G'] = code['g'] = 2;
+            code['T'] = code['t'] = 3;
+        }
+    };
+    static const Tbl tbl;
+    return tbl.code;
+}
+
 // Counters for every k-mer window of a text sequence against an in-RAM
 // random-access index (sorted u64 keys + u32 counts) — the hot loop of
 // CKMCFile::GetCountersForRead (kmc_api/kmc_file.cpp:1193) for k<=32.
@@ -1833,16 +1852,7 @@ int64_t kst_counters_for_seq(const uint8_t* seq, int64_t seq_len,
                              uint64_t n_keys, const uint64_t* idx16,
                              uint32_t* out) {
     if (k < 1 || k > 32 || seq_len < (int64_t)k) return 0;
-    static uint8_t code[256];
-    static bool init = false;
-    if (!init) {
-        memset(code, 4, sizeof(code));
-        code['A'] = code['a'] = 0;
-        code['C'] = code['c'] = 1;
-        code['G'] = code['g'] = 2;
-        code['T'] = code['t'] = 3;
-        init = true;
-    }
+    const uint8_t* code = kst_code_table();
     const uint32_t kb = (k + 3) / 4;
     const uint32_t key_shift = 64 - 8 * kb;
     const uint64_t mask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
@@ -1905,16 +1915,7 @@ int64_t kst_counters_for_seq_wide(const uint8_t* seq, int64_t seq_len,
                                   const uint64_t* keys0, uint32_t* out) {
     if (k < 33 || k > 256 || seq_len < (int64_t)k) return 0;
     if (kb != (k + 3) / 4) return -1;
-    static uint8_t code[256];
-    static bool init = false;
-    if (!init) {
-        memset(code, 4, sizeof(code));
-        code['A'] = code['a'] = 0;
-        code['C'] = code['c'] = 1;
-        code['G'] = code['g'] = 2;
-        code['T'] = code['t'] = 3;
-        init = true;
-    }
+    const uint8_t* code = kst_code_table();
     const uint32_t W = (k + 31) / 32;
     const int64_t n = seq_len - k + 1;
     std::atomic<bool> bad_w{false};
@@ -1983,16 +1984,7 @@ int64_t kst_counters_for_seq_binned(
     // prefix-only (bin 0); otherwise the KMC2 signature->bin chain
     if (sig_len && k < sig_len) return 0;
     if (k < 2 || k > 256 || seq_len < (int64_t)k) return 0;
-    static uint8_t code[256];
-    static bool init = false;
-    if (!init) {
-        memset(code, 4, sizeof(code));
-        code['A'] = code['a'] = 0;
-        code['C'] = code['c'] = 1;
-        code['G'] = code['g'] = 2;
-        code['T'] = code['t'] = 3;
-        init = true;
-    }
+    const uint8_t* code = kst_code_table();
     const uint32_t m = sig_len;
     const uint32_t sb = (k - lut_prefix_len) / 4;  // suffix bytes
     const uint32_t rec_bytes = sb + counter_size;

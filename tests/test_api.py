@@ -286,6 +286,32 @@ def test_kff_random_access(tmp_path):
     assert all(c >= 1 for c in per_read)
 
 
+def test_reuse_across_wide_k_databases(tmp_path):
+    """Regression (round-5 ADVICE): Close() then OpenForRA on a SECOND
+    k>32 database must not feed the first DB's cached jump table /
+    keys0 into counters_for_seq_wide (stale _rows_idx16_cache /
+    _rows_keys0_cache returned all-zero counters for the second DB)."""
+    from kmc_tpu.runner import OutputFileType, count
+
+    k = 45
+    f = KMCFile()
+    for seed in (11, 12):
+        reads = random_reads(40, 80, seed=seed)
+        inp = write_fastq(tmp_path / f"in{seed}.fastq", reads)
+        out = str(tmp_path / f"w{seed}")
+        count([inp], out, k=k, cutoff_min=1, batch_positions=1 << 12,
+              output_file_type=OutputFileType.KFF)
+        counts = oracle.count_kmers(reads, k)
+        assert f.OpenForRA(out + ".kff")
+        ok, per_read = f.GetCountersForRead(reads[0])
+        assert ok and len(per_read) == len(reads[0]) - k + 1
+        expect = [counts[min(reads[0][i:i + k],
+                             oracle.revcomp(reads[0][i:i + k]))]
+                  for i in range(len(per_read))]
+        assert [int(c) for c in per_read] == expect, seed
+        assert f.Close()
+
+
 def test_listing_filter_change_mid_stream(tmp_path):
     """SetMinCount during listing must apply to the already-buffered block
     (review finding r2): listing and RA modes yield the same sequence."""

@@ -742,6 +742,15 @@ def test_filter_bytes_fast_path_equivalence(two_dbs, tmp_path, monkeypatch):
         "hm2fa": ("".join(f"@c{i}\n{km}TTTTTTTTAA\n+\n{'I' * 41}\n"
                           for i, km in enumerate(kms)),
                   dict(min_kmers=2, hard_mask=True, out_format="a")),
+        # regression (round-5 ADVICE): reads whose FIRST bad window is
+        # their LAST window, followed by trailing no-window (len<k)
+        # records — the old reduceat boundary clip excluded the previous
+        # record's last window from its first-bad-window min, so trim
+        # kept the full read instead of truncating
+        "trim_tailnk0": ("".join(f"@t{i}\n{km}A\n+\n{'I' * 22}\n"
+                                 for i, km in enumerate(kms))
+                         + "@tail\nACG\n+\nIII\n@tail2\nAC\n+\nII\n",
+                         dict(min_kmers=2, trim=True)),
     }
     from kmc_tpu.tools.fastq_filter import filter_fastq
     for chunk in (8 << 20, 61):
