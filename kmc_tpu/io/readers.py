@@ -36,6 +36,14 @@ for i, ch in enumerate(b"ACGT"):
 CHUNK_BYTES = 64 << 20
 
 
+def set_chunk_bytes(n: int) -> None:
+    """Size the native/stream read chunk from the -m plan
+    (memory.plan_memory; the reference halves fastq_buffer_size until it
+    fits its pool, kmc.h:443-451).  Read at call time by every stream."""
+    global CHUNK_BYTES
+    CHUNK_BYTES = max(1 << 20, int(n))
+
+
 def _open_raw(path: str):
     p = Path(path)
     if p.suffix == ".gz":

@@ -983,7 +983,8 @@ class DeviceKmerStore:
     def __init__(self, capacity_rows: int, *, k: int, sig_len: int,
                  both_strands: bool, n_bins: int,
                  map_mode: str = "prefix", sig_map: np.ndarray | None = None,
-                 initial_rows: int | None = None):
+                 initial_rows: int | None = None,
+                 spill_budget_bytes: int | None = None):
         """capacity_rows is the HBM budget cap; the store starts small and
         grows 4x on demand (each growth recompiles the big kernels, 30-90s
         over the tunnel — TPU runs pass initial_rows=capacity to stay
@@ -1045,6 +1046,10 @@ class DeviceKmerStore:
         self._since_compact = 0
         self.n_autocompacts = 0
         self.spilled = []  # host-side spilled compacted (cols tuple, counts)
+        # -m enforcement (memory.plan_memory): cumulative spilled-run bytes
+        # beyond this trigger an in-place re-merge; a single merged run
+        # still over budget means the unique set doesn't fit -m
+        self.spill_budget_bytes = spill_budget_bytes
         self.total_appended_rows = 0
         # conservative host-side bound on total occurrences (every ingest
         # position contributes at most 1); selects the wide group-reduce
@@ -1285,6 +1290,54 @@ class DeviceKmerStore:
         self.n_used = jnp.int32(0)
         self._base = 0
         self._since_compact = 0
+        self._enforce_spill_budget()
+
+    def _spilled_bytes(self) -> int:
+        return sum(sum(c.nbytes for c in cols) + cnt.nbytes
+                   for cols, cnt in self.spilled)
+
+    def _enforce_spill_budget(self):
+        """-m enforcement: re-merge the spilled runs in place when their
+        cumulative bytes cross the budget (duplicates across runs
+        collapse — the strict-memory analogue of the reference re-planning
+        stage-2 pools under pressure, kmc.h:318-367); a single merged run
+        still over budget means the unique set genuinely exceeds -m."""
+        b = self.spill_budget_bytes
+        if b is None or self._spilled_bytes() <= b:
+            return
+        if len(self.spilled) > 1:
+            self._remerge_spilled()
+        if self._spilled_bytes() > b:
+            raise MemoryError(
+                f"unique k-mer set exceeds the -m/max_ram_gb host budget "
+                f"({self._spilled_bytes()} spilled bytes > "
+                f"{b} budget); raise -m")
+
+    def _remerge_spilled(self):
+        """Collapse every spilled run into one sorted unique run (host
+        lexsort + reduceat — the same merge finalize's host path runs,
+        done early to cap resident spill bytes)."""
+        nc = self.n_cols
+        cols = [np.concatenate([r[0][j] for r in self.spilled])
+                for j in range(nc)]
+        counts = np.concatenate([r[1] for r in self.spilled]).astype(np.uint64)
+        order = np.lexsort(tuple(cols[::-1]))
+        cols = [c[order] for c in cols]
+        counts = counts[order]
+        n = len(counts)
+        if n == 0:
+            self.spilled = [(tuple(cols), counts.astype(np.uint32))]
+            return
+        new = np.zeros(n, bool)
+        new[0] = True
+        for c in cols:
+            new[1:] |= c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        totals = np.add.reduceat(counts, starts)
+        # the device group-reduce saturates totals at u32 (ops above merge
+        # with that semantics), so the early merge clamps identically
+        merged_counts = np.minimum(totals, 0xFFFFFFFF).astype(np.uint32)
+        self.spilled = [(tuple(c[starts] for c in cols), merged_counts)]
 
     def _replay_spills(self):
         if not self.spilled:

@@ -155,9 +155,9 @@ def _compact_shard(cols, counts, n_used, *, has_counts, wide):
             n_groups[None])
 
 
-def _owner_hist_shard(cols, counts, n_used, *, fuse, r0, n_devices,
-                      has_counts):
-    """Per-device histogram of live rows per owner — sizes the all_to_all
+def _bin_hist_shard(cols, counts, n_used, *, fuse, r0, n_hist, has_counts):
+    """Per-device histogram of live rows per BIN — the measured load that
+    picks the contiguous owner boundaries and sizes the all_to_all
     segments exactly (the tight version of the reference's n_plus_x_recs
     pre-reservation, kb_collector.h:66-116)."""
     key0 = cols[0][0]
@@ -167,16 +167,26 @@ def _owner_hist_shard(cols, counts, n_used, *, fuse, r0, n_devices,
     if has_counts:
         live = live & (counts[0] > 0)
     bins = (key0 >> (2 * r0)) if fuse else key0
-    owner = jnp.where(live, (bins % n_devices).astype(jnp.int32), n_devices)
-    hist = jnp.zeros((n_devices + 1,), jnp.int32).at[owner].add(1)
-    return hist[:n_devices][None]
+    b = jnp.where(live, jnp.minimum(bins, jnp.uint32(n_hist - 1)),
+                  jnp.uint32(n_hist))
+    hist = jnp.zeros((n_hist + 1,), jnp.int32).at[b].add(1)
+    return hist[:n_hist][None]
 
 
-def _exchange_shard(cols, counts, n_used, *, k, fuse, n_devices, capacity,
-                    axis, has_counts):
+def _exchange_shard(cols, counts, n_used, bounds, *, k, fuse, n_devices,
+                    capacity, axis, has_counts):
     """Per-device: route rows to bin owners (one all_to_all of the key
     columns, plus the counts column once it exists).  Returns this owner's
-    received (key columns, weights, n_dropped)."""
+    received (key columns, weights, n_dropped).
+
+    Ownership is CONTIGUOUS in bin id: owner o holds bins
+    [bounds[o], bounds[o+1]) with the boundaries picked from the measured
+    per-bin histogram (exact balance).  Because the bin is the top bits of
+    the fused key, key order implies owner order — so the pre-exchange
+    pass is a plain key sort (no owner column), each owner's rows are a
+    contiguous slice of it, and the owners' outputs concatenated in device
+    order are already in global (bin, k-mer) order, exactly the bin-ordered
+    concatenation of the reference completer (kb_completer.cpp:131-222)."""
     D = n_devices
     W = (k + 15) // 16
     r0 = k - 16 * (W - 1)
@@ -188,11 +198,11 @@ def _exchange_shard(cols, counts, n_used, *, k, fuse, n_devices, capacity,
         cnts = jnp.where(live, counts[0], 0)
         live = live & (cnts > 0)
     if D == 1:
-        # single owner = self: the owner sort, segment slicing and
+        # single owner = self: the key sort, segment slicing and
         # all_to_all are all identities — mask dead rows and fit to the
         # capacity shape (capacity >= n_used covers every live row, which
-        # all sit below n_used).  Saves the full-width owner sort on the
-        # 1-device mesh (measured inside exchange_groupsort_s).
+        # all sit below n_used).  The phase-A grouping sort downstream
+        # orders the rows.
         def fit(col, fill):
             if col.shape[0] >= capacity:
                 return col[:capacity]
@@ -210,23 +220,17 @@ def _exchange_shard(cols, counts, n_used, *, k, fuse, n_devices, capacity,
         n_dropped = jnp.sum((live & (idx >= capacity)).astype(jnp.int32))
         return rc_keys, weights, n_dropped
 
-    if fuse:
-        bins = key_cols[0] >> (2 * r0)
-    else:
-        bins = key_cols[0]
-    owner = jnp.where(live, (bins % D).astype(jnp.uint32), jnp.uint32(D))
-
-    # slot rows into fixed-capacity per-owner segments (the ragged
-    # all-to-all of SURVEY.md §2.6, segment size measured exactly by
-    # _owner_hist_shard).  After the owner sort each owner's rows are a
-    # CONTIGUOUS run, so the segment layout is D dynamic slices + a tail
-    # mask — no full-width scatter (the 2.19 s/pass-at-2^28 primitive,
-    # docs/PERFORMANCE.md) ever runs.
+    # ONE key sort (dead rows masked to U32MAX keys sort to the end);
+    # owner segments fall out as contiguous slices via searchsorted on
+    # the sorted bin column against the owner boundaries
+    cols_in = [jnp.where(live, c, U32MAX) for c in key_cols]
     pay = [cnts] if has_counts else []
-    ops = jax.lax.sort([owner] + key_cols + pay, num_keys=1 + len(key_cols))
-    owner_s = ops[0]
-    cols_s = ops[1:]
-    owner_start = jnp.searchsorted(owner_s, jnp.arange(D + 1, dtype=jnp.uint32))
+    ops = jax.lax.sort(cols_in + pay, num_keys=len(key_cols))
+    cols_s = ops
+    bins_s = (cols_s[0] >> (2 * r0)) if fuse else cols_s[0]
+    # bounds: uint32[D+1], bounds[0] == 0, bounds[D] <= any dead-row bin
+    # value (dead keys are U32MAX, whose bin field exceeds every real bin)
+    owner_start = jnp.searchsorted(bins_s, bounds.astype(jnp.uint32))
     n_per_owner = (owner_start[1 : D + 1] - owner_start[:D]).astype(jnp.int32)
     n_dropped = jnp.sum(jnp.maximum(n_per_owner - capacity, 0))
     starts = owner_start[:D].astype(jnp.int32)
@@ -277,14 +281,14 @@ def _exchange_shard(cols, counts, n_used, *, k, fuse, n_devices, capacity,
     return rc_keys, weights, n_dropped
 
 
-def _finalize_shard(cols, counts, n_used, *, k, n_bins, fuse, n_devices,
-                    capacity, axis, has_counts):
+def _finalize_shard(cols, counts, n_used, bounds, *, k, n_bins, fuse,
+                    n_devices, capacity, axis, has_counts):
     """Classic single-dispatch finalize: exchange + full group-reduce.
     Returns per-device (bins, words, totals, n_groups, n_dropped)."""
     W = (k + 15) // 16
     r0 = k - 16 * (W - 1)
     rc_keys, weights, n_dropped = _exchange_shard(
-        cols, counts, n_used, k=k, fuse=fuse, n_devices=n_devices,
+        cols, counts, n_used, bounds, k=k, fuse=fuse, n_devices=n_devices,
         capacity=capacity, axis=axis, has_counts=has_counts)
     P_ = rc_keys[0].shape[0]
     keys_r, _, totals, n_groups = _group_reduce(rc_keys, [], weights)
@@ -303,8 +307,8 @@ def _finalize_shard(cols, counts, n_used, *, k, n_bins, fuse, n_devices,
     )
 
 
-def _finalize_shard_a(cols, counts, n_used, *, k, fuse, n_devices, capacity,
-                      axis, has_counts):
+def _finalize_shard_a(cols, counts, n_used, bounds, *, k, fuse, n_devices,
+                      capacity, axis, has_counts):
     """Tiled finalize phase A per owner: exchange + grouping sort +
     per-tile compaction bookkeeping (ops/store._tiled_reduce_a inlined over
     the received rows — received rows always carry explicit weights, so
@@ -312,7 +316,7 @@ def _finalize_shard_a(cols, counts, n_used, *, k, fuse, n_devices, capacity,
     from ..ops.store import _TILE_T
 
     rc_keys, weights, n_dropped = _exchange_shard(
-        cols, counts, n_used, k=k, fuse=fuse, n_devices=n_devices,
+        cols, counts, n_used, bounds, k=k, fuse=fuse, n_devices=n_devices,
         capacity=capacity, axis=axis, has_counts=has_counts)
     T = _TILE_T
     P_ = rc_keys[0].shape[0]
@@ -364,6 +368,62 @@ def _finalize_shard_b(keys_s, before, src_t, offs, n_groups, *, out, k,
     out_bins = jnp.where(group_valid, bins_r, U32MAX).astype(jnp.int32)
     out_counts = jnp.where(group_valid, totals, 0)
     return out_bins[None], out_words[None], out_counts[None]
+
+
+def _finalize_shard_bc(keys_s, before, src_t, offs, n_groups, start, *,
+                       chunk, k, n_bins, fuse, counter_size, counter_max,
+                       cutoff_min, cutoff_max):
+    """Chunked tiled phase B+C per owner: gather the group representatives
+    for output rows [start, start+chunk) AND pack them into their on-disk
+    record bytes (kb big-endian k-mer bytes + counter_size LE counter),
+    keep bitmask, chunk-local per-bin kept histogram and stats in ONE
+    dispatch.  `start` is a traced replicated scalar, so every chunk
+    reuses one executable and the driver overlaps chunk c's D2H + host
+    assembly with chunk c+1's execution — the sharded port of the
+    single-chip KMC_TPU_PIPELINE_D2H path.  It also bounds the transfer
+    to ceil(n/chunk)*chunk rows instead of the pow2-padded owner
+    capacity (the old phase-C shipped the full pad)."""
+    keys_r, totals = _tiled_gather_groups(
+        tuple(c[0] for c in keys_s), before[0], src_t[0], offs[0],
+        n_groups[0], None, out=chunk, has_counts=True, start=start)
+    W = (k + 15) // 16
+    r0 = k - 16 * (W - 1)
+    idx = start.astype(jnp.int32) + jnp.arange(chunk, dtype=jnp.int32)
+    bins_r, wr = _split_bins(keys_r, fuse=fuse, r0=r0)
+    valid = ((idx < n_groups[0]) & (totals > 0)
+             & (bins_r < jnp.uint32(n_bins)))
+    ci = min(int(cutoff_min), 0xFFFFFFFF)
+    cx = min(int(cutoff_max), 0xFFFFFFFF)
+    cm = min(int(counter_max), 0xFFFFFFFF)
+    below = valid & (totals < jnp.uint32(ci))
+    above = valid & (totals > jnp.uint32(cx))
+    keep = valid & ~below & ~above
+    kb = (k + 3) // 4
+    cols = []
+    for j in range(kb):  # right-aligned big-endian bytes (words_to_kmer_bytes)
+        g = 4 * W - kb + j
+        sh = (3 - g % 4) * 8
+        cols.append(((wr[g // 4] >> jnp.uint32(sh))
+                     & jnp.uint32(0xFF)).astype(jnp.uint8))
+    cc = jnp.minimum(totals, jnp.uint32(cm))
+    for j in range(counter_size):  # little-endian counter
+        cols.append(((cc >> jnp.uint32(8 * j))
+                     & jnp.uint32(0xFF)).astype(jnp.uint8))
+    rec = jnp.stack(cols, axis=1)
+    bitw = jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8)
+    kbits = (keep.reshape(-1, 8).astype(jnp.uint8)
+             * bitw[None, :]).sum(axis=1).astype(jnp.uint8)
+    # kept rows per bin: valid rows are a bin-ascending prefix of the
+    # chunk, so per-bin ranges come from one searchsorted + cumsum diff
+    b_eff = jnp.where(valid, bins_r.astype(jnp.int32), jnp.int32(n_bins))
+    bound = jnp.searchsorted(b_eff, jnp.arange(n_bins + 1, dtype=jnp.int32))
+    kc = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                          jnp.cumsum(keep.astype(jnp.int32))])
+    hist = kc[bound[1:]] - kc[bound[:-1]]
+    stats = jnp.stack([valid.sum(dtype=jnp.int32),
+                       below.sum(dtype=jnp.int32),
+                       above.sum(dtype=jnp.int32)])
+    return rec[None], kbits[None], hist[None], stats[None]
 
 
 def _pack_records_shard(bins, words, counts, *, k, n_bins, counter_size,
@@ -444,7 +504,8 @@ class ShardedKmerStore:
     def __init__(self, mesh: Mesh, capacity_rows_per_device: int, *,
                  k: int, sig_len: int = 9, both_strands: bool = True,
                  n_bins: int = 512, axis: str = "d", chain: str = "global",
-                 map_mode: str = "prefix", sig_map: np.ndarray | None = None):
+                 map_mode: str = "prefix", sig_map: np.ndarray | None = None,
+                 spill_budget_bytes: int | None = None):
         self.mesh = mesh
         self.axis = axis
         self.D = mesh.devices.size
@@ -511,6 +572,8 @@ class ShardedKmerStore:
         self._base_rows = 0  # compacted prefix length (max over devices)
         self.has_counts = False
         self.spilled = []  # [(bins, words, counts) numpy triples], global
+        # -m enforcement (memory.plan_memory): see DeviceKmerStore
+        self.spill_budget_bytes = spill_budget_bytes
         self._multi = jax.process_count() > 1
         # wall-clock phase splits (seconds), populated by finalize() and by
         # barrier(); used by tools/tpu_sharded_run.py for the TPU-measured
@@ -724,6 +787,51 @@ class ShardedKmerStore:
         self.has_counts = True
         self._rows_per_device = 0
         self._base_rows = 0
+        self._enforce_spill_budget()
+
+    def _spilled_bytes(self) -> int:
+        return sum(b.nbytes + w.nbytes + c.nbytes
+                   for b, w, c in self.spilled)
+
+    def _enforce_spill_budget(self):
+        """-m enforcement: re-merge spilled runs in place when their
+        cumulative bytes cross the budget (duplicates across runs
+        collapse); a single run still over budget means the unique set
+        genuinely exceeds -m (see DeviceKmerStore._enforce_spill_budget)."""
+        bud = self.spill_budget_bytes
+        if bud is None or self._spilled_bytes() <= bud:
+            return
+        if len(self.spilled) > 1:
+            self._remerge_spilled()
+        if self._spilled_bytes() > bud:
+            raise MemoryError(
+                f"unique k-mer set exceeds the -m/max_ram_gb host budget "
+                f"({self._spilled_bytes()} spilled bytes > {bud}); raise -m")
+
+    def _remerge_spilled(self):
+        """Collapse every spilled (bins, words, counts) run into one
+        sorted unique run — the same lexsort+reduceat merge finalize()
+        runs over spills, done early to cap resident spill bytes."""
+        bins = np.concatenate([r[0] for r in self.spilled])
+        words = np.concatenate([r[1] for r in self.spilled])
+        counts = np.concatenate([r[2] for r in self.spilled]).astype(np.uint64)
+        order = np.lexsort(
+            tuple(words[:, t] for t in range(self.W - 1, -1, -1)) + (bins,))
+        bins, words, counts = bins[order], words[order], counts[order]
+        if len(bins):
+            newg = np.ones(len(bins), bool)
+            same = bins[1:] == bins[:-1]
+            for t in range(self.W):
+                same &= words[1:, t] == words[:-1, t]
+            newg[1:] = ~same
+            starts = np.flatnonzero(newg)
+            totals = np.add.reduceat(counts, starts)
+            bins, words = bins[newg], words[newg]
+            # device group-reduce saturates at u32: clamp identically
+            counts = np.minimum(totals, 0xFFFFFFFF).astype(np.uint32)
+        else:
+            counts = counts.astype(np.uint32)
+        self.spilled = [(bins, words, counts)]
 
     def _pull_rows(self):
         """Host copy of the live (bins, words, counts) rows of the store."""
@@ -749,23 +857,34 @@ class ShardedKmerStore:
 
     # -- finalize --
 
-    def _owner_capacity(self) -> int:
-        """Exact per-(sender, owner) segment size for the exchange, rounded
-        to a power of two to bound recompiles."""
+    def _owner_plan(self) -> tuple[int, np.ndarray]:
+        """(capacity, bounds): contiguous owner boundaries balanced from
+        the measured per-bin histogram, plus the exact per-(sender, owner)
+        segment size for the exchange (pow2-rounded to bound recompiles).
+
+        Owner o holds bins [bounds[o], bounds[o+1]): because the bin is
+        the top bits of the fused key, a plain key sort groups rows by
+        owner with NO owner column — each owner's rows are a contiguous
+        slice, and the owners' outputs concatenated in device order are
+        already in global (bin, k-mer) order (the bin-ordered
+        concatenation of the reference completer, kb_completer.cpp:
+        131-222, without its bin-permutation step)."""
+        nh = self.n_used_bins + 1  # real bins + the dead bin
         if self.D == 1:
             # single owner receives exactly its own live rows — the O(n)
-            # per-owner histogram pass is pure overhead (2.4 s at 2^27.6
+            # per-bin histogram pass is pure overhead (2.4 s at 2^27.6
             # rows on the TPU e2e); capacity is the live row count
-            return _round_pow2(int(self._host(self.n_used).max()))
+            cap = _round_pow2(int(self._host(self.n_used).max()))
+            return cap, np.array([0, nh], np.uint32)
         nc = self.n_cols
         col_specs = tuple(P(self.axis, None) for _ in range(nc))
         has = self.has_counts
-        key = ("hist", has)
+        key = ("binhist", has)
         jitted = self._jit_cache.get(key)
         if jitted is None:
             body = functools.partial(
-                _owner_hist_shard, fuse=self.fuse, r0=self.r0,
-                n_devices=self.D, has_counts=has)
+                _bin_hist_shard, fuse=self.fuse, r0=self.r0,
+                n_hist=nh, has_counts=has)
             sharded = jax.shard_map(
                 body, mesh=self.mesh,
                 in_specs=(col_specs, P(self.axis, None) if has else P(),
@@ -774,20 +893,39 @@ class ShardedKmerStore:
             )
             jitted = self._jit_cache[key] = jax.jit(sharded)
         counts_in = self.counts if has else jnp.zeros((), jnp.uint32)
-        hist = self._host(jitted(self.cols, counts_in, self.n_used))
-        return _round_pow2(int(hist.max()))
+        hist = self._host(jitted(self.cols, counts_in,
+                                 self.n_used)).astype(np.int64)  # (D, nh)
+        g = hist.sum(axis=0)
+        cum = np.concatenate([np.zeros(1, np.int64), np.cumsum(g)])
+        total = int(cum[-1])
+        # smallest bin boundary whose cumulative load reaches each owner's
+        # even share (exact balance up to the largest single bin)
+        targets = (total * np.arange(1, self.D, dtype=np.int64)) // self.D
+        inner = np.searchsorted(cum, targets, side="left")
+        bounds = np.concatenate(
+            [np.zeros(1, np.int64), inner, np.full(1, nh, np.int64)]
+        ).astype(np.uint32)
+        # exact per-(sender, owner) segment rows from the same histogram
+        pc = np.concatenate(
+            [np.zeros((self.D, 1), np.int64), np.cumsum(hist, axis=1)],
+            axis=1)
+        seg = pc[:, bounds[1:]] - pc[:, bounds[:-1]]
+        cap = _round_pow2(int(seg.max()) if seg.size else 64)
+        return cap, bounds
 
-    def _finalize_device(self, capacity_per_owner: int | None = None):
-        """Device side of finalize: owner-capacity measure + exchange +
-        group-reduce.  Returns (bins_d, words_d, counts_d, n_groups) —
-        per-owner device arrays where valid rows are a bin-ascending
-        prefix and invalid rows (beyond n_groups, merged-away, dead-bin)
-        carry bin == -1 / count == 0."""
+    def _phase_a(self, capacity_per_owner: int | None = None):
+        """Exchange + grouping sort + tile bookkeeping (tiled finalize
+        phase A) per owner.  Returns the per-owner phase-A artifacts plus
+        the host n_groups."""
         import time as _time
 
         D = self.D
         _t0 = _time.perf_counter()
-        cap = capacity_per_owner or self._owner_capacity()
+        if capacity_per_owner:
+            cap = capacity_per_owner
+            bounds = self._even_bounds()
+        else:
+            cap, bounds = self._owner_plan()
         self.timings["owner_hist_s"] = _time.perf_counter() - _t0
         has = self.has_counts
         nc = self.n_cols
@@ -795,32 +933,55 @@ class ShardedKmerStore:
         counts_in = self.counts if has else jnp.zeros((), jnp.uint32)
         common = dict(k=self.k, fuse=self.fuse, n_devices=D, capacity=cap,
                       axis=self.axis, has_counts=has)
+        body_a = functools.partial(_finalize_shard_a, **common)
+        sharded_a = jax.shard_map(
+            body_a, mesh=self.mesh,
+            in_specs=(col_specs, P(self.axis, None) if has else P(),
+                      P(self.axis), P()),
+            out_specs=(col_specs, P(self.axis, None),
+                       P(self.axis, None), P(self.axis, None),
+                       P(self.axis), P(self.axis)),
+        )
+        _t0 = _time.perf_counter()
+        (keys_s_d, before_d, src_t_d, offs_d, n_groups_d,
+         dropped_d) = jax.jit(sharded_a, donate_argnums=(0,))(
+            self.cols, counts_in, self.n_used, bounds)
+        self.cols = None
+        self.counts = None
+        n_groups = self._host(n_groups_d)
+        self.timings["exchange_groupsort_s"] = _time.perf_counter() - _t0
+        if int(self._host(dropped_d).sum()):
+            raise MemoryError("all_to_all capacity exceeded; raise "
+                              "capacity_per_owner or leave it automatic")
+        return keys_s_d, before_d, src_t_d, offs_d, n_groups_d, n_groups
+
+    def _even_bounds(self) -> np.ndarray:
+        """Bin-count-even owner boundaries (no histogram pass) — the
+        manual-capacity override path."""
+        nh = self.n_used_bins + 1
+        b = (np.arange(self.D + 1, dtype=np.int64) * nh) // self.D
+        return b.astype(np.uint32)
+
+    def _finalize_device(self, capacity_per_owner: int | None = None):
+        """Device side of finalize: owner-plan measure + exchange +
+        group-reduce.  Returns (bins_d, words_d, counts_d, n_groups) —
+        per-owner device arrays where valid rows are a bin-ascending
+        prefix and invalid rows (beyond n_groups, merged-away, dead-bin)
+        carry bin == -1 / count == 0."""
+        import time as _time  # noqa: F401 (both branches time phases)
+
+        D = self.D
+        has = self.has_counts
+        nc = self.n_cols
+        col_specs = tuple(P(self.axis, None) for _ in range(nc))
         if _use_tiled_finalize():
             # two-phase tiled finalize (see ops/store.py): phase A =
             # exchange + grouping sort + tile bookkeeping; phase B compiled
             # at the max-owner OUTPUT size
             from ..ops.store import _out_grain
 
-            body_a = functools.partial(_finalize_shard_a, **common)
-            sharded_a = jax.shard_map(
-                body_a, mesh=self.mesh,
-                in_specs=(col_specs, P(self.axis, None) if has else P(),
-                          P(self.axis)),
-                out_specs=(col_specs, P(self.axis, None),
-                           P(self.axis, None), P(self.axis, None),
-                           P(self.axis), P(self.axis)),
-            )
-            _t0 = _time.perf_counter()
             (keys_s_d, before_d, src_t_d, offs_d, n_groups_d,
-             dropped_d) = jax.jit(sharded_a, donate_argnums=(0,))(
-                self.cols, counts_in, self.n_used)
-            self.cols = None
-            self.counts = None
-            n_groups = self._host(n_groups_d)
-            self.timings["exchange_groupsort_s"] = _time.perf_counter() - _t0
-            if int(self._host(dropped_d).sum()):
-                raise MemoryError("all_to_all capacity exceeded; raise "
-                                  "capacity_per_owner or leave it automatic")
+             n_groups) = self._phase_a(capacity_per_owner)
             P128 = int(src_t_d.shape[1])
             grain = _out_grain()
             n_max = int(n_groups.max())
@@ -842,19 +1003,32 @@ class ShardedKmerStore:
             jax.block_until_ready((bins_d, words_d, counts_d))
             self.timings["finalize_exec_s"] = _time.perf_counter() - _t0
         else:
+            import time as _time
+
+            _t0 = _time.perf_counter()
+            if capacity_per_owner:
+                cap = capacity_per_owner
+                bounds = self._even_bounds()
+            else:
+                cap, bounds = self._owner_plan()
+            self.timings["owner_hist_s"] = _time.perf_counter() - _t0
+            counts_in = (self.counts if has
+                         else jnp.zeros((), jnp.uint32))
             body = functools.partial(
-                _finalize_shard, n_bins=self.n_used_bins, **common)
+                _finalize_shard, n_bins=self.n_used_bins, k=self.k,
+                fuse=self.fuse, n_devices=D, capacity=cap, axis=self.axis,
+                has_counts=has)
             sharded = jax.shard_map(
                 body,
                 mesh=self.mesh,
                 in_specs=(col_specs, P(self.axis, None) if has else P(),
-                          P(self.axis)),
+                          P(self.axis), P()),
                 out_specs=(P(self.axis, None), P(self.axis, None, None),
                            P(self.axis, None), P(self.axis), P(self.axis)),
             )
             jitted = jax.jit(sharded, donate_argnums=(0,))
             bins_d, words_d, counts_d, n_groups_d, dropped_d = jitted(
-                self.cols, counts_in, self.n_used)
+                self.cols, counts_in, self.n_used, bounds)
             self.cols = None
             self.counts = None
             n_groups = self._host(n_groups_d)
@@ -924,27 +1098,14 @@ class ShardedKmerStore:
                 counts = np.minimum(tot, 0xFFFFFFFF).astype(np.uint32)
             self.spilled = []
         elif len(parts_b) > 1:
-            # owners hold DISJOINT bin sets and each part is already
-            # (bin, k-mer)-sorted, so global order is a per-bin
-            # concatenation in bin-id order — O(n) slicing, ONE pass over
-            # the row payload, no row sort (the stable argsort this
-            # replaces measured 6.3 s at 8.4 M rows on the TPU host)
-            bounds = [np.searchsorted(pb, np.arange(self.n_used_bins + 2))
-                      for pb in parts_b]
-            sel_b, sel_w, sel_c = [], [], []
-            for b in range(self.n_used_bins + 1):
-                for pi in range(len(parts_b)):
-                    lo, hi = bounds[pi][b], bounds[pi][b + 1]
-                    if lo < hi:
-                        sel_b.append(parts_b[pi][lo:hi])
-                        sel_w.append(parts_w[pi][lo:hi])
-                        sel_c.append(parts_c[pi][lo:hi])
-            bins = (np.concatenate(sel_b) if sel_b
-                    else np.zeros(0, np.int64))
-            words = (np.concatenate(sel_w) if sel_w
-                     else np.zeros((0, self.W), np.uint32))
-            counts = (np.concatenate(sel_c) if sel_c
-                      else np.zeros(0, np.uint32))
+            # owner o holds the CONTIGUOUS bin range [bounds[o],
+            # bounds[o+1]) and each part is (bin, k-mer)-sorted, so global
+            # order is simply the parts concatenated in device order —
+            # no slicing, no row sort (the per-bin interleave this
+            # replaces was itself the fix for a 6.3 s stable argsort)
+            bins = np.concatenate(parts_b)
+            words = np.concatenate(parts_w)
+            counts = np.concatenate(parts_c)
         else:
             bins = (parts_b[0] if parts_b else np.zeros(0, np.int64))
             words = (parts_w[0] if parts_w
@@ -980,6 +1141,14 @@ class ShardedKmerStore:
         if self.spilled:
             raise RuntimeError("finalize_packed cannot merge spilled runs;"
                                " use finalize()")
+        from ..ops.store import _pipeline_chunks
+
+        chunk = _pipeline_chunks() if _use_tiled_finalize() else 0
+        if chunk:
+            return self._finalize_packed_pipelined(
+                chunk=chunk, cutoff_min=cutoff_min, cutoff_max=cutoff_max,
+                counter_max=counter_max, counter_size=counter_size,
+                capacity_per_owner=capacity_per_owner)
         D = self.D
         bins_d, words_d, counts_d, n_groups = self._finalize_device(
             capacity_per_owner)
@@ -1025,26 +1194,93 @@ class ShardedKmerStore:
             mask = np.unpackbits(kbits_h[d],
                                  bitorder="little")[:out].astype(bool)
             parts.append(rec_h[d][mask])
-        # owners hold disjoint bins; per-bin interleave in bin-id order
-        # (same O(n) recipe as finalize()'s raw reassembly)
-        if D > 1:
-            starts = np.zeros((D, n_bins + 1), np.int64)
-            np.cumsum(hist_h, axis=1, out=starts[:, 1:])
-            sel = []
-            for b in range(n_bins):
-                for d in range(D):
-                    lo, hi = starts[d, b], starts[d, b + 1]
-                    if lo < hi:
-                        sel.append(parts[d][lo:hi])
-            rec = (np.concatenate(sel) if sel
-                   else np.zeros((0, rec_h.shape[2]), np.uint8))
-        else:
-            rec = parts[0]
+        # owner o holds the contiguous bin range [bounds[o], bounds[o+1]):
+        # device-order concatenation IS global (bin, k-mer) order
+        rec = np.concatenate(parts) if D > 1 else parts[0]
         self.timings["host_reassembly_s"] = _time.perf_counter() - _t0
         hist = hist_h.sum(axis=0)
         n_unique = int(stats_h[:, 0].sum())
         n_below = int(stats_h[:, 1].sum())
         n_above = int(stats_h[:, 2].sum())
+        return (rec, hist, (n_unique, n_below, n_above),
+                self._total64(self.occ_host()),
+                self._total64(self._host(self.skm)))
+
+    def _finalize_packed_pipelined(self, *, chunk, cutoff_min, cutoff_max,
+                                   counter_max, counter_size,
+                                   capacity_per_owner=None):
+        """Chunked packed finalize: phase A once, then phase B+C in
+        `chunk`-row chunks per owner with a traced start scalar — ONE
+        compiled executable for every chunk, all chunks dispatched with
+        their D2H copies queued async, consumed in order so chunk c's
+        transfer + host assembly overlap chunk c+1's device execution
+        (the sharded port of the single-chip KMC_TPU_PIPELINE_D2H path).
+        Same return contract as finalize_packed."""
+        import time as _time
+
+        D = self.D
+        n_bins = self.n_used_bins
+        (keys_s_d, before_d, src_t_d, offs_d, n_groups_d,
+         n_groups) = self._phase_a(capacity_per_owner)
+        P128 = int(src_t_d.shape[1])
+        chunk = min(max(32, (chunk + 31) & ~31), P128)
+        n_max = int(n_groups.max())
+        n_chunks = -(-max(n_max, 1) // chunk)
+        body = functools.partial(
+            _finalize_shard_bc, chunk=chunk, k=self.k, n_bins=n_bins,
+            fuse=self.fuse, counter_size=counter_size,
+            counter_max=counter_max, cutoff_min=cutoff_min,
+            cutoff_max=cutoff_max)
+        col_specs = tuple(P(self.axis, None) for _ in range(self.n_cols))
+        sharded = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(col_specs, P(self.axis, None), P(self.axis, None),
+                      P(self.axis, None), P(self.axis), P()),
+            out_specs=(P(self.axis, None, None), P(self.axis, None),
+                       P(self.axis, None), P(self.axis, None)),
+        )
+        jitted = jax.jit(sharded)
+        _t0 = _time.perf_counter()
+        parts = []
+        for c in range(n_chunks):
+            out = jitted(keys_s_d, before_d, src_t_d, offs_d, n_groups_d,
+                         jnp.int32(c * chunk))
+            for a in out:
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
+            parts.append(out)
+        # chunk-0 stats completion = the exec side of the timer split (the
+        # remaining chunks' exec overlaps the consumption loop below)
+        st0 = self._host(parts[0][3]).astype(np.int64)
+        self.timings["finalize_exec_s"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+        n_unique = int(st0[:, 0].sum())
+        n_below = int(st0[:, 1].sum())
+        n_above = int(st0[:, 2].sum())
+        hist = np.zeros(n_bins, np.int64)
+        owner_parts: list[list[np.ndarray]] = [[] for _ in range(D)]
+        rb = (self.k + 3) // 4 + counter_size
+        for c, (rec_c, kbits_c, hist_c, st_c) in enumerate(parts):
+            rec_h = self._host(rec_c)      # (D, chunk, rb)
+            kb_h = self._host(kbits_c)     # (D, chunk // 8)
+            hist += self._host(hist_c).astype(np.int64).sum(axis=0)
+            if c:
+                st = self._host(st_c).astype(np.int64)
+                n_unique += int(st[:, 0].sum())
+                n_below += int(st[:, 1].sum())
+                n_above += int(st[:, 2].sum())
+            for d in range(D):
+                mask = np.unpackbits(kb_h[d], bitorder="little").astype(bool)
+                owner_parts[d].append(rec_h[d][mask])
+        # owner o holds the contiguous bin range [bounds[o], bounds[o+1]):
+        # (owner, chunk) order IS global (bin, k-mer) order
+        flat = [p for d in range(D) for p in owner_parts[d] if len(p)]
+        rec = (np.concatenate(flat) if flat
+               else np.zeros((0, rb), np.uint8))
+        self.timings["finalize_d2h_s"] = _time.perf_counter() - _t0
+        self.timings["host_reassembly_s"] = 0.0
         return (rec, hist, (n_unique, n_below, n_above),
                 self._total64(self.occ_host()),
                 self._total64(self._host(self.skm)))
@@ -1372,6 +1608,7 @@ def distributed_count(
     strict_memory_mode: bool = False,
     estimate_only: bool = False,
     opt_out_size: bool = False,
+    max_ram_gb: int = 12,
 ):
     """End-to-end multi-chip counting: data-parallel ingest over the mesh,
     owner-partitioned merge, KMC2 database out.  Returns stats dict.
@@ -1462,17 +1699,23 @@ def distributed_count(
             n_bins=n_bins, batch_positions=batch_positions,
             homopolymer_compressed=homopolymer_compressed)
 
-    capacity = capacity_rows_per_device
-    if strict_memory_mode:
-        # halve the per-device store; overflow rides the compact/spill
-        # machinery (the reference's strict-memory pipeline analogue)
-        capacity = max(capacity // 2, 2 * s)
+    # -m carve (memory.plan_memory; AdjustMemoryLimits analogue): the
+    # explicit per-device capacity wins, strict-memory halves either way,
+    # spilled host runs are budget-enforced
+    from ..memory import plan_memory
+
+    plan = plan_memory(max_ram_gb, k=k, batch_positions=s,
+                       n_threads=n_parse_threads or _auto_threads(),
+                       strict_memory=strict_memory_mode,
+                       requested_rows=capacity_rows_per_device)
+    capacity = max(plan.device_store_rows, 2 * s)
 
     store = ShardedKmerStore(mesh, capacity, k=k,
                              sig_len=sig_len, both_strands=both_strands,
                              n_bins=n_bins,
                              chain="per_host" if shard_input else "global",
-                             map_mode=signature_map_policy, sig_map=sig_map)
+                             map_mode=signature_map_policy, sig_map=sig_map,
+                             spill_budget_bytes=plan.spill_budget_bytes)
     bs = BatchStream(s, k)
     L = bs.batch_bytes
 

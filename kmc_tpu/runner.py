@@ -125,9 +125,11 @@ class Stage1Params:
     batch_positions: int = 1 << 22
     # TPU-specific: keep the k-mer store HBM-resident (spills to host RAM
     # only when the unique set outgrows device_store_rows); False forces the
-    # host-staged per-bin bucket pipeline
+    # host-staged per-bin bucket pipeline.  None = derive the rows from
+    # max_ram_gb (memory.plan_memory — the reference's AdjustMemoryLimits,
+    # kmc.h:427-507); an explicit value wins.
     device_store: bool = True
-    device_store_rows: int = 1 << 26
+    device_store_rows: int | None = None
     # signature->bin policy for the device store: "prefix" (computed with a
     # shift; fastest) or "greedy" (the reference's sampled-histogram greedy
     # balance, s_mapper.h:141-235).  Either yields a valid self-describing
@@ -261,6 +263,27 @@ class Runner:
         results.time = time.perf_counter() - t0
         return results
 
+    def _memory_plan(self, params: Stage1Params):
+        """The -m carve for this run (memory.plan_memory); also applies
+        the parse-chunk size to the native readers."""
+        import os as _os
+
+        from .io.readers import set_chunk_bytes
+        from .memory import plan_memory
+
+        try:
+            auto = len(_os.sched_getaffinity(0))
+        except AttributeError:
+            auto = _os.cpu_count() or 1
+        plan = plan_memory(
+            params.max_ram_gb, k=params.kmer_len,
+            batch_positions=params.batch_positions,
+            n_threads=params.n_threads or auto,
+            strict_memory=params.strict_memory_mode,
+            requested_rows=params.device_store_rows)
+        set_chunk_bytes(plan.parse_chunk_bytes)
+        return plan
+
     def _chunks(self, params: Stage1Params, max_bytes=None):
         state = ParseState()
         fmt = params.input_file_type.value
@@ -368,12 +391,11 @@ class Runner:
         k, m = params.kmer_len, params.signature_len
         s = params.batch_positions
         bs = BatchStream(s, k)
-        capacity = max(params.device_store_rows, 2 * s)
-        if params.strict_memory_mode:
-            # strict-memory mode: halve the HBM store so the sort working
-            # set stays within budget; overflow spills to host RAM (the
-            # reference's bkb_* strict pipeline analogue, kmc.h:1611-1692)
-            capacity = max(capacity // 2, 2 * s)
+        # every sized pool derives from -m (memory.plan_memory — the
+        # reference's AdjustMemoryLimits, kmc.h:427-507); an explicit
+        # device_store_rows wins, strict-memory halves either way
+        plan = self._memory_plan(params)
+        capacity = max(plan.device_store_rows, 2 * s)
         # on real TPUs allocate full capacity upfront: HBM is plentiful and a
         # shape-stable store means each kernel compiles exactly once (growth
         # recompiles cost 30-90s each over the tunnel); on CPU (tests) start
@@ -393,6 +415,7 @@ class Runner:
         store = DeviceKmerStore(
             capacity_rows=capacity,
             initial_rows=init_rows,
+            spill_budget_bytes=plan.spill_budget_bytes,
             **store_kw,
         )
         total_bytes = sum(
@@ -565,7 +588,7 @@ class Runner:
         self._small_k = params.kmer_len <= 13
         self._n_reads = int(meta["n_reads"])
         self._store = DeviceKmerStore.load_checkpoint(
-            path, capacity_rows=params.device_store_rows
+            path, capacity_rows=self._memory_plan(params).device_store_rows
         )
         self._sig_map = self._store.host_sig_map()
         self._n_used_bins = self._store.n_used_bins
