@@ -247,15 +247,170 @@ def _scan_record_start(win: bytes, fmt: str) -> int | None:
         i += 1
 
 
+class GzShard:
+    """A record-aligned decompressed range of a BGZF gz file: starts
+    `offset` decompressed bytes into block `block`, ends `end_offset`
+    bytes into block `end_block` (exclusive; end_block == len(spans)
+    means EOF).  `spans` is the shared [(offset, csize)] block table and
+    `cbytes` the compressed extent (for byte-balanced partitioning)."""
+
+    __slots__ = ("block", "offset", "end_block", "end_offset", "spans",
+                 "cbytes")
+
+    def __init__(self, block, offset, end_block, end_offset, spans, cbytes):
+        self.block = block
+        self.offset = offset
+        self.end_block = end_block
+        self.end_offset = end_offset
+        self.spans = spans
+        self.cbytes = cbytes
+
+
+class BgzfShardReader:
+    """NativeGzReader-shaped reader over one GzShard: inflates successive
+    BGZF members (each an independent gzip stream), trimming the first
+    block to the shard's record-aligned start and stopping exactly at the
+    next shard's start — so concatenating all shards' output reproduces
+    the serial decompressed stream byte-for-byte."""
+
+    def __init__(self, path: str, shard: GzShard):
+        import zlib as _zlib
+
+        self._zlib = _zlib
+        self._f = open(path, "rb")
+        self._shard = shard
+        self._bi = shard.block
+        self._pending = b""
+        self._first = True
+
+    def _next_block(self) -> bytes | None:
+        sh = self._shard
+        if self._bi > sh.end_block or (self._bi == sh.end_block
+                                       and sh.end_offset == 0):
+            return None
+        if self._bi >= len(sh.spans):
+            return None
+        off, csize = sh.spans[self._bi]
+        self._f.seek(off)
+        data = self._zlib.decompress(self._f.read(csize), wbits=31)
+        if self._bi == sh.end_block:
+            data = data[: sh.end_offset]
+        if self._first:
+            data = data[sh.offset:]
+            self._first = False
+        self._bi += 1
+        return data
+
+    def read_into(self, out: np.ndarray) -> int:
+        want = len(out)
+        parts = [self._pending] if self._pending else []
+        have = len(self._pending)
+        while have < want:
+            blk = self._next_block()
+            if blk is None:
+                break
+            parts.append(blk)
+            have += len(blk)
+        buf = b"".join(parts)
+        n = min(want, len(buf))
+        out[:n] = np.frombuffer(buf, dtype=np.uint8, count=n)
+        self._pending = buf[n:]
+        return n
+
+    def close(self):
+        self._f.close()
+
+
+def _bgzf_file_shards(path: str, fmt: str, n: int,
+                      min_shard_bytes: int) -> list | None:
+    """Record-aligned GzShard ranges of a BGZF gz file (bgzip output —
+    FASTQ/FASTA .gz as well as BAM are BGZF when produced by bgzip), or
+    None when the file is not BGZF / too small / splits are unverifiable.
+    Block boundaries come from the BSIZE headers without inflating; only
+    the ~4 MB windows at the candidate splits are inflated to find record
+    starts (the same two-record structural verification as plain files).
+    The reference parallelizes BAM BGZF this way (binary_reader.h:79-146,
+    CBamTaskManager queues.h:2148) but keeps gz serial per file
+    (kmc.h:276-292) — this extends the block-parallel path to any BGZF
+    input."""
+    import os as _os
+    import zlib as _zlib
+
+    from .bam import bgzf_block_spans
+
+    with open(path, "rb") as f:
+        head = f.read(18)
+    if len(head) < 18 or head[:4] != b"\x1f\x8b\x08\x04":
+        return None  # not BGZF (plain gz: serial inflate)
+    size = _os.path.getsize(path)
+    nparts = min(n, max(1, size // min_shard_bytes))
+    if nparts <= 1:
+        return None
+    try:
+        spans = bgzf_block_spans(path)
+    except ValueError:
+        return None
+
+    offsets = [s[0] for s in spans]
+    import bisect as _bisect
+
+    starts = [(0, 0)]
+    with open(path, "rb") as f:
+        for j in range(1, nparts):
+            target = size * j // nparts
+            bi = _bisect.bisect_left(offsets, target)
+            if bi >= len(spans):
+                continue
+            # inflate a window from block bi to find the next record start
+            win_parts, lens, dec = [], [], 0
+            bj = bi
+            while bj < len(spans) and dec < (4 << 20):
+                off, csize = spans[bj]
+                f.seek(off)
+                data = _zlib.decompress(f.read(csize), wbits=31)
+                win_parts.append(data)
+                lens.append(len(data))
+                dec += len(data)
+                bj += 1
+            win = b"".join(win_parts)
+            roff = _scan_record_start(win, fmt)
+            if roff is None:
+                continue  # merge into the previous shard
+            acc = 0
+            for t, ln in enumerate(lens):
+                if roff < acc + ln:
+                    cand = (bi + t, roff - acc)
+                    break
+                acc += ln
+            else:
+                continue
+            if cand > starts[-1]:
+                starts.append(cand)
+    if len(starts) <= 1:
+        return None
+    bounds = starts + [(len(spans), 0)]
+    shards = []
+    for i in range(len(bounds) - 1):
+        (b0, o0), (b1, o1) = bounds[i], bounds[i + 1]
+        cend = offsets[b1] if b1 < len(spans) else size
+        shards.append((GzShard(b0, o0, b1, o1, spans, cend - offsets[b0]),
+                       None))
+    return shards
+
+
 def _file_shards(path: str, fmt: str, n_threads: int,
                  min_shard_bytes: int = 32 << 20) -> list[tuple[int, int]]:
     """[(start, end)] byte ranges of `path` aligned to record starts.
-    Gz files (serial inflate) and unverifiable splits collapse to one
-    range."""
+    BGZF gz files split at block boundaries (GzShard ranges); plain gz
+    (serial inflate) and unverifiable splits collapse to one range."""
     import os as _os
 
     p = Path(path)
     if p.suffix == ".gz":
+        gz_shards = _bgzf_file_shards(path, fmt, n_threads * 2,
+                                      min_shard_bytes)
+        if gz_shards is not None:
+            return gz_shards
         return [(0, -1)]
     size = _os.path.getsize(path)
     n = min(n_threads * 2, max(1, size // min_shard_bytes))
@@ -300,8 +455,12 @@ def process_input_shards(paths, fmt: str, n_parts: int, *,
                               min_shard_bytes=min_shard_bytes)
         size = _os.path.getsize(path)
         for i, (a, b) in enumerate(ranges):
-            end = b if b >= 0 else size
-            units.append((path, a, b, i == len(ranges) - 1, end - a))
+            if isinstance(a, GzShard):
+                nb = a.cbytes  # compressed extent balances BGZF shards
+            else:
+                end = b if b >= 0 else size
+                nb = end - a
+            units.append((path, a, b, i == len(ranges) - 1, nb))
     total = sum(u[4] for u in units)
     parts: list[list] = [[] for _ in range(n_parts)]
     acc = 0
@@ -335,6 +494,36 @@ def shard_code_stream(shards, fmt: str, state: ParseState | None = None,
     for path, start, end, last in shards:
         # shards begin at record starts, so a fresh line phase is correct
         st = ParseState(n_reads=own_state.n_reads)
+        if isinstance(start, GzShard):
+            # BGZF range: stream it through the range reader with the
+            # same leftover-line logic as the byte-range path
+            rdr = BgzfShardReader(path, start)
+            try:
+                buf_np = np.empty(CHUNK_BYTES, dtype=np.uint8)
+                leftover = b""
+                while True:
+                    n = rdr.read_into(buf_np)
+                    if not n:
+                        break
+                    buf = leftover + buf_np[:n].tobytes()
+                    cut = buf.rfind(b"\n") + 1
+                    if cut == 0:
+                        leftover = buf
+                        continue
+                    leftover = buf[cut:]
+                    arr = np.frombuffer(buf, dtype=np.uint8, count=cut)
+                    yield parse(arr, st)
+                    own_state.consumed_bytes += cut
+                if leftover:
+                    arr = np.frombuffer(leftover + b"\n", dtype=np.uint8)
+                    yield parse(arr, st)
+                    own_state.consumed_bytes += len(leftover)
+            finally:
+                rdr.close()
+            own_state.n_reads = st.n_reads
+            if last:
+                yield np.full(1, CODE_INVALID, dtype=np.uint8)
+            continue
         gz = Path(path).suffix == ".gz"
         f = _open_raw(path)
         try:
@@ -430,9 +619,15 @@ def _parallel_chunks(shards, fmt, own_state, n_threads):
         path, start, end, last = shards[si]
         parser = NativeParser(fmt)
         q = qs[si]
-        gz = Path(path).suffix == ".gz"
+        bgzf = isinstance(start, GzShard)
+        gz = bgzf or Path(path).suffix == ".gz"
         buf = np.empty(CHUNK_BYTES, dtype=np.uint8)
-        reader = NativeGzReader(path) if gz else open(path, "rb", buffering=0)
+        if bgzf:
+            reader = BgzfShardReader(path, start)
+        elif gz:
+            reader = NativeGzReader(path)
+        else:
+            reader = open(path, "rb", buffering=0)
         try:
             if not gz and start:
                 reader.seek(start)

