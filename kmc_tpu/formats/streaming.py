@@ -166,12 +166,17 @@ class DbStreamReader:
             # (kff_db_reader.h:16)
             raise NotImplementedError(
                 "KFF minimizer sections cannot be read as k-mer data")
-        if self._kff.max_in_block != 1:
-            raise NotImplementedError("KFF max>1 blocks")
-        if not self._kff.ordered:
-            # the windowed merge requires internally sorted sections; the
-            # in-memory reader (read_kff + lexsort) handles unsorted files
-            raise NotImplementedError("unsorted KFF sections cannot stream")
+        self.luts = None
+        self.sig_map = None
+        self._f = open(self.path, "rb")
+        self._kff_runs = None
+        n_stored = sum(n for _, n in self._kff.sections)
+        if self._kff.max_in_block != 1 or not self._kff.ordered:
+            # max>1 block sections (which the reference refuses outright,
+            # kff_db_reader.h:16) and unsorted record sections cannot feed
+            # the windowed merge directly: expand+sort them into on-disk
+            # runs in bounded memory, then merge the runs like sections
+            n_stored = self._build_kff_runs()
         self.info = DbInfo(
             kmer_len=self._kff.k,
             counter_size=self._kff.counter_size,
@@ -179,15 +184,145 @@ class DbStreamReader:
             cutoff_min=self._kff.min_count,
             cutoff_max=self._kff.max_count,
             both_strands=self._kff.canonical,
-            n_unique_stored=sum(n for _, n in self._kff.sections),
+            n_unique_stored=n_stored,
             version=KMC2_VER,
         )
-        self.luts = None
-        self.sig_map = None
-        self._f = open(self.path, "rb")
+
+    def _build_kff_runs(self) -> int:
+        """Bounded-memory external sort of a block-section / unsorted KFF:
+        walk every data scope, expand max>1 raw blocks to per-k-mer rows
+        in ~1 MB slabs, sort each accumulated chunk, and append it to an
+        unlinked temp file as a (kb + counter_size)-byte record run —
+        exactly the record shape _KffSectionCursor streams, so the merge
+        machinery consumes runs like sections.  Equal keys keep file
+        order (runs are sequential file slices + stable sorts), matching
+        the in-memory read_kff + stable-lexsort path record-for-record.
+        Returns the total expanded row count."""
+        import tempfile
+
+        from .kff import _block_n_bytes, _decode_block_section
+
+        meta = self._kff
+        kb = (meta.k + 3) // 4
+        cs = meta.counter_size
+        rb = kb + cs
+        self._kff_tmp = tempfile.TemporaryFile()
+        runs: list[tuple[int, int]] = []  # (byte offset, n_records)
+        budget_rows = max(self.block, 1 << 16)
+        acc_k: list[np.ndarray] = []
+        acc_c: list[np.ndarray] = []
+        acc_n = 0
+
+        def flush():
+            nonlocal acc_n
+            if not acc_n:
+                return
+            kmers = np.concatenate(acc_k)
+            counts = np.concatenate(acc_c)
+            keys = _keys_of(np.ascontiguousarray(kmers))
+            order = np.argsort(keys, kind="stable")
+            rows = np.empty((len(keys), rb), np.uint8)
+            rows[:, :kb] = kmers[order]
+            if cs:
+                c = counts[order].astype(np.uint64)
+                for j in range(cs):  # big-endian, like KFF records
+                    rows[:, kb + j] = (
+                        (c >> np.uint64(8 * (cs - 1 - j)))
+                        & np.uint64(0xFF)).astype(np.uint8)
+            start = self._kff_tmp.tell()
+            self._kff_tmp.write(rows.tobytes())
+            runs.append((start, len(keys)))
+            acc_k.clear()
+            acc_c.clear()
+            acc_n = 0
+
+        def push(kmers, counts):
+            nonlocal acc_n
+            acc_k.append(kmers)
+            acc_c.append(counts)
+            acc_n += len(kmers)
+            if acc_n >= budget_rows:
+                flush()
+
+        # effective per-scope variables: each scope records only its 'v'
+        # delta; values inherit from the preceding scopes
+        eff = {"k": meta.k, "data_size": cs, "max": 1}
+        total = 0
+        for scope in (meta.scopes or []):
+            for key in ("k", "data_size", "max"):
+                if scope.get(key) is not None:
+                    eff[key] = int(scope[key])
+            if eff["k"] != meta.k or eff["data_size"] != cs:
+                raise NotImplementedError(
+                    "mixed k / data_size scopes cannot stream")
+            mx = eff["max"]
+            for (start, nb, mini) in scope["sections"]:
+                if mini:
+                    continue  # m-sections were refused above
+                if mx == 1:
+                    # plain records, possibly unsorted: slab-read rows
+                    pos = 0
+                    while pos < nb:
+                        n = min(nb - pos, budget_rows)
+                        self._f.seek(start + pos * rb)
+                        raw = np.frombuffer(
+                            self._f.read(n * rb), np.uint8).reshape(n, rb)
+                        c = np.zeros(n, np.uint64)
+                        for j in range(cs):
+                            c = (c << np.uint64(8)) | raw[:, kb + j].astype(
+                                np.uint64)
+                        push(raw[:, :kb].copy(),
+                             c.astype(np.uint32) if cs
+                             else np.ones(n, np.uint32))
+                        total += n
+                        pos += n
+                else:
+                    # raw blocks: walk block sizes, decode whole blocks
+                    # per ~1 MB slab (expansion is ~20x the raw bytes, so
+                    # slabs stay small; oversized blocks grow the slab)
+                    n_bytes = _block_n_bytes(mx)
+                    fpos = start
+                    left = nb
+                    while left:
+                        self._f.seek(fpos)
+                        slab = self._f.read(1 << 20)
+                        while True:
+                            off = 0
+                            cnt = 0
+                            while cnt < left:
+                                if off + n_bytes > len(slab):
+                                    break
+                                bn = int.from_bytes(
+                                    slab[off : off + n_bytes], "big")
+                                bsz = (n_bytes
+                                       + (eff["k"] + bn - 1 + 3) // 4
+                                       + bn * cs)
+                                if off + bsz > len(slab):
+                                    break
+                                off += bsz
+                                cnt += 1
+                            if cnt or not left:
+                                break
+                            more = self._f.read(1 << 20)
+                            if not more:
+                                raise ValueError("truncated KFF block")
+                            slab += more
+                        _, km, ct = _decode_block_section(
+                            np.frombuffer(slab[:off], np.uint8), 0, cnt,
+                            eff["k"], mx, cs)
+                        push(km, ct)
+                        total += len(km)
+                        fpos += off
+                        left -= cnt
+        flush()
+        self._kff_runs = runs
+        return total
 
     def close(self):
         self._f.close()
+        tmp = getattr(self, "_kff_tmp", None)
+        if tmp is not None:
+            tmp.close()
 
     def __enter__(self):
         return self
@@ -198,6 +333,14 @@ class DbStreamReader:
     def _cursors(self) -> list:
         info = self.info
         if self.luts is None:  # KFF
+            if self._kff_runs is not None:
+                # external-sorted runs of an expanded block-section /
+                # unsorted file: same record shape as plain sections
+                return [
+                    _KffSectionCursor(self._kff_tmp, self._kff,
+                                      off, n, self.block)
+                    for off, n in self._kff_runs
+                ]
             return [
                 _KffSectionCursor(self._f, self._kff, off, n, self.block)
                 for off, n in self._kff.sections

@@ -174,10 +174,15 @@ def _bin_hist_shard(cols, counts, n_used, *, fuse, r0, n_hist, has_counts):
 
 
 def _exchange_shard(cols, counts, n_used, bounds, *, k, fuse, n_devices,
-                    capacity, axis, has_counts):
+                    capacity, axis, has_counts, unit=False):
     """Per-device: route rows to bin owners (one all_to_all of the key
     columns, plus the counts column once it exists).  Returns this owner's
-    received (key columns, weights, n_dropped).
+    received (key columns, weights, n_live, n_dropped).  With unit=True
+    (requires has_counts=False — every row weighs 1) NO weights column is
+    built or sorted downstream: weights comes back None and n_live is the
+    received live-row count, enabling the single-chip unit-count trick
+    (totals from rank differences, ops/store._tiled_reduce_a) that keeps
+    the big grouping sort at key-columns-only width.
 
     Ownership is CONTIGUOUS in bin id: owner o holds bins
     [bounds[o], bounds[o+1]) with the boundaries picked from the measured
@@ -199,26 +204,31 @@ def _exchange_shard(cols, counts, n_used, bounds, *, k, fuse, n_devices,
         live = live & (cnts > 0)
     if D == 1:
         # single owner = self: the key sort, segment slicing and
-        # all_to_all are all identities — mask dead rows and fit to the
-        # capacity shape (capacity >= n_used covers every live row, which
-        # all sit below n_used).  The phase-A grouping sort downstream
-        # orders the rows.
+        # all_to_all are all identities — and by the store layout
+        # invariant (rows at/beyond n_used and merged-away rows carry
+        # U32MAX keys; _compact_core/_ingest_shard) the key columns need
+        # NO masking: dead rows are already U32MAX.  Fit to the capacity
+        # shape (capacity >= n_used covers every live row) and mask only
+        # the single weights column.  The phase-A grouping sort
+        # downstream orders the rows.
         def fit(col, fill):
             if col.shape[0] >= capacity:
                 return col[:capacity]
             pad = jnp.full((capacity - col.shape[0],), fill, col.dtype)
             return jnp.concatenate([col, pad])
 
-        rc_keys = [fit(jnp.where(live, c, U32MAX), U32MAX)
-                   for c in key_cols]
-        w = cnts if has_counts else live.astype(jnp.uint32)
-        weights = fit(jnp.where(live, w, jnp.uint32(0)), jnp.uint32(0))
+        rc_keys = [fit(c, U32MAX) for c in key_cols]
         # an explicitly undersized capacity truncates live rows here just
         # like the multi-device segment slicing would — report them so the
         # caller's capacity-exceeded check fires instead of silently
         # losing k-mers
         n_dropped = jnp.sum((live & (idx >= capacity)).astype(jnp.int32))
-        return rc_keys, weights, n_dropped
+        if unit:
+            n_live = jnp.sum((live & (idx < capacity)).astype(jnp.int32))
+            return rc_keys, None, n_live, n_dropped
+        w = cnts if has_counts else live.astype(jnp.uint32)
+        weights = fit(jnp.where(live, w, jnp.uint32(0)), jnp.uint32(0))
+        return rc_keys, weights, jnp.int32(0), n_dropped
 
     # ONE key sort (dead rows masked to U32MAX keys sort to the end);
     # owner segments fall out as contiguous slices via searchsorted on
@@ -275,10 +285,13 @@ def _exchange_shard(cols, counts, n_used, bounds, *, k, fuse, n_devices,
                for c in rc_cols[: len(key_cols)]]
     if has_counts:
         weights = jnp.where(valid, rc_cols[-1], 0)
-    else:
-        # every ingested row is one occurrence
-        weights = valid.astype(jnp.uint32)
-    return rc_keys, weights, n_dropped
+        return rc_keys, weights, jnp.int32(0), n_dropped
+    if unit:
+        n_live = jnp.sum(recv_rows.astype(jnp.int32))
+        return rc_keys, None, n_live, n_dropped
+    # every ingested row is one occurrence
+    weights = valid.astype(jnp.uint32)
+    return rc_keys, weights, jnp.int32(0), n_dropped
 
 
 def _finalize_shard(cols, counts, n_used, bounds, *, k, n_bins, fuse,
@@ -287,7 +300,7 @@ def _finalize_shard(cols, counts, n_used, bounds, *, k, n_bins, fuse,
     Returns per-device (bins, words, totals, n_groups, n_dropped)."""
     W = (k + 15) // 16
     r0 = k - 16 * (W - 1)
-    rc_keys, weights, n_dropped = _exchange_shard(
+    rc_keys, weights, _, n_dropped = _exchange_shard(
         cols, counts, n_used, bounds, k=k, fuse=fuse, n_devices=n_devices,
         capacity=capacity, axis=axis, has_counts=has_counts)
     P_ = rc_keys[0].shape[0]
@@ -310,14 +323,18 @@ def _finalize_shard(cols, counts, n_used, bounds, *, k, n_bins, fuse,
 def _finalize_shard_a(cols, counts, n_used, bounds, *, k, fuse, n_devices,
                       capacity, axis, has_counts):
     """Tiled finalize phase A per owner: exchange + grouping sort +
-    per-tile compaction bookkeeping (ops/store._tiled_reduce_a inlined over
-    the received rows — received rows always carry explicit weights, so
-    this is the counted form)."""
+    per-tile compaction bookkeeping (ops/store._tiled_reduce_a inlined
+    over the received rows).  Counted stores carry an explicit weights
+    payload through the sort; unit stores (no counts column yet — the
+    common no-compaction run) sort KEY COLUMNS ONLY and phase B derives
+    totals from rank differences against n_live, exactly the single-chip
+    unit trick."""
     from ..ops.store import _TILE_T
 
-    rc_keys, weights, n_dropped = _exchange_shard(
+    unit = not has_counts
+    rc_keys, weights, n_live, n_dropped = _exchange_shard(
         cols, counts, n_used, bounds, k=k, fuse=fuse, n_devices=n_devices,
-        capacity=capacity, axis=axis, has_counts=has_counts)
+        capacity=capacity, axis=axis, has_counts=has_counts, unit=unit)
     T = _TILE_T
     P_ = rc_keys[0].shape[0]
     P128 = ((P_ + T - 1) // T) * T
@@ -325,12 +342,17 @@ def _finalize_shard_a(cols, counts, n_used, bounds, *, k, fuse, n_devices,
     if P128 != P_:
         pad = jnp.full((P128 - P_,), U32MAX, jnp.uint32)
         rc_keys = [jnp.concatenate([c, pad]) for c in rc_keys]
-        weights = jnp.concatenate(
-            [weights, jnp.zeros((P128 - P_,), jnp.uint32)])
-    ops = jax.lax.sort(list(rc_keys) + [weights], num_keys=W)
-    keys_s = ops[:W]
-    cs = jnp.cumsum(ops[W], dtype=jnp.uint32)
-    before = jnp.concatenate([jnp.zeros((1,), jnp.uint32), cs])
+        if weights is not None:
+            weights = jnp.concatenate(
+                [weights, jnp.zeros((P128 - P_,), jnp.uint32)])
+    if unit:
+        keys_s = jax.lax.sort(list(rc_keys), num_keys=W)
+        before = jnp.zeros((1,), jnp.uint32)  # unused in the unit form
+    else:
+        ops = jax.lax.sort(list(rc_keys) + [weights], num_keys=W)
+        keys_s = ops[:W]
+        cs = jnp.cumsum(ops[W], dtype=jnp.uint32)
+        before = jnp.concatenate([jnp.zeros((1,), jnp.uint32), cs])
 
     new = jnp.ones((P128,), jnp.bool_)
     diff = jnp.zeros((P128 - 1,), jnp.bool_)
@@ -348,16 +370,16 @@ def _finalize_shard_a(cols, counts, n_used, bounds, *, k, fuse, n_devices,
     n_groups = offs[-1] + cnt[-1]
     return (tuple(c[None] for c in keys_s), before[None],
             src_t.reshape(P128)[None], offs[None], n_groups[None],
-            n_dropped[None])
+            n_live[None], n_dropped[None])
 
 
-def _finalize_shard_b(keys_s, before, src_t, offs, n_groups, *, out, k,
-                      n_bins, fuse):
+def _finalize_shard_b(keys_s, before, src_t, offs, n_groups, n_live, *,
+                      out, k, n_bins, fuse, unit):
     """Tiled finalize phase B per owner: OUT-sized representative gather +
-    stats (counted form; weights were carried through the exchange)."""
+    stats (counted or unit form, matching phase A)."""
     keys_r, totals = _tiled_gather_groups(
         tuple(c[0] for c in keys_s), before[0], src_t[0], offs[0],
-        n_groups[0], None, out=out, has_counts=True)
+        n_groups[0], n_live[0], out=out, has_counts=not unit)
     W = (k + 15) // 16
     r0 = k - 16 * (W - 1)
     idx = jnp.arange(out, dtype=jnp.int32)
@@ -370,9 +392,9 @@ def _finalize_shard_b(keys_s, before, src_t, offs, n_groups, *, out, k,
     return out_bins[None], out_words[None], out_counts[None]
 
 
-def _finalize_shard_bc(keys_s, before, src_t, offs, n_groups, start, *,
-                       chunk, k, n_bins, fuse, counter_size, counter_max,
-                       cutoff_min, cutoff_max):
+def _finalize_shard_bc(keys_s, before, src_t, offs, n_groups, n_live,
+                       start, *, chunk, k, n_bins, fuse, counter_size,
+                       counter_max, cutoff_min, cutoff_max, unit):
     """Chunked tiled phase B+C per owner: gather the group representatives
     for output rows [start, start+chunk) AND pack them into their on-disk
     record bytes (kb big-endian k-mer bytes + counter_size LE counter),
@@ -385,7 +407,8 @@ def _finalize_shard_bc(keys_s, before, src_t, offs, n_groups, start, *,
     capacity (the old phase-C shipped the full pad)."""
     keys_r, totals = _tiled_gather_groups(
         tuple(c[0] for c in keys_s), before[0], src_t[0], offs[0],
-        n_groups[0], None, out=chunk, has_counts=True, start=start)
+        n_groups[0], n_live[0], out=chunk, has_counts=not unit,
+        start=start)
     W = (k + 15) // 16
     r0 = k - 16 * (W - 1)
     idx = start.astype(jnp.int32) + jnp.arange(chunk, dtype=jnp.int32)
@@ -424,6 +447,30 @@ def _finalize_shard_bc(keys_s, before, src_t, offs, n_groups, start, *,
                        below.sum(dtype=jnp.int32),
                        above.sum(dtype=jnp.int32)])
     return rec[None], kbits[None], hist[None], stats[None]
+
+
+def _finalize_shard_rc(keys_s, before, src_t, offs, n_groups, n_live,
+                       start, *, chunk, unit, **kw):
+    """Chunked tiled phase B + completer per owner: gather the group
+    representatives for output rows [start, start+chunk) AND emit their
+    on-disk SUFFIX record byte planes, keep bits, chunk-local (bin,
+    prefix) LUT and stats in one dispatch (ops/store._finalize_groups_core
+    under shard_map) — the sharded port of the single-chip
+    finalize_records completer (kb_completer.cpp:59-223 emits the same
+    bytes from its sorters).  vs _finalize_shard_bc: needs
+    lut_prefix_len up front but ships only suffix bytes (not the whole
+    k-mer) and the finished LUT, so the host never rebuilds prefix
+    histograms."""
+    from ..ops.store import _finalize_groups_core
+
+    keys_r, totals = _tiled_gather_groups(
+        tuple(c[0] for c in keys_s), before[0], src_t[0], offs[0],
+        n_groups[0], n_live[0], out=chunk, has_counts=not unit,
+        start=start)
+    cols, keep_bits, lut, stats = _finalize_groups_core(
+        keys_r, totals, n_groups[0], start=start, **kw)
+    return (tuple(c[None] for c in cols), keep_bits[None], lut[None],
+            jnp.stack(stats)[None])
 
 
 def _pack_records_shard(bins, words, counts, *, k, n_bins, counter_size,
@@ -940,10 +987,10 @@ class ShardedKmerStore:
                       P(self.axis), P()),
             out_specs=(col_specs, P(self.axis, None),
                        P(self.axis, None), P(self.axis, None),
-                       P(self.axis), P(self.axis)),
+                       P(self.axis), P(self.axis), P(self.axis)),
         )
         _t0 = _time.perf_counter()
-        (keys_s_d, before_d, src_t_d, offs_d, n_groups_d,
+        (keys_s_d, before_d, src_t_d, offs_d, n_groups_d, n_live_d,
          dropped_d) = jax.jit(sharded_a, donate_argnums=(0,))(
             self.cols, counts_in, self.n_used, bounds)
         self.cols = None
@@ -953,7 +1000,8 @@ class ShardedKmerStore:
         if int(self._host(dropped_d).sum()):
             raise MemoryError("all_to_all capacity exceeded; raise "
                               "capacity_per_owner or leave it automatic")
-        return keys_s_d, before_d, src_t_d, offs_d, n_groups_d, n_groups
+        return (keys_s_d, before_d, src_t_d, offs_d, n_groups_d, n_live_d,
+                n_groups)
 
     def _even_bounds(self) -> np.ndarray:
         """Bin-count-even owner boundaries (no histogram pass) — the
@@ -980,7 +1028,7 @@ class ShardedKmerStore:
             # at the max-owner OUTPUT size
             from ..ops.store import _out_grain
 
-            (keys_s_d, before_d, src_t_d, offs_d, n_groups_d,
+            (keys_s_d, before_d, src_t_d, offs_d, n_groups_d, n_live_d,
              n_groups) = self._phase_a(capacity_per_owner)
             P128 = int(src_t_d.shape[1])
             grain = _out_grain()
@@ -988,18 +1036,18 @@ class ShardedKmerStore:
             out = min(P128, ((max(n_max, 1) + grain - 1) // grain) * grain)
             body_b = functools.partial(
                 _finalize_shard_b, out=out, k=self.k,
-                n_bins=self.n_used_bins, fuse=self.fuse)
+                n_bins=self.n_used_bins, fuse=self.fuse, unit=not has)
             sharded_b = jax.shard_map(
                 body_b, mesh=self.mesh,
                 in_specs=(col_specs, P(self.axis, None), P(self.axis, None),
-                          P(self.axis, None), P(self.axis)),
+                          P(self.axis, None), P(self.axis), P(self.axis)),
                 out_specs=(P(self.axis, None), P(self.axis, None, None),
                            P(self.axis, None)),
             )
             _t0 = _time.perf_counter()
             bins_d, words_d, counts_d = jax.jit(
                 sharded_b, donate_argnums=(0, 1, 2))(
-                keys_s_d, before_d, src_t_d, offs_d, n_groups_d)
+                keys_s_d, before_d, src_t_d, offs_d, n_groups_d, n_live_d)
             jax.block_until_ready((bins_d, words_d, counts_d))
             self.timings["finalize_exec_s"] = _time.perf_counter() - _t0
         else:
@@ -1220,7 +1268,8 @@ class ShardedKmerStore:
 
         D = self.D
         n_bins = self.n_used_bins
-        (keys_s_d, before_d, src_t_d, offs_d, n_groups_d,
+        unit = not self.has_counts
+        (keys_s_d, before_d, src_t_d, offs_d, n_groups_d, n_live_d,
          n_groups) = self._phase_a(capacity_per_owner)
         P128 = int(src_t_d.shape[1])
         chunk = min(max(32, (chunk + 31) & ~31), P128)
@@ -1230,12 +1279,12 @@ class ShardedKmerStore:
             _finalize_shard_bc, chunk=chunk, k=self.k, n_bins=n_bins,
             fuse=self.fuse, counter_size=counter_size,
             counter_max=counter_max, cutoff_min=cutoff_min,
-            cutoff_max=cutoff_max)
+            cutoff_max=cutoff_max, unit=unit)
         col_specs = tuple(P(self.axis, None) for _ in range(self.n_cols))
         sharded = jax.shard_map(
             body, mesh=self.mesh,
             in_specs=(col_specs, P(self.axis, None), P(self.axis, None),
-                      P(self.axis, None), P(self.axis), P()),
+                      P(self.axis, None), P(self.axis), P(self.axis), P()),
             out_specs=(P(self.axis, None, None), P(self.axis, None),
                        P(self.axis, None), P(self.axis, None)),
         )
@@ -1244,7 +1293,7 @@ class ShardedKmerStore:
         parts = []
         for c in range(n_chunks):
             out = jitted(keys_s_d, before_d, src_t_d, offs_d, n_groups_d,
-                         jnp.int32(c * chunk))
+                         n_live_d, jnp.int32(c * chunk))
             for a in out:
                 try:
                     a.copy_to_host_async()
@@ -1282,6 +1331,112 @@ class ShardedKmerStore:
         self.timings["finalize_d2h_s"] = _time.perf_counter() - _t0
         self.timings["host_reassembly_s"] = 0.0
         return (rec, hist, (n_unique, n_below, n_above),
+                self._total64(self.occ_host()),
+                self._total64(self._host(self.skm)))
+
+    def finalize_records(self, *, cutoff_min, cutoff_max, counter_max,
+                         lut_prefix_len, counter_size,
+                         capacity_per_owner=None):
+        """Sharded analogue of DeviceKmerStore.finalize_records: the
+        device completer emits the exact on-disk record payload (suffix
+        big-endian k-mer bytes + LE counter) AND the (bin, prefix) LUT,
+        chunked with a traced start so each chunk's D2H + host assembly
+        overlap the next chunk's execution.  Returns (rec u8[n, rb] in
+        global (bin, k-mer) order keep-filtered, lut u64, (n_unique,
+        n_below, n_above), n_total, n_super_kmers).  Requires no spilled
+        runs (callers fall back to finalize())."""
+        import time as _time
+
+        if self.spilled:
+            raise RuntimeError("finalize_records cannot merge spilled "
+                               "runs; use finalize()")
+        from ..ops.store import _out_grain, _pipeline_chunks
+
+        D = self.D
+        n_bins = self.n_used_bins
+        unit = not self.has_counts
+        (keys_s_d, before_d, src_t_d, offs_d, n_groups_d, n_live_d,
+         n_groups) = self._phase_a(capacity_per_owner)
+        P128 = int(src_t_d.shape[1])
+        chunk = _pipeline_chunks() or _out_grain()
+        chunk = min(max(32, (chunk + 31) & ~31), P128)
+        n_max = int(n_groups.max())
+        n_chunks = -(-max(n_max, 1) // chunk)
+        kw = dict(cutoff_min=cutoff_min, cutoff_max=cutoff_max,
+                  counter_max=counter_max, k=self.k,
+                  lut_prefix_len=lut_prefix_len,
+                  counter_size=counter_size, n_bins=n_bins,
+                  fuse=self.fuse)
+        body = functools.partial(_finalize_shard_rc, chunk=chunk,
+                                 unit=unit, **kw)
+        col_specs = tuple(P(self.axis, None) for _ in range(self.n_cols))
+        # record byte planes: variable count/dtypes — all (d, chunk)
+        suffix_bytes = ((self.k - lut_prefix_len) // 4 if lut_prefix_len
+                        else (self.k + 3) // 4)
+        record_bytes = suffix_bytes + counter_size
+        n_planes = 0
+        c0 = 0
+        while c0 < record_bytes:
+            rem = record_bytes - c0
+            c0 += 4 if rem >= 4 else 2 if rem >= 2 else 1
+            n_planes += 1
+        sharded = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(col_specs, P(self.axis, None), P(self.axis, None),
+                      P(self.axis, None), P(self.axis), P(self.axis), P()),
+            out_specs=(tuple(P(self.axis, None) for _ in range(n_planes)),
+                       P(self.axis, None), P(self.axis, None),
+                       P(self.axis, None)),
+        )
+        jitted = jax.jit(sharded)
+        _t0 = _time.perf_counter()
+        parts = []
+        for c in range(n_chunks):
+            out = jitted(keys_s_d, before_d, src_t_d, offs_d, n_groups_d,
+                         n_live_d, jnp.int32(c * chunk))
+            for grp in out:
+                for a in (grp if isinstance(grp, tuple) else (grp,)):
+                    try:
+                        a.copy_to_host_async()
+                    except AttributeError:
+                        pass
+            parts.append(out)
+        st0 = self._host(parts[0][3]).astype(np.int64)
+        self.timings["finalize_exec_s"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+        n_unique = int(st0[:, 0].sum())
+        n_below = int(st0[:, 1].sum())
+        n_above = int(st0[:, 2].sum())
+        lut = None
+        owner_parts: list[list[np.ndarray]] = [[] for _ in range(D)]
+        for c, (cols_c, keep_c, lut_c, st_c) in enumerate(parts):
+            kb_h = self._host(keep_c)  # (D, chunk // 32) u32 MSB-first
+            lc = self._host(lut_c).astype(np.uint64).sum(axis=0)
+            lut = lc if lut is None else lut + lc
+            if c:
+                st = self._host(st_c).astype(np.int64)
+                n_unique += int(st[:, 0].sum())
+                n_below += int(st[:, 1].sum())
+                n_above += int(st[:, 2].sum())
+            planes = [self._host(p) for p in cols_c]  # (D, chunk) each
+            for d in range(D):
+                keep_h = np.unpackbits(
+                    kb_h[d].astype(">u4").view(np.uint8)).astype(bool)
+                rec_h = np.empty((chunk, record_bytes), np.uint8)
+                off = 0
+                for p in planes:
+                    a = p[d]
+                    w = a.dtype.itemsize
+                    rec_h[:, off : off + w] = (
+                        a.astype(">u%d" % w).view(np.uint8).reshape(chunk, w))
+                    off += w
+                owner_parts[d].append(rec_h[keep_h])
+        flat = [p for d in range(D) for p in owner_parts[d] if len(p)]
+        rec = (np.concatenate(flat) if flat
+               else np.zeros((0, record_bytes), np.uint8))
+        self.timings["finalize_d2h_s"] = _time.perf_counter() - _t0
+        self.timings["host_reassembly_s"] = 0.0
+        return (rec, lut, (n_unique, n_below, n_above),
                 self._total64(self.occ_host()),
                 self._total64(self._host(self.skm)))
 
@@ -1751,43 +1906,55 @@ def distributed_count(
     sig_map = store.host_sig_map()
     n_used_bins = store.n_used_bins
     counter_size = calc_counter_size(cutoff_max, counter_max)
-    # packed finalize: the device emits on-disk record bytes (half the
-    # raw triple's device->host payload); spill merging needs the raw
-    # totals, so spilled runs take the classic path
+
+    # LUT width picked BEFORE finalize, with the single-chip Runner's
+    # exact inputs (_make_db_info): the estimated in-cutoff unique count
+    # when -e/--opt-out-size ran (kmc.h:1436-1447), else the reference's
+    # 4*n_reads heuristic (kmc.h:1436) — so a sharded database is
+    # byte-identical to the single-chip one BY CONSTRUCTION, and the
+    # device completer can emit suffix records + the finished LUT
+    if est is not None:
+        _merge_estimator_multihost(est)
+        hist = est.estimate_histogram()
+        end = min(cutoff_max + 1, len(hist))
+        n_est_unique = sum(hist[cutoff_min:end])
+        estimated_histogram = hist
+    else:
+        n_est_unique = 4 * state.n_reads
+        estimated_histogram = None
+    lut_prefix_len = pick_lut_prefix_len(k, n_used_bins,
+                                         max(n_est_unique, 1))
+
+    # device completer flavors (KMC_TPU_SHARDED_PACKED=0 forces raw;
+    # spill merging needs raw totals, so spilled runs take the classic
+    # path): KMC output -> suffix records + device LUT; KFF -> full
+    # k-mer record bytes + per-bin histogram
     use_packed = (_os.environ.get("KMC_TPU_SHARDED_PACKED", "1") != "0"
                   and not store.spilled)
-    if use_packed:
+    use_records = use_packed and output_type != "kff"
+    if use_records:
+        rec, lut_u64, (n_unique, n_below, n_above), n_total, n_skm = (
+            store.finalize_records(
+                cutoff_min=cutoff_min, cutoff_max=cutoff_max,
+                counter_max=counter_max, lut_prefix_len=lut_prefix_len,
+                counter_size=counter_size)
+        )
+    elif use_packed:
         rec, bin_hist, (n_unique, n_below, n_above), n_total, n_skm = (
             store.finalize_packed(
                 cutoff_min=cutoff_min, cutoff_max=cutoff_max,
                 counter_max=counter_max, counter_size=counter_size)
         )
-        n_kept = len(rec)
     else:
         bins, words, counts, (n_unique, n_below, n_above), n_total, n_skm = (
             store.finalize(cutoff_min=cutoff_min, cutoff_max=cutoff_max,
                            counter_max=counter_max)
         )
-        n_kept = len(bins)
     _t_finalize1 = _time.perf_counter()
     timings = dict(store.timings)
     timings["ingest_wall_s"] = _t_finalize0 - _t_ingest0
     timings["finalize_wall_s"] = _t_finalize1 - _t_finalize0
 
-    if est is not None:
-        # --opt-out-size: the estimated unique count within cutoffs picks
-        # the LUT width (reference kmc.h:1436-1447)
-        _merge_estimator_multihost(est)
-        hist = est.estimate_histogram()
-        end = min(cutoff_max + 1, len(hist))
-        n_est_unique = sum(hist[cutoff_min:end])
-        lut_prefix_len = pick_lut_prefix_len(k, n_used_bins,
-                                             max(n_est_unique, 1))
-        estimated_histogram = hist
-    else:
-        lut_prefix_len = pick_lut_prefix_len(k, n_used_bins,
-                                             max(n_kept, 1))
-        estimated_histogram = None
     info = DbInfo(
         kmer_len=k,
         counter_size=counter_size,
@@ -1840,9 +2007,13 @@ def distributed_count(
             writer.n_below_min = n_below
             writer.n_above_max = n_above
             writer.n_total = n_total
-            if use_packed:
-                # rows already carry suffix+counter record bytes; build
-                # the (bin, prefix) LUT exactly like write_all does
+            if use_records:
+                # the device completer already emitted the suffix-record
+                # payload AND the (bin, prefix) LUT — nothing to rebuild
+                writer.write_all_records(rec, lut_u64)
+            elif use_packed:
+                # rows carry whole-k-mer+counter record bytes; build the
+                # (bin, prefix) LUT exactly like write_all does
                 lpl2 = 2 * info.lut_prefix_len
                 prefix_ids = kmer_bytes_to_prefix_ids(
                     rec[:, :kb], k, info.lut_prefix_len)

@@ -372,10 +372,10 @@ def test_stream_set_counts_zero_matches_inmemory(dbs, tmp_path, monkeypatch):
             assert a.read() == b.read(), suf
 
 
-def test_unsorted_kff_falls_back_to_inmemory(dbs, tmp_path, monkeypatch):
-    """A KFF file with ordered=0 cannot stream (the windowed merge needs
-    sorted sections); the delegating entry points must fall back to the
-    in-memory path instead of erroring or mis-merging."""
+def test_unsorted_kff_streams_via_external_sort(dbs, tmp_path, monkeypatch):
+    """A KFF file with ordered=0 streams through the bounded-memory
+    external-sort path (expand+sort into temp-file runs, then the same
+    windowed merge) — previously a NotImplementedError refusal."""
     from kmc_tpu.formats.kff import KffWriter, read_kff_meta
     from kmc_tpu.formats.streaming import DbStreamReader
 
@@ -394,10 +394,16 @@ def test_unsorted_kff_falls_back_to_inmemory(dbs, tmp_path, monkeypatch):
     open(kf, "wb").write(bytes(raw))
     assert read_kff_meta(kf).ordered is False
 
-    with pytest.raises(NotImplementedError):
-        DbStreamReader(kf)
+    # tiny block size: many runs + many merge windows
+    with DbStreamReader(kf, block_records=64) as r:
+        got_k, got_c = [], []
+        for kb_, cb in r.blocks():
+            got_k.append(kb_)
+            got_c.append(cb)
+    assert np.array_equal(np.concatenate(got_k), kmers)
+    assert np.array_equal(np.concatenate(got_c), counts)
 
-    # delegation falls back to the in-memory reader (which lexsorts)
+    # delegating entry points produce the same answers either way
     monkeypatch.setenv("KMC_TPU_STREAM_THRESHOLD", "0")
     assert db_ops.db_compare(kf, db1) is True
     out = str(tmp_path / "unsorted_union")
@@ -405,3 +411,120 @@ def test_unsorted_kff_falls_back_to_inmemory(dbs, tmp_path, monkeypatch):
     info_u, k_u, c_u = db_ops.load_sorted(out)
     assert np.array_equal(k_u, kmers)
     assert np.array_equal(c_u, counts)
+
+
+def test_block_kff_streams_via_external_sort(tmp_path):
+    """max>1 raw-block KFF sections (super-k-mer compaction) stream in
+    bounded memory: expanded rows external-sorted to temp runs, merged
+    record-for-record equal to the in-memory read_kff + stable-lexsort
+    path (duplicate k-mers keep file order) — VERDICT r4 missing #4."""
+    from kmc_tpu.formats.kff import KffWriter, read_kff
+    from kmc_tpu.formats.streaming import DbStreamReader
+
+    rng = np.random.default_rng(5)
+    k, cs = 21, 2
+    kb = (k + 3) // 4
+
+    def pack(codes):
+        p = np.concatenate([np.zeros(kb * 4 - k, np.uint8), codes])
+        return ((p[0::4] << 6) | (p[1::4] << 4) | (p[2::4] << 2)
+                | p[3::4]).astype(np.uint8)
+
+    blocks = []
+    for _ in range(200):
+        n = int(rng.integers(1, 9))
+        codes = rng.integers(0, 4, k + n - 1).astype(np.uint8)
+        cnts = rng.integers(1, 60000, n).astype(np.uint32)
+        blocks.append((codes, cnts))
+    tail_rows = np.array([pack(rng.integers(0, 4, k).astype(np.uint8))
+                          for _ in range(9)])
+    tail_counts = rng.integers(1, 100, 9).astype(np.uint32)
+
+    p = str(tmp_path / "blocks.kff")
+    w = KffWriter(p, canonical=True, k=k, counter_size=cs,
+                  min_count=1, max_count=1 << 30)
+    w.store_block_section(blocks)
+    w.store_section(tail_rows, tail_counts)
+    w.close()
+
+    kf = read_kff(p)
+    order = np.lexsort(tuple(kf.kmers[:, j]
+                             for j in range(kb - 1, -1, -1)))
+    want_k, want_c = kf.kmers[order], kf.counts[order]
+
+    # stream with a tiny block budget: multiple runs, multiple windows
+    with DbStreamReader(p, block_records=128) as r:
+        assert r.info.n_unique_stored == len(want_k)
+        got_k, got_c = [], []
+        for kb_, cb in r.blocks():
+            got_k.append(kb_)
+            got_c.append(cb)
+    assert np.array_equal(np.concatenate(got_k), want_k)
+    assert np.array_equal(np.concatenate(got_c), want_c)
+
+
+def test_block_kff_union_bounded_rss(tmp_path):
+    """VERDICT r4 missing #4 acceptance: a big block-section KFF flows
+    through a union in a capped-RSS subprocess (external-sorted runs +
+    windowed merge), byte-identical to the in-memory path."""
+    import subprocess
+    import sys
+
+    from kmc_tpu.defs import calc_counter_size  # noqa: F401 (env check)
+    from kmc_tpu.formats.kff import KffWriter
+
+    rng = np.random.default_rng(1)
+    k, cs = 25, 1
+    # ~2.6M expanded k-mers from 400k super-k-mer blocks, written in
+    # bounded batches
+    p_kff = str(tmp_path / "big_blocks.kff")
+    w = KffWriter(p_kff, canonical=True, k=k, counter_size=cs,
+                  min_count=1, max_count=255)
+    for _ in range(40):
+        blocks = []
+        for _ in range(10_000):
+            n = int(rng.integers(2, 12))
+            codes = rng.integers(0, 4, k + n - 1).astype(np.uint8)
+            cnts = rng.integers(1, 200, n).astype(np.uint32)
+            blocks.append((codes, cnts))
+        w.store_block_section(blocks)
+    w.close()
+
+    # a small second input
+    from kmc_tpu.formats.kmc_db import DbInfo, write_kmc1_db
+
+    kb = (k + 3) // 4
+    kmers2 = rng.integers(0, 256, size=(50_000, kb), dtype=np.uint8)
+    kmers2[:, 0] &= 0x03
+    order = np.lexsort(tuple(kmers2[:, j] for j in range(kb - 1, -1, -1)))
+    kmers2 = kmers2[order]
+    dup = np.ones(len(kmers2), bool)
+    dup[1:] = (kmers2[1:] != kmers2[:-1]).any(axis=1)
+    kmers2 = kmers2[dup]
+    counts2 = rng.integers(1, 200, size=len(kmers2)).astype(np.uint32)
+    info2 = DbInfo(kmer_len=k, counter_size=1, lut_prefix_len=5,
+                   cutoff_min=1, cutoff_max=10**9)
+    p_db = str(tmp_path / "small")
+    write_kmc1_db(p_db, info2, kmers2, counts2)
+
+    out = str(tmp_path / "u_stream")
+    script = f"""
+import resource, sys, os
+resource.setrlimit(resource.RLIMIT_AS, (500 << 20, 500 << 20))
+os.environ["KMC_TPU_NO_JAX"] = "1"
+sys.path.insert(0, "/root/repo")
+from kmc_tpu.formats.streaming import stream_simple_op
+n = stream_simple_op("union", {p_kff!r}, {p_db!r}, {out!r},
+                     block_records=1 << 15)
+print("records:", n)
+assert "kmc_tpu.runner" not in sys.modules
+"""
+    r = subprocess.run([sys.executable, "-c", script],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    out_m = str(tmp_path / "u_mem")
+    db_ops.run_simple_op("union", p_kff, p_db, out_m)
+    for suf in (".kmc_pre", ".kmc_suf"):
+        with open(out_m + suf, "rb") as a, open(out + suf, "rb") as b:
+            assert a.read() == b.read(), suf
