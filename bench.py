@@ -116,6 +116,20 @@ def main():
 
     kmers_per_sec = res2.n_total_kmers / elapsed
 
+    # greedy-policy row (VERDICT r4 next #10): the same workload through
+    # the reference's sampled greedy signature map (stage-0 sampling +
+    # per-batch gather) — tracks the slow-policy regression explicitly
+    g_best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _, g2 = count([str(fq)], out_db + "_greedy", k=K, cutoff_min=2,
+                      signature_map_policy="greedy", **tuned)
+        g_el = time.perf_counter() - t0
+        if g_best is None or g_el < g_best[0]:
+            g_best = (g_el, g2)
+    g_elapsed, g2 = g_best
+    greedy_kmers_per_sec = g2.n_total_kmers / g_elapsed
+
     vs_baseline = 1.0
     baseline_file = Path(__file__).parent / "BASELINE_MEASURED.json"
     if baseline_file.exists():
@@ -136,6 +150,10 @@ def main():
                 # transfer; wall minus these is host parse + link time
                 "finalize_exec_s": round(res2.time_finalize_exec, 3),
                 "finalize_d2h_s": round(res2.time_finalize_d2h, 3),
+                # greedy signature-map policy on the same workload
+                "greedy_kmers_per_sec": round(greedy_kmers_per_sec, 1),
+                "greedy_vs_prefix": round(
+                    greedy_kmers_per_sec / kmers_per_sec, 3),
             }
         )
     )

@@ -22,15 +22,25 @@ from ..ops.extract import INVALID_SIG, stage1_batch
 
 def init_multihost(coordinator_address: str | None = None,
                    num_processes: int | None = None,
-                   process_id: int | None = None) -> None:
+                   process_id: int | None = None,
+                   heartbeat_timeout_seconds: int | None = None) -> None:
     """Initialize jax.distributed for a multi-host run (DCN control plane;
     the data plane stays on ICI collectives).  Call once per host process
     before building the mesh; single-process runs may skip it.  Arguments
-    default to cluster auto-detection (TPU pod environments set them)."""
+    default to cluster auto-detection (TPU pod environments set them).
+
+    heartbeat_timeout_seconds bounds peer-failure detection: when a
+    process dies mid-run, the coordination service fails the survivors'
+    next collective within roughly this window instead of hanging the
+    lockstep allgather forever — the fleet analogue of the reference's
+    cooperative cancellation (critical_error_handler.h:9-80).  None keeps
+    the jax default (100 s)."""
     kwargs = {}
     if coordinator_address is not None:
         kwargs.update(coordinator_address=coordinator_address,
                       num_processes=num_processes, process_id=process_id)
+    if heartbeat_timeout_seconds is not None:
+        kwargs.update(heartbeat_timeout_seconds=heartbeat_timeout_seconds)
     jax.distributed.initialize(**kwargs)
 
 

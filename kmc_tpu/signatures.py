@@ -89,13 +89,19 @@ def build_signature_map(stats: np.ndarray, sig_len: int, n_bins: int) -> np.ndar
     disallowed signatures keep -1 except the special signature which gets the
     last used bin id.
 
-    Same scheme as the reference: signatures sorted by occurrence count
-    descending, heavy ones (above the running mean) get singleton bins, the
-    rest are grouped by prefix-cumsum against a 1.1x-running-mean cap, with
-    each signature's weight smoothed by +1000.  Exact bin *composition* may
-    differ from the reference (its std::sort is unstable and its group fill
-    revisits skipped entries), which only affects load balance and the
-    on-disk bin layout — never the k-mer/count content or dump output.
+    Same scheme AND fill semantics as the reference (s_mapper.h:164-226):
+    signatures sorted by occurrence count descending (+1000 smoothing per
+    allowed signature, s_mapper.h:162), heavy ones (above the running
+    mean) get singleton bins; the rest are grouped by a greedy SKIP-SCAN
+    against a 1.1x-running-mean cap — an entry that does not fit is
+    skipped and the scan continues with the smaller entries after it
+    (revisiting the skipped one for a later bin), stopping early once
+    even the smallest remaining entry cannot fit.  The only residual
+    difference from the reference binary is the tie order of its
+    UNSTABLE std::sort (Comp compares counts only, s_mapper.h:40-43);
+    ours is a stable descending sort, which can permute equal-count
+    signatures across bins — affecting only the on-disk bin layout,
+    never the k-mer/count content or dump output.
     """
     msize = map_size(sig_len)
     sig_map = np.full(msize, -1, dtype=np.int32)
@@ -116,37 +122,67 @@ def build_signature_map(stats: np.ndarray, sig_len: int, n_bins: int) -> np.ndar
     bin_no = 0
     max_bins = n_bins - 1  # one bin reserved for the special signature
     mean = total / n_bins
-    pos = 0
     n_entries = len(order)
-    csum = np.concatenate([[0.0], np.cumsum(weights)])
-    while pos < n_entries:
-        remaining_entries = n_entries - pos
-        remaining_bins = max_bins - bin_no
-        if remaining_entries <= remaining_bins:
-            break  # the tail gets singleton bins below
-        if remaining_bins <= 1:
-            # last regular bin absorbs everything left
-            sig_map[order[pos:]] = bin_no
-            pos = n_entries
+    taken = np.zeros(n_entries, dtype=bool)
+    alive = n_entries
+    P = np.arange(n_entries)
+    while alive > max_bins - bin_no:
+        if max_bins - bin_no <= 1:
+            # the reference's n==0 continuation divides by zero -> mean =
+            # inf -> the group cap is infinite and the next group bin
+            # absorbs every remaining entry; same outcome, written out
+            sig_map[order[P]] = bin_no
+            taken[P] = True
+            alive = 0
+            P = P[:0]
             bin_no += 1
             break
-        w0 = weights[pos]
+        w0 = weights[P[0]]
         if w0 > mean:
-            sig_map[order[pos]] = bin_no
+            sig_map[order[P[0]]] = bin_no
+            taken[P[0]] = True
             total -= w0
-            pos += 1
+            P = P[1:]
+            alive -= 1
         else:
+            # greedy skip-scan group fill (s_mapper.h:200-217): take
+            # entries in descending order while they fit under the cap,
+            # skipping ones that do not, early-exiting when even the
+            # smallest remaining cannot fit.  Runs of consecutive fits
+            # resolve with one searchsorted over the alive cumsum.
             cap = 1.1 * mean
-            # largest prefix of remaining entries with weight-sum < cap
-            end = int(np.searchsorted(csum, csum[pos] + cap, side="left"))
-            end = max(end - 1, pos + 1)
-            sig_map[order[pos:end]] = bin_no
-            total -= float(csum[end] - csum[pos])
-            pos = end
+            W = weights[P]
+            cs = np.concatenate([[0.0], np.cumsum(W)])
+            tmp = 0.0
+            j = 0
+            sel: list[tuple[int, int]] = []
+            m = len(P)
+            while j < m:
+                if tmp + W[m - 1] >= cap:
+                    break  # smallest alive cannot fit: nothing more will
+                end = int(np.searchsorted(cs, cs[j] + (cap - tmp),
+                                          side="left")) - 1
+                if end > j:
+                    sel.append((j, end))
+                    tmp += float(cs[end] - cs[j])
+                    j = end
+                j += 1  # entry j does not fit: skip, revisit later
+            if sel:
+                idx = np.concatenate([P[a:b] for a, b in sel])
+            else:
+                # cap smaller than every entry: the reference's loop would
+                # make an EMPTY bin forever; it cannot reach this state
+                # (w0 <= mean < cap), keep the front entry defensively
+                idx = P[:1]
+            sig_map[order[idx]] = bin_no
+            taken[idx] = True
+            total -= float(weights[idx].sum())
+            alive -= len(idx)
+            P = P[~taken[P]]
         bin_no += 1
         mean = total / (max_bins - bin_no)
     # remaining signatures: singleton bins (s_mapper.h:219-226)
-    for i in range(pos, n_entries):
+    for i in P:
         sig_map[order[i]] = bin_no
         bin_no += 1
     sig_map[special_signature(sig_len)] = bin_no

@@ -36,6 +36,99 @@ def _open(path, mode):
     return open(path, mode)
 
 
+class _ReadAhead:
+    """Reader-thread chunk prefetch — the reference filter's input-reader
+    stage (kmc_tools.cpp:226-268 runs reader/filter/writer threads).
+    Contract: the single consumer reads fixed-size chunks until b''."""
+
+    def __init__(self, f, chunk_bytes: int, depth: int = 4):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err = None
+
+        def run():
+            try:
+                while True:
+                    b = f.read(chunk_bytes)
+                    self._q.put(b)
+                    if not b:
+                        return
+            except BaseException as e:  # re-raised by the consumer
+                self._err = e
+                self._q.put(None)
+
+        self._t = threading.Thread(target=run, daemon=True,
+                                   name="kmc-filter-read")
+        self._t.start()
+
+    def read(self, _n: int) -> bytes:
+        b = self._q.get()
+        if b is None:
+            raise self._err
+        return b
+
+
+class _WriteBehind:
+    """Writer-thread output drain — the reference filter's writer stage.
+    Writes are queued in order; worker errors re-raise on the next
+    write()/finish()."""
+
+    def __init__(self, f, depth: int = 16):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err = None
+        self._f = f
+
+        def run():
+            while True:
+                b = self._q.get()
+                if b is None:
+                    return
+                try:
+                    f.write(b)
+                except BaseException as e:
+                    self._err = e
+                    # drain so the producer never blocks on a dead writer
+                    while self._q.get() is not None:
+                        pass
+                    return
+
+        self._t = threading.Thread(target=run, daemon=True,
+                                   name="kmc-filter-write")
+        self._t.start()
+
+    def write(self, b):
+        if self._err is not None:
+            raise self._err
+        self._q.put(bytes(b))
+        return len(b)
+
+    # io.TextIOWrapper wraps this for the trailing-partial-record path
+    closed = False
+
+    def writable(self):
+        return True
+
+    def readable(self):
+        return False
+
+    def seekable(self):
+        return False
+
+    def flush(self):
+        pass
+
+    def finish(self):
+        self._q.put(None)
+        self._t.join()
+        if self._err is not None:
+            raise self._err
+
+
 def filter_fastq(
     db_path: str,
     input_path: str,
@@ -438,8 +531,20 @@ def filter_fastq(
     # per-window arrays, so it keeps the 256-read batching of _process
     fast = (_os.environ.get("KMC_TPU_FILTER_BYTES", "1") != "0"
             and _nt.available())
-    with _open(output_path, "wb" if fast else "wt") as fout:
-        for one_input in inputs:
-            with _open(one_input, "rb" if fast else "rt") as fin:
-                (_process_bytes if fast else _process)(fin, fout)
+    # reader/filter/writer stage threads (the reference pipeline,
+    # kmc_tools.cpp:226-345): -t1 forces the serial loop, anything else
+    # overlaps read+inflate and output writes with the lookup chunk;
+    # output bytes are identical either way (chunks drain in order)
+    pipeline = fast and _nt.get_threads() != 1
+    with _open(output_path, "wb" if fast else "wt") as fraw:
+        fout = _WriteBehind(fraw) if pipeline else fraw
+        try:
+            for one_input in inputs:
+                with _open(one_input, "rb" if fast else "rt") as fraw_in:
+                    fin = (_ReadAhead(fraw_in, _CHUNK) if pipeline
+                           else fraw_in)
+                    (_process_bytes if fast else _process)(fin, fout)
+        finally:
+            if pipeline:
+                fout.finish()
     return n_kept, n_total

@@ -41,6 +41,12 @@ def set_threads(n: int | None):
     if _lib is not None:
         _lib.kst_set_threads(_threads_pending)
 
+
+def get_threads() -> int:
+    """The last set_threads value (0 = auto/unset) — consumers like the
+    filter pipeline read it to decide whether to run staged threads."""
+    return 0 if _threads_pending is None else int(_threads_pending)
+
 _SRC = Path(__file__).resolve().parent.parent.parent / "native" / "kmc_stream.cpp"
 
 OP_CODES = {

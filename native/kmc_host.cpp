@@ -274,6 +274,7 @@ typedef struct {
     int64_t in_pos;
     int eof;
     int initialized;
+    int mid_member;  // compressed bytes consumed since the last member end
 } gz_reader_t;
 
 void* gz_open(const char* path, int64_t in_buf_bytes) {
@@ -314,15 +315,26 @@ int64_t gz_read(void* handle, uint8_t* out, int64_t out_cap) {
         r->in_pos += consumed;
         int64_t produced = (out_cap - total) - (int64_t)r->zs.avail_out;
         total += produced;
+        if (consumed > 0 || produced > 0) r->mid_member = 1;
         if (ret == Z_STREAM_END) {
             // multi-member gzip: restart for the next member
+            r->mid_member = 0;
             if (inflateReset2(&r->zs, 15 + 16) != Z_OK) return -1;
             if (r->in_pos >= r->in_len && r->eof) break;
             continue;
         }
         if (ret != Z_OK && ret != Z_BUF_ERROR) return -1;
-        if (r->eof && r->in_pos >= r->in_len) break;  // truncated stream: stop
-        if (produced == 0 && consumed == 0 && r->eof) break;
+        if (r->eof && r->in_pos >= r->in_len) {
+            // input exhausted mid-member: the file is TRUNCATED — an
+            // error, not EOF (silently stopping would emit a partial,
+            // wrong count; the reference's readers error here too)
+            if (r->mid_member) return -1;
+            break;
+        }
+        if (produced == 0 && consumed == 0 && r->eof) {
+            if (r->mid_member) return -1;
+            break;
+        }
     }
     return total;
 }

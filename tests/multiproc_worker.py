@@ -28,10 +28,21 @@ def main():
     from kmc_tpu.parallel.distributed import init_multihost, make_mesh
     from kmc_tpu.parallel.multihost import distributed_count
 
+    hb = os.environ.get("MP_HEARTBEAT_SECS")
     init_multihost(coordinator_address=coordinator,
-                   num_processes=int(n_procs), process_id=int(pid))
+                   num_processes=int(n_procs), process_id=int(pid),
+                   heartbeat_timeout_seconds=int(hb) if hb else None)
     assert jax.process_count() == int(n_procs), jax.process_count()
     assert len(jax.devices()) == 4 * int(n_procs)
+
+    # fault injection (tests/test_fault_injection.py): this process dies
+    # abruptly mid-run, the survivors must error out within the heartbeat
+    # window instead of hanging the lockstep allgather
+    crash = os.environ.get("MP_CRASH_SECS")
+    if crash and int(pid) == int(os.environ.get("MP_CRASH_PID", "1")):
+        import threading
+
+        threading.Timer(float(crash), lambda: os._exit(17)).start()
 
     mesh = make_mesh()
     cap = int(os.environ.get("MP_CAPACITY", 1 << 12))

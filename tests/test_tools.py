@@ -864,3 +864,60 @@ def test_filter_bytes_fast_path_fuzz(two_dbs, tmp_path, monkeypatch):
             counts = filter_fastq(db1, str(inp), str(out), **kw)
             res[fast] = (counts, out.read_bytes())
         assert res["1"] == res["0"], (trial, mode)
+
+
+def test_filter_pipeline_threads_byte_identical(two_dbs, tmp_path,
+                                                monkeypatch):
+    """The reader/filter/writer stage pipeline (-t != 1) produces
+    byte-identical output to the serial loop (-t1), across modes, gz
+    input, multiple inputs, and tiny chunks forcing many queue items
+    (reference pipeline: kmc_tools.cpp:226-345)."""
+    import gzip as _gzip
+
+    import kmc_tpu.tools.fastq_filter as ff
+    from kmc_tpu.tools import native_tools
+
+    if not native_tools.available():
+        pytest.skip("native tools unavailable")
+    db1, _, c1, _ = two_dbs
+    kms = [km for km, c in c1.items() if c >= 2][:60]
+    plain = "".join(f"@q{i}\n{km}TTTTAACC\n+\n{'I' * (len(km) + 8)}\n"
+                    for i, km in enumerate(kms))
+    fq = tmp_path / "in.fastq"
+    fq.write_text(plain)
+    gz = tmp_path / "in2.fastq.gz"
+    gz.write_bytes(_gzip.compress(plain.encode()))
+
+    monkeypatch.setattr(ff, "_CHUNK", 1 << 9)  # many pipeline items
+    for mode in ({"min_kmers": 1}, {"min_kmers": 2, "trim": True},
+                 {"min_kmers": 2, "hard_mask": True}):
+        outs = {}
+        for t in (1, 4, None):
+            native_tools.set_threads(t)
+            out = tmp_path / f"out_{t}.fastq"
+            stats = ff.filter_fastq(db1, [str(fq), str(gz)], str(out),
+                                    **mode)
+            outs[t] = (out.read_bytes(), stats)
+        native_tools.set_threads(None)
+        assert outs[1] == outs[4] == outs[None], mode
+
+
+def test_filter_pipeline_error_propagates(two_dbs, tmp_path, monkeypatch):
+    """A mid-stream error (FASTA input with FASTQ output) raises through
+    the pipeline threads without hanging."""
+    import kmc_tpu.tools.fastq_filter as ff
+    from kmc_tpu.tools import native_tools
+
+    if not native_tools.available():
+        pytest.skip("native tools unavailable")
+    db1, _, c1, _ = two_dbs
+    kms = [km for km, c in c1.items() if c >= 2][:10]
+    fa = tmp_path / "in.fasta"
+    fa.write_text("".join(f">q{i}\n{km}\n" for i, km in enumerate(kms)))
+    native_tools.set_threads(4)
+    try:
+        with pytest.raises(ValueError, match="FASTA input"):
+            ff.filter_fastq(db1, str(fa), str(tmp_path / "o.fastq"),
+                            min_kmers=1, out_format="q")
+    finally:
+        native_tools.set_threads(None)
