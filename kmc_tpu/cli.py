@@ -43,9 +43,11 @@ Options:
   -r - turn on RAM-only mode
   -n<value> - number of bins
   -t<value> - total number of threads (default: no. of CPU cores)
-  -sf<value> - number of FASTQ reading threads
-  -sp<value> - number of splitting threads
-  -sr<value> - number of threads for 2nd stage
+  -sf<value> - number of FASTQ reading threads (overrides -t for readers)
+  -sp<value> - number of splitting threads (no-op: splitting runs on the
+               accelerator; accepted for kmc compatibility)
+  -sr<value> - number of threads for 2nd stage (no-op: stage 2 runs on
+               the accelerator; accepted for kmc compatibility)
   -j<file_name> - file name with execution summary in JSON format
   -w - without output
   -o<kmc/kff> - output in KMC of KFF format; default: KMC
@@ -133,11 +135,13 @@ def parse_args(argv):
         elif a.startswith("-t"):
             s1.n_threads = s2.n_threads = int(a[2:])
         elif a.startswith("-sf"):
-            pass  # reader threads: host io is vectorized, kept for compat
+            # reader threads (reference kmc.h:276-292): bounds the
+            # parser-thread pool independently of -t
+            s1.n_reader_threads = int(a[3:])
         elif a.startswith("-sp"):
-            pass  # splitter threads: device-side, kept for compat
+            pass  # splitter threads: the device extract kernel (no-op)
         elif a.startswith("-sr"):
-            pass  # stage-2 threads: device-side, kept for compat
+            pass  # stage-2 sorter threads: on-device lax.sort (no-op)
         elif a.startswith("-j"):
             cli["json_summary"] = a[2:]
         elif a.startswith("-o"):

@@ -111,6 +111,9 @@ class Stage1Params:
     tmp_path: str = "."
     kmer_len: int = defs.DEFAULT_K
     n_threads: int = 0
+    # -sf: parser/reader thread count; 0 = derive from n_threads
+    # (reference: dedicated FASTQ reading threads, kmc.h:276-292)
+    n_reader_threads: int = 0
     max_ram_gb: int = 12
     signature_len: int = defs.DEFAULT_SIGNATURE_LEN
     homopolymer_compressed: bool = False
@@ -301,7 +304,8 @@ class Runner:
                 auto = len(_os.sched_getaffinity(0))
             except AttributeError:
                 auto = _os.cpu_count() or 1
-            bam_threads = params.n_threads or auto
+            bam_threads = (params.n_reader_threads or params.n_threads
+                           or auto)
 
             def gen():
                 for path in params.input_files:
@@ -321,7 +325,8 @@ class Runner:
                 auto = len(_os.sched_getaffinity(0))
             except AttributeError:
                 auto = _os.cpu_count() or 1
-            n_th = params.n_threads or auto
+            # -sf bounds the reader pool independently of -t
+            n_th = params.n_reader_threads or params.n_threads or auto
             source = None
             if n_th > 1 and max_bytes is None:
                 # N parser threads over file/byte-range shards (the

@@ -532,10 +532,17 @@ def filter_fastq(
     fast = (_os.environ.get("KMC_TPU_FILTER_BYTES", "1") != "0"
             and _nt.available())
     # reader/filter/writer stage threads (the reference pipeline,
-    # kmc_tools.cpp:226-345): -t1 forces the serial loop, anything else
-    # overlaps read+inflate and output writes with the lookup chunk;
-    # output bytes are identical either way (chunks drain in order)
-    pipeline = fast and _nt.get_threads() != 1
+    # kmc_tools.cpp:226-345): -t1 (or auto on a 1-core host) keeps the
+    # serial loop, anything else overlaps read+inflate and output writes
+    # with the lookup chunk; output bytes are identical either way
+    # (chunks drain in order)
+    nt = _nt.get_threads()
+    if nt == 0:  # auto: the hardware concurrency, like the native core
+        try:
+            nt = len(_os.sched_getaffinity(0))
+        except AttributeError:
+            nt = _os.cpu_count() or 1
+    pipeline = fast and nt != 1
     with _open(output_path, "wb" if fast else "wt") as fraw:
         fout = _WriteBehind(fraw) if pipeline else fraw
         try:
