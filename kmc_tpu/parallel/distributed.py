@@ -2,10 +2,12 @@
 
 TPU-native replacement for the reference's in-process queue/temp-file
 shuffle (SURVEY.md §2.6): input code-stream batches are data-parallel across
-devices; signature bins are owner-partitioned (owner = bin % n_devices); the
-(bin, k-mer, count) records move between chips with one all_to_all over ICI;
-each owner merges its shard locally.  No global shuffle is ever needed —
-exactly KMC's "bins are independent after stage 1" property
+devices; signature bins are owner-partitioned (this self-contained test
+step uses bin % D; the production pipeline in parallel/multihost.py uses
+contiguous histogram-balanced bin ranges); the (bin, k-mer, count) records
+move between chips with one all_to_all over ICI; each owner merges its
+shard locally.  No global shuffle is ever needed — exactly KMC's "bins are
+independent after stage 1" property
 (/root/reference/kmc_core/kb_completer.cpp:130-222), mapped onto a mesh.
 """
 from __future__ import annotations

@@ -4,10 +4,14 @@ The single-chip design (ops/store.py) scaled out: every device ingests its
 own input shard into its own row-partition of the HBM store, and at finalize
 the rows move to their bin owners with ONE all_to_all over ICI, after which
 each owner runs the same sort+scan group-reduce locally.  Bin ownership is
-`bin % n_devices` — the TPU mapping of KMC's "bins are independent after
-stage 1" property (/root/reference/kmc_core/kb_completer.cpp:130-222); the
-completer's bin-ordered output is reassembled on the host by interleaving
-the owners' per-bin runs.
+CONTIGUOUS: owner o holds bins [bounds[o], bounds[o+1]) with boundaries
+picked from a measured per-bin histogram (exact balance) — the TPU mapping
+of KMC's "bins are independent after stage 1" property
+(/root/reference/kmc_core/kb_completer.cpp:130-222).  Because the bin is
+the top bits of the fused key, key order implies owner order: the
+pre-exchange pass is a plain key sort whose owner segments are slices, and
+the owners' outputs concatenated in device order ARE the completer's
+bin-ordered output (host reassembly is plain concatenation).
 
 Rows use the binned-store layout (ops/store.py): (bin | k-mer) fused uint32
 key columns, bin = prefix-of-signature (one shift, no table — see the
@@ -28,9 +32,9 @@ Stages (all shard_map'd over one 'd' mesh axis):
            analogue of DeviceKmerStore.compact); if the unique set still
            exceeds the partition, the compacted run spills to host RAM
            (the strict-memory analogue, kmc.h:1611-1692)
-  finalize per device: owner = bin % D, sort rows by owner into
-           fixed-capacity segments (capacity measured EXACTLY by a
-           pre-pass owner histogram — the n_plus_x_recs-style bound of
+  finalize per device: key-sort rows (owner segments = slices via the
+           contiguous bin bounds; capacity measured EXACTLY by a
+           pre-pass per-bin histogram — the n_plus_x_recs-style bound of
            kb_collector.h:66-116 made tight), all_to_all over ICI, then
            _group_reduce by (bin, k-mer); spilled runs merge on the host
 
@@ -531,9 +535,20 @@ def _pack_records_shard(bins, words, counts, *, k, n_bins, counter_size,
 
 
 def _round_pow2(x: int, lo: int = 64) -> int:
+    """Round up to {1, 1.25, 1.5, 1.75} x 2^k (128-aligned): static
+    shapes with at most 4 jit variants per octave, while capping the
+    phase-A sort-width overshoot at 25% (plain pow2 wastes up to 2x —
+    29% on the 2.08e8-row bench, measured in exchange_groupsort_s)."""
     n = lo
     while n < x:
         n *= 2
+    if n <= max(x, lo):
+        return n
+    half = n // 2
+    for frac in (1.25, 1.5, 1.75):
+        c = (int(half * frac) + 127) & ~127
+        if c >= x:
+            return c
     return n
 
 
