@@ -1558,6 +1558,39 @@ def _process_chunk_gen(input_files, fmt, state, *, shard_input,
     return gen()
 
 
+def _prefetch_groups(gen, depth: int = 2):
+    """Producer thread for the ingest loop: parse+pack of group g+1
+    overlaps the H2D upload + dispatch of group g (the sharded analogue
+    of the single-chip Runner's transfer thread; docs/PERFORMANCE.md
+    "What mattered" #7).  Single-process only — in multi-controller runs
+    the lockstep allgather inside the generator must stay on the main
+    thread with the other collectives."""
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+    err: list = []
+
+    def run():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as e:  # re-raised by the consumer
+            err.append(e)
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=run, daemon=True, name="kmc-ingest-feed")
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def _lockstep_groups(batch_iter, ldc, multi, L):
     """Yield (packed, mask) groups of ldc local batches; in multi-process
     mode every process yields the SAME number of groups (lockstep via a
@@ -1902,7 +1935,10 @@ def distributed_count(
         if est is not None:
             gen = _estimator_wrap(gen, est)
         ldc = len(store.local_mesh_positions())
-        for packed, mask in _lockstep_groups(bs.batches(gen), ldc, multi, L):
+        groups = _lockstep_groups(bs.batches(gen), ldc, multi, L)
+        if not multi:
+            groups = _prefetch_groups(groups)
+        for packed, mask in groups:
             store.ingest(packed, mask, s=s, local=True)
         n_reads_local = state.n_reads
         state.n_reads = _allsum_scalar(state.n_reads, multi)
@@ -1912,7 +1948,8 @@ def distributed_count(
             gen = _hc_wrap(gen)
         if est is not None:
             gen = _estimator_wrap(gen, est)
-        for packed, mask in _lockstep_groups(bs.batches(gen), D, False, L):
+        for packed, mask in _prefetch_groups(
+                _lockstep_groups(bs.batches(gen), D, False, L)):
             store.ingest(packed, mask, s=s)
         n_reads_local = state.n_reads
 
