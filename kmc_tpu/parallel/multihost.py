@@ -1570,25 +1570,51 @@ def _prefetch_groups(gen, depth: int = 2):
 
     q: "_queue.Queue" = _queue.Queue(maxsize=depth)
     err: list = []
+    stop = threading.Event()
 
     def run():
         try:
             for item in gen:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except _queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # re-raised by the consumer
             err.append(e)
         finally:
-            q.put(None)
+            # the end-of-stream sentinel MUST land (a dropped sentinel
+            # hangs the consumer); block for space unless the consumer
+            # already signalled it is gone
+            while not stop.is_set():
+                try:
+                    q.put(None, timeout=0.2)
+                    break
+                except _queue.Full:
+                    continue
 
     t = threading.Thread(target=run, daemon=True, name="kmc-ingest-feed")
     t.start()
-    while True:
-        item = q.get()
-        if item is None:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # consumer abandoned mid-stream (exception in ingest): release
+        # the producer instead of leaving it parked on a full queue
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except _queue.Empty:
+                break
 
 
 def _lockstep_groups(batch_iter, ldc, multi, L):
