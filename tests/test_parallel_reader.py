@@ -268,3 +268,51 @@ def test_plain_gz_stays_serial(tmp_path):
                                   min_shard_bytes=1 << 12)
     assert shards == [(0, -1)]
     _assert_streams_match([str(gz)], "fastq")
+
+
+def test_bgzf_gz_crlf_and_long_reads(tmp_path):
+    """BGZF sharding with CRLF line endings and reads longer than one
+    BGZF block (records spanning many blocks): splits stay record-aligned
+    and the stream matches the serial inflate byte-for-byte."""
+    rng = np.random.default_rng(31)
+    acgt = "ACGT"
+    recs = []
+    for i in range(60):
+        seq = "".join(acgt[c] for c in rng.integers(0, 4, 9000))
+        recs.append(f"@long{i}\r\n{seq}\r\n+\r\n{'I' * len(seq)}\r\n")
+    payload = "".join(recs).encode()
+    gz = _write_bgzf_gz(tmp_path / "long.fastq.gz", payload,
+                        block_bytes=2048)
+    shards = readers._file_shards(gz, "fastq", 8, min_shard_bytes=1 << 12)
+    assert len(shards) > 1
+    s1 = readers.ParseState()
+    serial = _cat(readers.file_code_stream([gz], "fastq", s1))
+    s2 = readers.ParseState()
+    par = _cat(readers.shard_code_stream(
+        [(gz, a, b, i == len(shards) - 1)
+         for i, (a, b) in enumerate(shards)], "fastq", s2, n_threads=3))
+    assert np.array_equal(serial, par)
+    assert s1.n_reads == s2.n_reads == 60
+
+
+def test_truncated_bgzf_gz_errors(tmp_path):
+    """A BGZF gz cut mid-block must raise during sharding or streaming,
+    not silently truncate (same contract as the plain-gz inflater)."""
+    reads = random_reads(500, 100, seed=8)
+    plain = tmp_path / "t.fastq"
+    write_fastq(plain, reads)
+    blob = _write_bgzf_gz(tmp_path / "t.fastq.gz", plain.read_bytes())
+    raw = open(blob, "rb").read()
+    cut = tmp_path / "cut.fastq.gz"
+    cut.write_bytes(raw[: len(raw) - 37])  # inside the last block
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        shards = readers._file_shards(str(cut), "fastq", 8,
+                                      min_shard_bytes=1 << 12)
+        s = readers.ParseState()
+        for _ in readers.shard_code_stream(
+                [(str(cut), a, b, i == len(shards) - 1)
+                 for i, (a, b) in enumerate(shards)], "fastq", s,
+                n_threads=2):
+            pass
