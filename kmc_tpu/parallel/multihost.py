@@ -78,10 +78,33 @@ from .distributed import make_mesh
 
 
 def _ingest_shard(packed, mask, cols, counts, n_used, occ, skm, prev,
-                  sig_map, *, s, k, sig_len, both_strands, prefix_bits, fuse,
-                  n_dead_bin, n_devices, axis, has_counts, map_mode="prefix",
-                  extract_mode="xla", chain_perm=None, chain_heads=None):
-    """Per-device fused extract+bin+append (mirrors ops/store._ingest_prefix,
+                  sig_map, **kw):
+    """Per-device fused extract+bin+append over the packed+mask feed
+    format (0.375 B/base); see _ingest_shard_core."""
+    c4, bad = _unpack_device(packed[0], mask[0])
+    return _ingest_shard_core(c4, bad, cols, counts, n_used, occ, skm,
+                              prev, sig_map, **kw)
+
+
+def _ingest_shard_bounds(buf, tail, cols, counts, n_used, occ, skm, prev,
+                         sig_map, **kw):
+    """Per-device ingest over the boundary-delta feed format (2-bit packed
+    codes ++ LE u16 sentinel-position deltas, 0.28 B/base — 25% fewer
+    host-pack bytes and H2D bytes than packed+mask; the single-chip
+    bench format, io/native.py::pack_codes_boundaries)."""
+    from ..ops.store import _unpack_boundaries
+
+    c4, bad = _unpack_boundaries(buf[0], tail[0], s=kw["s"], k=kw["k"])
+    return _ingest_shard_core(c4, bad, cols, counts, n_used, occ, skm,
+                              prev, sig_map, **kw)
+
+
+def _ingest_shard_core(c4, bad, cols, counts, n_used, occ, skm, prev,
+                       sig_map, *, s, k, sig_len, both_strands, prefix_bits,
+                       fuse, n_dead_bin, n_devices, axis, has_counts,
+                       map_mode="prefix", extract_mode="xla",
+                       chain_perm=None, chain_heads=None):
+    """Fused extract+bin+append body (mirrors ops/store._ingest_prefix,
     without the leading device axis: shard_map strips it).
 
     chain_perm/chain_heads describe the carry chain of the super-k-mer
@@ -89,7 +112,6 @@ def _ingest_shard(packed, mask, cols, counts, n_used, occ, skm, prev,
     of that host, so the ppermute rings are per-host when input is sharded
     per process (and one global ring when a single stream feeds every
     device)."""
-    c4, bad = _unpack_device(packed[0], mask[0])
     if extract_mode in ("compiled", "interpret"):
         from ..ops.pallas_extract import extract_for_ingest
 
@@ -737,12 +759,13 @@ class ShardedKmerStore:
 
     # -- ingest --
 
-    def make_ingest(self, *, s, has_counts):
+    def make_ingest(self, *, s, has_counts, fmt="mask"):
         from ..ops.store import _use_pallas_extract
 
         extract_mode = _use_pallas_extract(s, self.k) or "xla"
+        fn = _ingest_shard if fmt == "mask" else _ingest_shard_bounds
         body = functools.partial(
-            _ingest_shard, s=s, k=self.k, sig_len=self.sig_len,
+            fn, s=s, k=self.k, sig_len=self.sig_len,
             both_strands=self.both_strands, prefix_bits=self.prefix_bits,
             fuse=self.fuse, n_dead_bin=self.n_dead_bin,
             n_devices=self.D, axis=self.axis, has_counts=has_counts,
@@ -752,10 +775,12 @@ class ShardedKmerStore:
         nc = self.n_cols
         col_specs = tuple(P(self.axis, None) for _ in range(nc))
         cnt_spec = P(self.axis, None) if has_counts else P()
+        feed_spec = (P(self.axis, None),
+                     P(self.axis, None) if fmt == "mask" else P(self.axis))
         sharded = jax.shard_map(
             body,
             mesh=self.mesh,
-            in_specs=(P(self.axis, None), P(self.axis, None), col_specs,
+            in_specs=(*feed_spec, col_specs,
                       cnt_spec, P(self.axis), P(self.axis, None),
                       P(self.axis, None), P(self.axis, None), P()),
             out_specs=(col_specs, cnt_spec, P(self.axis), P(self.axis, None),
@@ -769,16 +794,22 @@ class ShardedKmerStore:
         return jax.jit(sharded, donate_argnums=donate)
 
     def ingest(self, packed_dm: np.ndarray, mask_dm: np.ndarray, *, s,
-               k=None, sig_len=None, both_strands=None, local=False):
-        """packed_dm/mask_dm: (D, L/4) and (D, L/8) — one batch per device.
-        With local=True the leading dim is this process's local device
-        count instead (per-host input sharding: each process uploads only
-        the batches it parsed)."""
+               k=None, sig_len=None, both_strands=None, local=False,
+               fmt="mask"):
+        """packed_dm/mask_dm: (D, L/4) and (D, L/8) — one batch per device
+        (fmt="mask"); with fmt="bounds" they are instead the boundary-delta
+        buffers (D, L/4 + 2*cap) and per-device tail_start i32 (D,) —
+        25% fewer host-pack + H2D bytes (pack_codes_boundaries).  With
+        local=True the leading dim is this process's local device count
+        instead (per-host input sharding: each process uploads only the
+        batches it parsed)."""
         if self._rows_per_device + s > self.cap:
             self._make_room(s)
-        if self._ingest_fn is None or self._ingest_has_counts != self.has_counts:
-            self._ingest_fn = self.make_ingest(s=s, has_counts=self.has_counts)
-            self._ingest_has_counts = self.has_counts
+        key = ("ingest", s, self.has_counts, fmt)
+        self._ingest_fn = self._jit_cache.get(key)
+        if self._ingest_fn is None:
+            self._ingest_fn = self._jit_cache[key] = self.make_ingest(
+                s=s, fmt=fmt, has_counts=self.has_counts)
         counts_in = self.counts if self.has_counts else jnp.zeros((), jnp.uint32)
         up = self.to_global_from_local if local else self.to_global
         sig_map_arg = (self._sig_map_dev if self._sig_map_dev is not None
@@ -1617,41 +1648,72 @@ def _prefetch_groups(gen, depth: int = 2):
                 break
 
 
-def _lockstep_groups(batch_iter, ldc, multi, L):
-    """Yield (packed, mask) groups of ldc local batches; in multi-process
-    mode every process yields the SAME number of groups (lockstep via a
-    per-group flag allgather), padding with invalid batches once its own
-    shard runs dry — so global collective dispatch counts always agree."""
-    from ..io.native import pack_codes
+def _sharded_bounds() -> bool:
+    """KMC_TPU_SHARDED_BOUNDS=1 feeds the sharded ingest the 0.28 B/base
+    boundary-delta format.  Default OFF: measured on the real chip
+    (2026-08-21, two runs), the boundary unpack's scatter lowers WORSE
+    under shard_map than on the single-device path — sharded ingest_wall
+    3.8-3.9 s vs 2.3-2.5 s with packed+mask on the bench workload — so
+    the sharded default stays packed+mask (byte-identical either way;
+    tests cover both formats)."""
+    import os as _os
+
+    return _os.environ.get("KMC_TPU_SHARDED_BOUNDS", "0") == "1"
+
+
+def _lockstep_groups(batch_iter, ldc, multi, L, boundaries=False):
+    """Yield ldc-local-batch groups; in multi-process mode every process
+    yields the SAME number of groups (lockstep via a per-group flag
+    allgather), padding with invalid batches once its own shard runs dry —
+    so global collective dispatch counts always agree.
+
+    boundaries=False: yields ("mask", packed, mask) — the 0.375 B/base
+    packed+mask format.  boundaries=True: yields ("bounds", bufs, tails)
+    when EVERY batch of the group (fleet-wide, via the same allgather)
+    admits the 0.28 B/base boundary-delta format, else falls back to
+    ("mask", ...) for that group — the whole fleet always dispatches the
+    same program."""
+    from ..io.native import pack_codes, pack_codes_boundaries
 
     if multi:
         from jax.experimental import multihost_utils
     done = False
     while True:
-        gp, gm = [], []
-        while len(gp) < ldc and not done:
+        raw = []
+        while len(raw) < ldc and not done:
             try:
-                b = next(batch_iter)
+                raw.append(next(batch_iter))
             except StopIteration:
                 done = True
                 break
-            pp, mm = pack_codes(b)
-            gp.append(pp)
-            gm.append(mm)
-        have = len(gp) > 0
+        have = len(raw) > 0
+        while len(raw) < ldc:  # pad missing local shards with invalid codes
+            raw.append(np.full(L, 4, np.uint8))
+        packed_b = None
+        if boundaries:
+            packed_b = [pack_codes_boundaries(b) for b in raw]
+            bounds_ok = all(buf is not None for buf, _ in packed_b)
+        else:
+            bounds_ok = False
         if multi:
-            flags = multihost_utils.process_allgather(
-                np.array([have], dtype=np.int32))
-            cont = bool(np.asarray(flags).sum())
+            flags = np.asarray(multihost_utils.process_allgather(
+                np.array([have, bounds_ok], dtype=np.int32)))
+            flags = flags.reshape(-1, 2)
+            cont = bool(flags[:, 0].any())
+            use_bounds = bool(flags[:, 1].all())
         else:
             cont = have
+            use_bounds = bounds_ok
         if not cont:
             return
-        while len(gp) < ldc:  # pad missing local shards with invalid codes
-            pp, mm = pack_codes(np.full(L, 4, np.uint8))
-            gp.append(pp)
-            gm.append(mm)
-        yield np.stack(gp), np.stack(gm)
+        if use_bounds:
+            yield ("bounds",
+                   np.stack([buf for buf, _ in packed_b]),
+                   np.array([ts for _, ts in packed_b], np.int32))
+        else:
+            pm = [pack_codes(b) for b in raw]
+            yield ("mask", np.stack([p for p, _ in pm]),
+                   np.stack([m for _, m in pm]))
 
 
 def _allsum_scalar(x: int, multi: bool) -> int:
@@ -1780,8 +1842,8 @@ def _distributed_smallk(input_files, output_file_name, *, k, mesh,
             (D,) + tuple(rows.shape[1:]), NamedSharding(
                 mesh, P(axis, *([None] * (rows.ndim - 1)))), shards)
 
-    for packed, mask in _lockstep_groups(bs.batches(gen), ldc, multi,
-                                         bs.batch_bytes):
+    for _fmt, packed, mask in _lockstep_groups(bs.batches(gen), ldc, multi,
+                                               bs.batch_bytes):
         hist = step(up(packed), up(mask), hist)
 
     total = jax.jit(lambda h: jnp.sum(h, axis=0),
@@ -1961,11 +2023,12 @@ def distributed_count(
         if est is not None:
             gen = _estimator_wrap(gen, est)
         ldc = len(store.local_mesh_positions())
-        groups = _lockstep_groups(bs.batches(gen), ldc, multi, L)
+        groups = _lockstep_groups(bs.batches(gen), ldc, multi, L,
+                                  boundaries=_sharded_bounds())
         if not multi:
             groups = _prefetch_groups(groups)
-        for packed, mask in groups:
-            store.ingest(packed, mask, s=s, local=True)
+        for fmt, a, b in groups:
+            store.ingest(a, b, s=s, local=True, fmt=fmt)
         n_reads_local = state.n_reads
         state.n_reads = _allsum_scalar(state.n_reads, multi)
     else:
@@ -1974,9 +2037,10 @@ def distributed_count(
             gen = _hc_wrap(gen)
         if est is not None:
             gen = _estimator_wrap(gen, est)
-        for packed, mask in _prefetch_groups(
-                _lockstep_groups(bs.batches(gen), D, False, L)):
-            store.ingest(packed, mask, s=s)
+        for fmt, a, b in _prefetch_groups(
+                _lockstep_groups(bs.batches(gen), D, False, L,
+                                 boundaries=_sharded_bounds())):
+            store.ingest(a, b, s=s, fmt=fmt)
         n_reads_local = state.n_reads
 
     store.barrier()

@@ -350,3 +350,47 @@ def test_packed_finalize_spill_fallback(reads_file, tmp_path, monkeypatch):
                                                cutoff_min=2)
     assert dump_db_file(out) == oracle.dump_text(records)
     assert stats["n_unique"] == ostats["n_unique"]
+
+
+def test_sharded_bounds_format_matches_mask(tmp_path):
+    """The boundary-delta ingest feed (fmt='bounds', opt-in via
+    KMC_TPU_SHARDED_BOUNDS) produces the same merged rows as packed+mask
+    — kept as a tested alternative; it measured SLOWER under shard_map
+    on the real chip, so packed+mask stays the default (see
+    _sharded_bounds)."""
+    import jax
+
+    from kmc_tpu.io.native import pack_codes, pack_codes_boundaries
+    from kmc_tpu.ops.extract import batch_len
+    from kmc_tpu.parallel.distributed import make_mesh
+    from kmc_tpu.parallel.multihost import ShardedKmerStore
+
+    D = min(4, jax.device_count())
+    mesh = make_mesh(D)
+    s = 1 << 10
+    L = batch_len(s, 25)
+    rng = np.random.default_rng(3)
+    batches = []
+    for _ in range(D):
+        codes = rng.integers(0, 4, L).astype(np.uint8)
+        codes[90::91] = 4  # read separators
+        batches.append(codes)
+
+    outs = []
+    for fmt in ("mask", "bounds"):
+        store = ShardedKmerStore(mesh, 4 * s, k=25, sig_len=9)
+        if fmt == "mask":
+            pm = [pack_codes(b) for b in batches]
+            store.ingest(np.stack([p for p, _ in pm]),
+                         np.stack([m for _, m in pm]), s=s, fmt="mask")
+        else:
+            pb = [pack_codes_boundaries(b) for b in batches]
+            assert all(buf is not None for buf, _ in pb)
+            store.ingest(np.stack([buf for buf, _ in pb]),
+                         np.array([ts for _, ts in pb], np.int32),
+                         s=s, fmt="bounds")
+        bins, words, counts, stats, n_total, n_skm = store.finalize(
+            cutoff_min=1, cutoff_max=10**9, counter_max=255)
+        outs.append((bins.tobytes(), words.tobytes(), counts.tobytes(),
+                     stats, n_total, n_skm))
+    assert outs[0] == outs[1]
