@@ -671,13 +671,23 @@ def _parallel_chunks(shards, fmt, own_state, n_threads):
 
     def worker():
         while True:
+            # acquire the in-flight permit BEFORE claiming a shard index:
+            # claiming first allowed permits to land on LATER shards while
+            # the earlier claimant starved — the consumer then waited on a
+            # shard no permit-holder was running while the permit-holders
+            # blocked on their full queues (deadlock; found by the BGZF
+            # many-shard test).  Permit-then-claim keeps the claim order
+            # equal to the run order, so the consumer's next shard is
+            # always in flight or about to be.
+            window.acquire()
             with lock:
                 si = next_shard[0]
                 if si >= len(shards):
+                    window.release()
                     return
                 next_shard[0] += 1
-            window.acquire()
             if stop.is_set():
+                window.release()
                 return
             run_shard(si)
 
