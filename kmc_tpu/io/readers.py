@@ -778,6 +778,16 @@ class BatchStream:
                 padded = np.full(L, CODE_INVALID, dtype=np.uint8)
                 padded[: len(tail)] = tail
                 yield padded
-                break
+                # batch_len pads L past s + k - 1, so a tail of length in
+                # (s + k - 1, L) still holds valid window STARTS at >= s —
+                # breaking here silently dropped up to L - (s + k - 1)
+                # occurrences per stream end (found by a 3-process
+                # byte-identity check; the start position must land in a
+                # ~(L - s - k + 1)/s window, so most runs never hit it).
+                # Keep consuming until no start can form a window.
+                tail = tail[self.s :]
+                if len(tail) < self.k:
+                    break
+                continue
             yield tail[:L]
             tail = tail[self.s :]

@@ -316,3 +316,32 @@ def test_truncated_bgzf_gz_errors(tmp_path):
                  for i, (a, b) in enumerate(shards)], "fastq", s,
                 n_threads=2):
             pass
+
+
+def test_batchstream_tail_interval_no_window_loss():
+    """Regression (round 5): a stream whose total length lands in
+    (s + k - 1, batch_len) hit BatchStream's pad-and-break tail path and
+    silently DROPPED the window starts at >= s — up to batch_len-(s+k-1)
+    occurrences per stream end (found via a 3-process byte-identity
+    check).  Sweep every tail length across two batch boundaries and
+    assert the batched window count equals the stream's true count."""
+    from kmc_tpu.io.readers import BatchStream
+    from kmc_tpu.ops.extract import batch_len
+
+    k, s = 25, 64
+    L = batch_len(s, k)
+    for n in range(k, 2 * L + 9):
+        codes = (np.arange(n, dtype=np.uint8) % 4)  # all valid
+        bs = BatchStream(s, k)
+        got = 0
+        for batch in bs.batches(iter([codes])):
+            assert len(batch) == L
+            good = batch < 4
+            runs = np.zeros(len(batch), np.int64)
+            r = 0
+            for j, g in enumerate(good):
+                r = r + 1 if g else 0
+                runs[j] = r
+            starts = np.flatnonzero(runs >= k) - (k - 1)
+            got += int(((starts >= 0) & (starts < s)).sum())
+        assert got == n - k + 1, (n, got, n - k + 1)
