@@ -194,3 +194,17 @@ def test_two_process_compaction_and_spill(reads_file, tmp_path):
     for suf in (".kmc_pre", ".kmc_suf"):
         with open(out + suf, "rb") as a, open(ref_out + suf, "rb") as b:
             assert a.read() == b.read(), suf
+
+
+def test_three_process_byte_identical(reads_file, tmp_path):
+    """3 processes x 4 devices vs 1 process: DB bytes identical.  A
+    third shard adds stream-tail/dealing alignments two processes cannot
+    produce — this exact check caught the BatchStream tail-interval
+    window loss (round 5)."""
+    out1 = str(tmp_path / "p1")
+    _run_workers(1, reads_file, out1, env_extra={"MP_MIN_SHARD": "4096"})
+    out3 = str(tmp_path / "p3")
+    _run_workers(3, reads_file, out3, env_extra={"MP_MIN_SHARD": "4096"})
+    for suf in (".kmc_pre", ".kmc_suf"):
+        with open(out1 + suf, "rb") as a, open(out3 + suf, "rb") as b:
+            assert a.read() == b.read(), suf
