@@ -229,16 +229,15 @@ def _revcomp_mmer(m: jax.Array, sig_len: int) -> jax.Array:
     return rev
 
 
-def sig_of_words(words, *, k: int, sig_len: int):
-    """Signature of each canonical k-mer row, recomputed from its lanes.
-
-    words: uint32[X, W] MSW-first right-aligned 2-bit lanes.  Equals the
-    per-position signature the splitter computed (the set of canonical m-mer
-    norms of a k-mer and of its reverse complement is identical, so the
-    canonical representative gives the same minimum).  Lets the HBM store
-    drop its signature column: 8-byte rows instead of 16.
-    """
-    X, W = words.shape
+def sig_of_word_cols(wr, *, k: int, sig_len: int):
+    """Signature of each canonical k-mer row, recomputed from its lane
+    COLUMNS (a sequence of W uint32 arrays, MSW-first right-aligned 2-bit
+    lanes).  Equals the per-position signature the splitter computed (the
+    set of canonical m-mer norms of a k-mer and of its reverse complement
+    is identical, so the canonical representative gives the same minimum).
+    Pure vector bit math — no table, no gather."""
+    W = len(wr)
+    X = wr[0].shape[0]
     mask_m = jnp.uint32((1 << (2 * sig_len)) - 1)
     special = jnp.uint32(1 << (2 * sig_len))
     best = jnp.full((X,), special, jnp.uint32)
@@ -246,15 +245,22 @@ def sig_of_words(words, *, k: int, sig_len: int):
         shift = 2 * (k - sig_len - j)  # m-mer j = (kmer >> shift) & mask
         lane = W - 1 - (shift // 32)
         off = shift % 32
-        v = words[:, lane] >> off
+        v = wr[lane] >> off
         if off + 2 * sig_len > 32 and lane > 0:
-            v = v | (words[:, lane - 1] << (32 - off))
+            v = v | (wr[lane - 1] << (32 - off))
         f = v & mask_m
         r = _revcomp_mmer(f, sig_len)
         fv = jnp.where(_is_allowed(f, sig_len), f, special)
         rv = jnp.where(_is_allowed(r, sig_len), r, special)
         best = jnp.minimum(best, jnp.minimum(fv, rv))
     return best
+
+
+def sig_of_words(words, *, k: int, sig_len: int):
+    """sig_of_word_cols over a 2-D uint32[X, W] lane matrix."""
+    W = words.shape[1]
+    return sig_of_word_cols([words[:, t] for t in range(W)], k=k,
+                            sig_len=sig_len)
 
 
 @functools.partial(jax.jit, static_argnames=("s", "k", "sig_len", "map_len"))

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .extract import (INVALID_SIG, _kmer_words, _unpack_device, batch_len,
-                      position_sigs)
+                      position_sigs, sig_of_word_cols)
 
 U32MAX = np.uint32(0xFFFFFFFF)
 
@@ -84,6 +84,15 @@ def greedy_fuse(k: int, n_used_bins: int) -> bool:
     W = (k + 15) // 16
     r0 = k - 16 * (W - 1)
     return 2 * r0 + int(n_used_bins + 1).bit_length() <= 32
+
+
+def greedy_defer_default() -> bool:
+    """KMC_TPU_GREEDY_DEFER (default ON): greedy stores ingest under the
+    prefix-policy layout and remap at finalize (see DeviceKmerStore)."""
+    import os as _os
+
+    return _os.environ.get("KMC_TPU_GREEDY_DEFER", "1") not in (
+        "0", "false", "no")
 
 
 def _sig_to_bin(sig_pos, valid, *, sig_len, map_mode, prefix_bits, sig_map,
@@ -303,6 +312,33 @@ def _ingest_greedy_bounds(buf, tail_start, key_cols, n_used, occ_acc,
                               skm_acc, prev_sig, sig_map, **statics)
 
 
+# -- stage-0 histogram accumulation on the ingest feed formats: with the
+# deferred greedy remap the signature map is not needed until finalize, so
+# the sampled per-signature histogram (reference CalcStats,
+# splitter.cpp:439-533) rides the SAME device buffers the ingest consumes —
+# no separate stage-0 parse pass over the input. --
+
+@functools.partial(jax.jit, static_argnames=("s", "k", "sig_len"),
+                   donate_argnums=(1,))
+def _stage0_accum_fused(buf, hist, *, s, k, sig_len):
+    from .extract import _stage0_core
+
+    packed, mask = _split_fused(buf, s, k)
+    c4, bad = _unpack_device(packed, mask)
+    return hist + _stage0_core(c4, bad, s=s, k=k, sig_len=sig_len,
+                               map_len=hist.shape[0])
+
+
+@functools.partial(jax.jit, static_argnames=("s", "k", "sig_len"),
+                   donate_argnums=(2,))
+def _stage0_accum_bounds(buf, tail_start, hist, *, s, k, sig_len):
+    from .extract import _stage0_core
+
+    c4, bad = _unpack_boundaries(buf, tail_start, s=s, k=k)
+    return hist + _stage0_core(c4, bad, s=s, k=k, sig_len=sig_len,
+                               map_len=hist.shape[0])
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 5))
 def _append(key_cols, store_counts, n_used, in_cols, counts, occ_acc):
     """External append (checkpoint resume / spill replay); counts column
@@ -474,6 +510,84 @@ def _split_bins(keys_r, *, fuse, r0):
         bins_r = keys_r[0]
         wr = list(keys_r[1:])
     return bins_r, wr
+
+
+# -- deferred greedy remap: rows ingested under the prefix-policy layout are
+# rewritten to their greedy bins at finalize (see __init__ docstring).  The
+# signature is recomputed from the stored lanes with pure bit math
+# (extract.sig_of_word_cols); only the 4^m map lookup is a gather, and it
+# runs at OUTPUT scale in the tiled path instead of per ingested position. --
+
+def _greedy_remap_cols(key_cols, sig_map, *, k, sig_len, ing_fuse, g_fuse,
+                       n_ing_bins):
+    """Elementwise key rewrite: prefix-layout columns -> greedy-layout
+    columns.  Rows whose ingest bin is out of range (dead all-ones rows)
+    stay all-ones in every output column."""
+    W = (k + 15) // 16
+    r0 = k - 16 * (W - 1)
+    bins_i, wr = _split_bins(list(key_cols), fuse=ing_fuse, r0=r0)
+    valid = bins_i < jnp.uint32(n_ing_bins)
+    sig = sig_of_word_cols(wr, k=k, sig_len=sig_len)
+    L = sig_map.shape[0]
+    slot = jnp.minimum(sig, jnp.uint32(L - 1)).astype(jnp.int32)
+    gbin = sig_map[slot].astype(jnp.uint32)
+    return _key_cols_from(gbin, wr, valid, fuse=g_fuse, r0=r0)
+
+
+_G_REMAP_STATICS = ("k", "sig_len", "ing_fuse", "g_fuse", "n_ing_bins")
+
+
+@functools.partial(jax.jit, static_argnames=_G_REMAP_STATICS,
+                   donate_argnums=(0,))
+def _greedy_remap_store(key_cols, sig_map, **st):
+    """Capacity-scale remap (the non-tiled fallback): counts columns stay
+    aligned because the rewrite is row-positional."""
+    return tuple(_greedy_remap_cols(tuple(key_cols), sig_map, **st))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out", "has_counts") + _G_REMAP_STATICS,
+    donate_argnums=(0, 1, 2),
+)
+def _greedy_collect(keys_s, before, src_t, offs, n_groups, n_live, sig_map,
+                    *, out, has_counts, **st):
+    """Tiled-path collect: gather the compacted unique rows (OUTPUT scale),
+    remap them to greedy bins, and sort by the greedy key.  Returns
+    (greedy key columns, totals) sorted in final record order; rows at
+    index >= n_groups (and the dead all-ones group, if present) sort last
+    with all-ones keys."""
+    keys_r, totals = _tiled_gather_groups(
+        tuple(keys_s), before, src_t, offs, n_groups, n_live,
+        out=out, has_counts=has_counts)
+    idx = jnp.arange(out, dtype=jnp.int32)
+    in_range = idx < n_groups
+    keys_r = [jnp.where(in_range, c, U32MAX) for c in keys_r]
+    g_cols = _greedy_remap_cols(keys_r, sig_map, **st)
+    tot = jnp.where(in_range, totals, 0).astype(jnp.uint32)
+    ncols = len(g_cols)
+    ops = jax.lax.sort(list(g_cols) + [tot], num_keys=ncols)
+    return tuple(ops[:ncols]), ops[ncols]
+
+
+_G_EMIT_STATICS = ("cutoff_min", "cutoff_max", "counter_max", "k",
+                   "lut_prefix_len", "counter_size", "n_bins", "fuse")
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",) + _G_EMIT_STATICS)
+def _greedy_emit_chunk(g_cols, g_tot, n_groups, start, *, chunk, **kw):
+    """Chunked completer over the collected greedy-sorted rows (the
+    deferred-greedy analogue of _tiled_finalize_b_chunk; same traced-start
+    single-executable pipelined-D2H contract)."""
+    sl = [jax.lax.dynamic_slice(c, (start,), (chunk,)) for c in g_cols]
+    tot = jax.lax.dynamic_slice(g_tot, (start,), (chunk,))
+    return _finalize_groups_core(sl, tot, n_groups, start=start, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=_G_EMIT_STATICS,
+                   donate_argnums=(0, 1))
+def _greedy_emit_full(g_cols, g_tot, n_groups, **kw):
+    return _finalize_groups_core(list(g_cols), g_tot, n_groups, **kw)
 
 
 def _finalize_core(
@@ -984,7 +1098,8 @@ class DeviceKmerStore:
                  both_strands: bool, n_bins: int,
                  map_mode: str = "prefix", sig_map: np.ndarray | None = None,
                  initial_rows: int | None = None,
-                 spill_budget_bytes: int | None = None):
+                 spill_budget_bytes: int | None = None,
+                 greedy_defer: bool | None = None):
         """capacity_rows is the HBM budget cap; the store starts small and
         grows 4x on demand (each growth recompiles the big kernels, 30-90s
         over the tunnel — TPU runs pass initial_rows=capacity to stay
@@ -993,7 +1108,16 @@ class DeviceKmerStore:
         map_mode "prefix": n_bins is rounded down to a power of two and the
         map becomes sig >> shift (plus the special bin).  map_mode "greedy":
         sig_map (int32[4^sig_len+1], from signatures.build_signature_map)
-        routes each signature with a per-batch gather."""
+        routes each signature.  In the default DEFERRED greedy mode
+        (greedy_defer, env KMC_TPU_GREEDY_DEFER=1) the store INGESTS under
+        the prefix-policy key layout (no per-batch 4^m-entry gather — the
+        single measured 2.3 s term of greedy mode at bench scale) and
+        remaps rows to their greedy bins at FINALIZE, on the compacted
+        unique rows: the signature is recomputed from each stored k-mer's
+        own lanes (exact — the m-mer norm is strand-invariant, so
+        sig(canonical(K)) == sig(window); mmer.h:81-91) and the map gather
+        runs at output scale.  The resulting database is byte-identical to
+        the eager per-batch-gather path."""
         def _r32(x):  # keep-bit packing needs row counts divisible by 32
             return (int(x) + 31) & ~31
 
@@ -1008,21 +1132,42 @@ class DeviceKmerStore:
             self.prefix_bits, self.fuse = prefix_bin_bits(k, sig_len, n_bins)
             self.n_used_bins = (1 << self.prefix_bits) + 1  # + special bin
             self._sig_map_dev = None
+            self._g_defer = False
         elif map_mode == "greedy":
-            if sig_map is None:
-                raise ValueError("greedy map_mode requires sig_map")
+            if greedy_defer is None:
+                greedy_defer = greedy_defer_default()
+            self._g_defer = bool(greedy_defer)
             self.prefix_bits = 0
-            self.n_used_bins = int(sig_map.max()) + 1
-            self.fuse = greedy_fuse(k, self.n_used_bins)
-            # disallowed (-1) slots are unreachable; route them to the dead
-            # bin defensively
-            sm = np.where(sig_map < 0, self.n_used_bins, sig_map)
-            self._sig_map_dev = jnp.asarray(sm.astype(np.int32))
+            self.n_used_bins = None
+            self.fuse = None
+            self._sig_map_dev = None
+            if sig_map is None:
+                # deferred stage 0: the map arrives via set_sig_map() after
+                # ingest (its histogram is accumulated from the ingest
+                # buffers), before any finalize
+                if not self._g_defer:
+                    raise ValueError(
+                        "eager greedy map_mode requires sig_map upfront")
+            else:
+                self.set_sig_map(sig_map)
         else:
             raise ValueError(f"unknown map_mode {map_mode!r}")
+        # ingest-side (store row) layout: equals the output layout except in
+        # deferred-greedy mode, where rows live in the prefix-policy layout
+        # until finalize remaps them
+        if self._g_defer:
+            self._ing_map_mode = "prefix"
+            self._ing_prefix_bits, self._ing_fuse = prefix_bin_bits(
+                k, sig_len, 512)
+            self._ing_n_bins = (1 << self._ing_prefix_bits) + 1
+        else:
+            self._ing_map_mode = map_mode
+            self._ing_prefix_bits = self.prefix_bits
+            self._ing_fuse = self.fuse
+            self._ing_n_bins = self.n_used_bins
         # the dead-row bin id: sorts after every real bin
-        self.n_dead_bin = self.n_used_bins
-        self.n_cols = self.W if self.fuse else self.W + 1
+        self.n_dead_bin = self._ing_n_bins
+        self.n_cols = self.W if self._ing_fuse else self.W + 1
 
         self.capacity = min(self.max_capacity, _r32(initial_rows or (1 << 20)))
         # slack rows let ingest continue while a compaction's result size is
@@ -1120,8 +1265,8 @@ class DeviceKmerStore:
     def _ing_statics(self, s: int) -> dict:
         return dict(
             s=s, k=self.k, sig_len=self.sig_len,
-            both_strands=self.both_strands, map_mode=self.map_mode,
-            prefix_bits=self.prefix_bits, fuse=self.fuse,
+            both_strands=self.both_strands, map_mode=self._ing_map_mode,
+            prefix_bits=self._ing_prefix_bits, fuse=self._ing_fuse,
             n_dead_bin=self.n_dead_bin,
             extract_mode=_use_pallas_extract(s, self.k) or "xla",
         )
@@ -1140,8 +1285,10 @@ class DeviceKmerStore:
         self._occ_upper += s
         self._make_room(s)
         had_counts = self.counts is not None
-        kern = self._INGEST_KERNELS[feed][0 if self.map_mode == "prefix" else 1]
-        map_args = () if self.map_mode == "prefix" else (self._sig_map_dev,)
+        kern = self._INGEST_KERNELS[feed][
+            0 if self._ing_map_mode == "prefix" else 1]
+        map_args = (() if self._ing_map_mode == "prefix"
+                    else (self._sig_map_dev,))
         (self.key_cols, self.n_used, self.occ_acc, self.skm_acc,
          self.prev_sig) = kern(
             *feed_args, self.key_cols, self.n_used, self.occ_acc,
@@ -1415,21 +1562,35 @@ class DeviceKmerStore:
         starts = np.flatnonzero(new)
         totals = np.add.reduceat(counts, starts)
         rep = [c[starts] for c in cols]
-        if self.fuse:
+        if self._ing_fuse:
             bins = rep[0] >> (2 * self.r0)
             lanes = [rep[0] & np.uint32((1 << (2 * self.r0)) - 1)] + rep[1:]
         else:
             bins = rep[0]
             lanes = rep[1:]
-        valid = (bins < self.n_used_bins) & (totals > 0)
-        return (bins[valid].astype(np.uint32),
-                np.stack([l[valid] for l in lanes], axis=1),
-                totals[valid])
+        valid = (bins < self._ing_n_bins) & (totals > 0)
+        bins = bins[valid].astype(np.uint32)
+        lanes = np.stack([l[valid] for l in lanes], axis=1)
+        totals = totals[valid]
+        if self._g_defer:
+            # deferred greedy: rows merged in prefix-key order; remap each
+            # unique k-mer to its greedy bin and re-sort (host mirror of
+            # _greedy_collect)
+            from ..signatures import sig_of_lanes_numpy
+
+            sig = sig_of_lanes_numpy(lanes, self.k, self.sig_len)
+            sm = np.asarray(self._sig_map_dev)
+            slot = np.minimum(sig, np.uint32(len(sm) - 1))
+            bins = sm[slot].astype(np.uint32)
+            order = np.lexsort(tuple(lanes[:, ::-1].T) + (bins,))
+            bins, lanes, totals = bins[order], lanes[order], totals[order]
+        return bins, lanes, totals
 
     # -- checkpoint / resume (SURVEY.md §5.4: stage-1 state is the natural
     # checkpoint; the reference's analogue is its tmp bin files + CBinDesc) --
     def save_checkpoint(self, path: str):
         """Compact, then persist the store's valid prefix to an .npz."""
+        self._require_sig_map()
         self.compact(blocking=True)
         n = self._base
         np.savez_compressed(
@@ -1445,6 +1606,10 @@ class DeviceKmerStore:
             n_used_bins=np.asarray(self.n_used_bins),
             prefix_bits=np.asarray(self.prefix_bits),
             map_mode=np.asarray(self.map_mode),
+            # deferred-greedy stores hold rows in the prefix-policy layout;
+            # the loader must reconstruct the same layout regardless of the
+            # env default at load time
+            greedy_defer=np.asarray(self._g_defer),
             # store the original -1-for-disallowed form: __init__ rewrites
             # -1 to the dead bin, so round-tripping the rewritten map would
             # inflate n_used_bins by one per save/load cycle
@@ -1471,6 +1636,10 @@ class DeviceKmerStore:
         else:
             kw["n_bins"] = int(data["n_used_bins"])
             kw["sig_map"] = data["sig_map"]
+            # checkpoints from before the deferred mode existed hold rows in
+            # the eager greedy layout
+            kw["greedy_defer"] = bool(data["greedy_defer"]) \
+                if "greedy_defer" in data else False
         store = cls(max(capacity_rows, 2 * max(n, 1)),
                     initial_rows=max(2 * n, 1 << 10), **kw)
         store.append(tuple(data["cols"]), data["counts"],
@@ -1482,6 +1651,40 @@ class DeviceKmerStore:
             sp = np.load(f"{path}.spill{i}.npz")
             store.spilled.append((tuple(sp["cols"]), sp["counts"]))
         return store
+
+    def set_sig_map(self, sig_map: np.ndarray):
+        """Install (or replace) the greedy signature->bin map.  In deferred
+        mode this may happen any time before the first finalize — the store
+        rows are map-independent (prefix layout) until then."""
+        if self.map_mode != "greedy":
+            raise ValueError("set_sig_map applies to greedy map_mode only")
+        if self._sig_map_dev is not None and not self._g_defer:
+            raise ValueError("eager greedy stores cannot change their map")
+        self.n_used_bins = int(sig_map.max()) + 1
+        self.fuse = greedy_fuse(self.k, self.n_used_bins)
+        # disallowed (-1) slots are unreachable; route them to the dead
+        # bin defensively
+        sm = np.where(sig_map < 0, self.n_used_bins, sig_map)
+        self._sig_map_dev = jnp.asarray(sm.astype(np.int32))
+
+    def _require_sig_map(self):
+        if self.map_mode == "greedy" and self._sig_map_dev is None:
+            raise RuntimeError(
+                "deferred greedy store: call set_sig_map() before finalize/"
+                "checkpoint (the stage-0 histogram feeds it)")
+
+    def stage0_accum(self, feed: str, feed_args: tuple, hist, *, s: int):
+        """Accumulate the stage-0 per-signature histogram from an ingest
+        feed buffer already on device (deferred-greedy stage-0 folding; the
+        histogram batches ride the ingest stream instead of a separate
+        parse pass).  Returns the updated device histogram (donated)."""
+        kw = dict(s=s, k=self.k, sig_len=self.sig_len)
+        if feed == "bounds":
+            buf, ts = feed_args
+            return _stage0_accum_bounds(buf, ts, hist, **kw)
+        if feed == "fused":
+            return _stage0_accum_fused(feed_args[0], hist, **kw)
+        raise ValueError(f"unknown stage-0 feed {feed!r}")
 
     def host_sig_map(self) -> np.ndarray:
         """The active signature->bin map as int32[4^sig_len + 1] (for the
@@ -1531,6 +1734,8 @@ class DeviceKmerStore:
         stats tuple).  See _finalize_core."""
         import time as _time
 
+        self._require_sig_map()
+
         try:
             self._replay_spills()
         except _SpillOverflow:
@@ -1558,22 +1763,55 @@ class DeviceKmerStore:
             n = int(n_groups_d)  # sync point (phase B shape depends on it)
             X128 = int(src_t.shape[0])
             chunk = _pipeline_chunks()
-            if chunk:
+            if self._g_defer:
+                # deferred greedy: collect + remap + re-sort at OUTPUT
+                # scale, then emit from the greedy-sorted arrays (chunked
+                # and pipelined exactly like the classic path)
+                grain = _out_grain()
+                out = min(X128, ((max(n, 1) + grain - 1) // grain) * grain)
+                chunk = min(chunk, out) if chunk else 0
+                if chunk:  # emission slices must never clamp
+                    out = ((out + chunk - 1) // chunk) * chunk
+                g_cols, g_tot = _greedy_collect(
+                    keys_s, before, src_t, offs, n_groups_d, n_live,
+                    self._sig_map_dev, out=out, has_counts=has,
+                    **self._g_remap_statics())
+                gkw = dict(kw)
+                if chunk:
+                    def emit(start):
+                        return _greedy_emit_chunk(
+                            g_cols, g_tot, n_groups_d, start,
+                            chunk=chunk, **gkw)
+
+                    return self._consume_pipelined(
+                        emit, n=n, chunk=chunk,
+                        lut_prefix_len=lut_prefix_len,
+                        counter_size=counter_size, t0=t0)
+                cols, keep_bits, lut, stats = _greedy_emit_full(
+                    g_cols, g_tot, n_groups_d, **gkw)
+                np.asarray(keep_bits[:1])
+            elif chunk:
                 return self._finalize_records_pipelined(
                     keys_s, before, src_t, offs, n_groups_d, n_live,
                     n=n, chunk=min(chunk, X128), has=has, kw=kw,
                     lut_prefix_len=lut_prefix_len,
                     counter_size=counter_size, t0=t0)
-            grain = _out_grain()
-            out = min(X128, ((max(n, 1) + grain - 1) // grain) * grain)
-            cols, keep_bits, lut, stats = _tiled_finalize_b(
-                keys_s, before, src_t, offs, n_groups_d, n_live,
-                out=out, has_counts=has, **kw)
-            # force phase-B completion so t_finalize_exec is device exec,
-            # not dispatch (block_until_ready does not block on the dev
-            # tunnel; a scalar fetch does)
-            np.asarray(keep_bits[:1])
+            else:
+                grain = _out_grain()
+                out = min(X128, ((max(n, 1) + grain - 1) // grain) * grain)
+                cols, keep_bits, lut, stats = _tiled_finalize_b(
+                    keys_s, before, src_t, offs, n_groups_d, n_live,
+                    out=out, has_counts=has, **kw)
+                # force phase-B completion so t_finalize_exec is device
+                # exec, not dispatch (block_until_ready does not block on
+                # the dev tunnel; a scalar fetch does)
+                np.asarray(keep_bits[:1])
         else:
+            if self._g_defer:
+                self.key_cols = _greedy_remap_store(
+                    self.key_cols, self._sig_map_dev,
+                    **self._g_remap_statics())
+                eff_cols, eff_counts = self._effective_finalize_cols()
             if eff_counts is None:
                 cols, keep_bits, lut, n_groups, stats = _finalize_records_unit(
                     eff_cols, self.n_used, wide=False, **kw)
@@ -1612,24 +1850,40 @@ class DeviceKmerStore:
         self.key_cols = self.counts = None
         return np.ascontiguousarray(rec_h[keep_h]), lut_h, tuple(int(x) for x in stats)
 
+    def _g_remap_statics(self) -> dict:
+        return dict(k=self.k, sig_len=self.sig_len, ing_fuse=self._ing_fuse,
+                    g_fuse=self.fuse, n_ing_bins=self._ing_n_bins)
+
     def _finalize_records_pipelined(self, keys_s, before, src_t, offs,
                                     n_groups_d, n_live, *, n, chunk, has,
                                     kw, lut_prefix_len, counter_size, t0):
+        """Chunked phase B with D2H/exec overlap (see _consume_pipelined)."""
+        def emit(start):
+            return _tiled_finalize_b_chunk(
+                keys_s, before, src_t, offs, n_groups_d, n_live,
+                start, chunk=chunk, has_counts=has, **kw)
+
+        return self._consume_pipelined(
+            emit, n=n, chunk=chunk, lut_prefix_len=lut_prefix_len,
+            counter_size=counter_size, t0=t0)
+
+    def _consume_pipelined(self, emit, *, n, chunk, lut_prefix_len,
+                           counter_size, t0):
         """Chunked phase B with D2H/exec overlap: every chunk is the SAME
         compiled executable (traced start scalar), all chunks are
         dispatched up front with their D2H copies queued async, then
         consumed in order — chunk c's transfer and host assembly run while
         chunk c+1 executes on device.  Byte-identical to the single
-        phase-B dispatch (per-chunk stats/LUT sum to the global ones)."""
+        phase-B dispatch (per-chunk stats/LUT sum to the global ones).
+        `emit(start)` -> (cols, keep_bits, lut, stats) for output rows
+        [start, start+chunk)."""
         import time as _time
 
         n_eff = max(n, 1)
         n_chunks = -(-n_eff // chunk)
         parts = []
         for c in range(n_chunks):
-            cols_c, keep_c, lut_c, st_c = _tiled_finalize_b_chunk(
-                keys_s, before, src_t, offs, n_groups_d, n_live,
-                jnp.int32(c * chunk), chunk=chunk, has_counts=has, **kw)
+            cols_c, keep_c, lut_c, st_c = emit(jnp.int32(c * chunk))
             for a in (keep_c, *cols_c, lut_c, *st_c):
                 try:
                     a.copy_to_host_async()
@@ -1725,12 +1979,46 @@ class DeviceKmerStore:
         self.t_finalize_d2h = 0.0
         return rec, lut, stats
 
+    def _finalize_rows_from_collected(self, g_cols, g_tot, n, *, cutoff_min,
+                                      cutoff_max, counter_max, t0):
+        """(bins, words, counts, stats) from the deferred-greedy collected
+        arrays (already sorted in final record order; dead rows all-ones)."""
+        import time as _time
+
+        np.asarray(g_tot[:1])  # force exec for the timer split
+        self.t_finalize_exec = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        cols = [np.asarray(c[:n]) for c in g_cols]
+        totals = np.asarray(g_tot[:n]).astype(np.uint64)
+        self.t_finalize_d2h = _time.perf_counter() - t0
+        if self.fuse:
+            bins = cols[0] >> (2 * self.r0)
+            lanes = [cols[0] & np.uint32((1 << (2 * self.r0)) - 1)] + cols[1:]
+        else:
+            bins = cols[0]
+            lanes = cols[1:]
+        valid = (bins < self.n_used_bins) & (totals > 0)
+        below = valid & (totals < cutoff_min)
+        above = valid & (totals > cutoff_max)
+        stats = (int(valid.sum()), int(below.sum()), int(above.sum()))
+        keep = valid & ~below & ~above
+        out = (
+            bins[keep].astype(np.int32),
+            np.stack([l[keep] for l in lanes], axis=1),
+            np.minimum(totals[keep], np.uint64(counter_max)).astype(np.uint32),
+            stats,
+        )
+        self.key_cols = self.counts = None
+        return out
+
     def finalize(self, sig_map: np.ndarray | None = None, cutoff_min: int = 1,
                  cutoff_max: int = 10**9, counter_max: int = 255, *,
                  k: int | None = None, sig_len: int | None = None):
         """Returns (bins, words, counts, stats) as host arrays in final DB
         record order (KFF / no-output paths)."""
         import time as _time
+
+        self._require_sig_map()
 
         try:
             self._replay_spills()
@@ -1758,11 +2046,24 @@ class DeviceKmerStore:
             X128 = int(src_t.shape[0])
             grain = _out_grain()
             out = min(X128, ((max(n, 1) + grain - 1) // grain) * grain)
+            if self._g_defer:
+                g_cols, g_tot = _greedy_collect(
+                    keys_s, before, src_t, offs, n_groups_d, n_live,
+                    self._sig_map_dev, out=out, has_counts=has,
+                    **self._g_remap_statics())
+                return self._finalize_rows_from_collected(
+                    g_cols, g_tot, n, cutoff_min=cutoff_min,
+                    cutoff_max=cutoff_max, counter_max=counter_max, t0=t0)
             g_bins, g_words, g_counts, stats = _tiled_rows_b(
                 keys_s, before, src_t, offs, n_groups_d, n_live,
                 out=out, has_counts=has, **kw)
             np.asarray(g_bins[:1])  # force exec for the timer split
         else:
+            if self._g_defer:
+                self.key_cols = _greedy_remap_store(
+                    self.key_cols, self._sig_map_dev,
+                    **self._g_remap_statics())
+                eff_cols, eff_counts = self._effective_finalize_cols()
             if eff_counts is None:
                 g_bins, g_words, g_counts, n_groups, stats = _finalize_rows_unit(
                     eff_cols, self.n_used, wide=False, **kw)

@@ -410,13 +410,30 @@ class Runner:
             k=k, sig_len=m, both_strands=params.canonical_kmers,
             map_mode=params.signature_map_policy,
         )
-        if params.signature_map_policy == "greedy":
-            # greedy needs the map upfront: the reference's sampled stage-0
+        from .ops.store import greedy_defer_default
+
+        greedy_fold = (params.signature_map_policy == "greedy"
+                       and greedy_defer_default())
+        if params.signature_map_policy == "greedy" and not greedy_fold:
+            # eager greedy needs the map upfront: the reference's sampled
+            # stage-0 as a separate parse pass
             self._run_stage0(params)
             store_kw["sig_map"] = self._sig_map
             store_kw["n_bins"] = self._n_used_bins
         else:
+            # prefix policy — or deferred greedy, where stage 0 FOLDS into
+            # ingest: the sampled per-signature histogram (reference
+            # CalcStats, splitter.cpp:439-533) is accumulated on device
+            # from the first ingest batches' own buffers, and the map is
+            # built right after ingest, before finalize.  No second parse
+            # pass over the input.  (The sample boundary is
+            # batch-granular in positions rather than a file-byte cap, so
+            # the map can differ near the boundary from the eager path on
+            # inputs larger than the sample — both are valid samples;
+            # k-mer/count content is identical either way.)
             store_kw["n_bins"] = params.n_bins
+            if greedy_fold:
+                store_kw["sig_map"] = None
         store = DeviceKmerStore(
             capacity_rows=capacity,
             initial_rows=init_rows,
@@ -454,6 +471,16 @@ class Runner:
         q: _queue.Queue = _queue.Queue(maxsize=3)
         errors: list = []
 
+        import jax.numpy as jnp
+
+        stage0_state = {"hist": None, "sampled": 0}
+        if greedy_fold:
+            stage0_state["hist"] = jnp.zeros((map_size(m),), jnp.uint32)
+            import os as _os
+
+            stage0_state["cap"] = int(_os.environ.get(
+                "KMC_TPU_STAGE0_SAMPLE_POSITIONS", str(1 << 27)))
+
         def worker():
             try:
                 while True:
@@ -461,10 +488,22 @@ class Runner:
                     if item is None:
                         return
                     if item[0] == "b":
-                        store.ingest_boundaries(
-                            jax.device_put(item[1]), item[2], s=s)
+                        feed, args = "bounds", (
+                            jax.device_put(item[1]), jnp.int32(item[2]))
                     else:
-                        store.ingest_fused(jax.device_put(item[1]), s=s)
+                        feed, args = "fused", (jax.device_put(item[1]),)
+                    if (greedy_fold
+                            and stage0_state["sampled"] < stage0_state["cap"]):
+                        # the histogram batch rides the same device buffer
+                        # the ingest is about to consume (ingest never
+                        # donates its feed argument)
+                        stage0_state["hist"] = store.stage0_accum(
+                            feed, args, stage0_state["hist"], s=s)
+                        stage0_state["sampled"] += s
+                    if feed == "bounds":
+                        store.ingest_boundaries(args[0], args[1], s=s)
+                    else:
+                        store.ingest_fused(args[0], s=s)
             except BaseException as e:  # noqa: BLE001 - reraised on join
                 errors.append(e)
                 while q.get() is not None:  # unblock the producer
@@ -500,6 +539,14 @@ class Runner:
             raise errors[0]
         if ppo is not None:
             ppo.set_progress(100)
+        if greedy_fold:
+            t0 = time.perf_counter()
+            hist = np.asarray(stage0_state["hist"], dtype=np.uint64)
+            store.set_sig_map(build_signature_map(hist, m, params.n_bins))
+            if params.verbose:
+                print(f"[stage0] folded signature map "
+                      f"({stage0_state['sampled']} sampled positions): "
+                      f"{time.perf_counter() - t0:.2f}s")
         if params.verbose:
             print(f"[stage1] host(parse+pack): {t_host:.2f}s "
                   f"queue-wait: {t_queue:.2f}s "

@@ -194,6 +194,30 @@ def n_used_bins(sig_map: np.ndarray) -> int:
     return int(sig_map.max()) + 1
 
 
+def sig_of_lanes_numpy(lanes: np.ndarray, k: int, sig_len: int) -> np.ndarray:
+    """Signature of each k-mer row from its packed lanes (host mirror of
+    ops.extract.sig_of_word_cols, for the external-merge fallback).
+
+    lanes: uint32[n, W] MSW-first right-aligned 2-bit lanes.  Exact for any
+    strand: the m-mer norm is strand-invariant (mmer.h:81-91), so the
+    minimum over the stored k-mer's own m-mers equals the splitter's
+    per-window signature."""
+    n, W = lanes.shape
+    table = norm_table(sig_len)
+    special = np.uint32(special_signature(sig_len))
+    mask_m = np.uint32((1 << (2 * sig_len)) - 1)
+    best = np.full(n, special, np.uint32)
+    for j in range(k - sig_len + 1):
+        shift = 2 * (k - sig_len - j)
+        lane = W - 1 - (shift // 32)
+        off = shift % 32
+        v = lanes[:, lane] >> np.uint32(off)
+        if off + 2 * sig_len > 32 and lane > 0:
+            v = v | (lanes[:, lane - 1] << np.uint32(32 - off))
+        best = np.minimum(best, table[v & mask_m])
+    return best
+
+
 def kmer_signatures_numpy(codes: np.ndarray, k: int, sig_len: int) -> np.ndarray:
     """Per-position signature (min window norm) over a code stream; oracle/test
     helper — the device path computes the same thing in ops.extract.
